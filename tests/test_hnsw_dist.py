@@ -1,0 +1,79 @@
+"""Distributed HNSW index: build/probe recall vs the exact oracle,
+save/load round-trip, delete + rebuild compaction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.index.build import HnswIndex, HnswParams, hnsw_build
+from vectorsearch_with_hnsw_spark.index.query import knn_hnsw
+from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return hnsw_build(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=4,
+    )
+
+
+def _recall(ann_df, exact_df):
+    ann = {(r["query_id"], r["neighbor_id"]) for r in ann_df.collect()}
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    return len(ann & exact) / len(exact)
+
+
+def test_probe_recall(spark, emb, queries, index):
+    ann = knn_hnsw(index, queries, k=10)
+    exact = knn_exact(emb, queries, k=10, metric="cosine")
+    assert _recall(ann, exact) >= 0.9
+
+
+def test_results_sorted_and_self_match(index, queries):
+    rows = knn_hnsw(index, queries, k=5).filter(F.col("query_id") == 0).collect()
+    ds = [r["dist"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ds == sorted(ds)
+    assert rows[0]["neighbor_id"] == 0 and abs(rows[0]["dist"]) < 1e-9
+
+
+def test_save_load_roundtrip(spark, index, queries, tmp_path):
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = HnswIndex.load(spark, path)
+    before = {(r["query_id"], r["neighbor_id"]) for r in knn_hnsw(index, queries, k=5).collect()}
+    after = {(r["query_id"], r["neighbor_id"]) for r in knn_hnsw(loaded, queries, k=5).collect()}
+    assert before == after
+    assert loaded.params == index.params
+
+
+def test_delete_and_rebuild(spark, emb, queries, index):
+    dl = emb.filter(F.col("vec_id") % 5 == 0).select(F.col("vec_id").alias("id"))
+    deleted_ids = {r["id"] for r in dl.collect()}
+    tombstoned = index.delete(dl)
+    res = knn_hnsw(tombstoned, queries, k=10)
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert not (got & deleted_ids), "tombstoned ids must never be returned"
+    rebuilt = tombstoned.rebuild(num_partitions=2)
+    assert rebuilt.nodes.count() == emb.count() - len(deleted_ids)
+    res2 = knn_hnsw(rebuilt, queries, k=10)
+    got2 = {r["neighbor_id"] for r in res2.collect()}
+    assert not (got2 & deleted_ids)

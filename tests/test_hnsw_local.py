@@ -1,0 +1,113 @@
+"""Property tests for the local HNSW kernel (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectorsearch_with_hnsw_spark.index.local_hnsw import (
+    HnswParams,
+    LocalHNSW,
+    level_for_id,
+)
+
+
+def brute_topk(mat, q, k, metric):
+    if metric == "l2":
+        d = np.linalg.norm(mat - q, axis=1)
+    else:
+        denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (mat @ q) / denom
+        d = np.where(denom == 0, 1.0, 1.0 - sim)
+    order = np.lexsort((np.arange(len(d)), d))
+    return order[:k], d
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((400, 32)).astype(np.float32)
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_recall_vs_bruteforce(data, metric):
+    p = HnswParams(dim=32, metric=metric)
+    idx = LocalHNSW(p)
+    idx.add_batch(np.arange(len(data)), data)
+    hits = total = 0
+    for qi in range(0, 100, 5):
+        got = [i for i, _ in idx.search(data[qi].astype(np.float64), k=10)]
+        want, _ = brute_topk(data.astype(np.float64), data[qi].astype(np.float64), 10, metric)
+        hits += len(set(got) & set(want))
+        total += 10
+    assert hits / total >= 0.9, f"recall {hits / total}"
+
+
+def test_self_match_rank1(data):
+    idx = LocalHNSW(HnswParams(dim=32))
+    idx.add_batch(np.arange(len(data)), data)
+    res = idx.search(data[3].astype(np.float64), k=5)
+    assert res[0][0] == 3 and res[0][1] == pytest.approx(0.0)
+
+
+def test_sorted_ascending_and_k(data):
+    idx = LocalHNSW(HnswParams(dim=32))
+    idx.add_batch(np.arange(len(data)), data)
+    res = idx.search(data[0].astype(np.float64), k=7)
+    ds = [d for _, d in res]
+    assert ds == sorted(ds) and len(res) <= 7
+
+
+def test_empty_index_returns_empty():
+    idx = LocalHNSW(HnswParams(dim=8))
+    assert idx.search(np.zeros(8), k=5) == []
+
+
+def test_dim_mismatch_raises(data):
+    idx = LocalHNSW(HnswParams(dim=32))
+    idx.add_batch(np.arange(10), data[:10])
+    with pytest.raises(ValueError):
+        idx.search(np.zeros(16), k=3)
+    with pytest.raises(ValueError):
+        idx.add_batch(np.array([99]), np.zeros((1, 16), dtype=np.float32))
+
+
+def test_unknown_metric_raises():
+    with pytest.raises(ValueError):
+        HnswParams(dim=8, metric="manhattan")
+
+
+def test_deleted_never_returned(data):
+    idx = LocalHNSW(HnswParams(dim=32))
+    idx.add_batch(np.arange(len(data)), data)
+    assert idx.delete(3) is True
+    assert idx.delete(3) is False  # double delete
+    res = idx.search(data[3].astype(np.float64), k=10)
+    assert 3 not in [i for i, _ in res]
+
+
+def test_degree_caps(data):
+    p = HnswParams(dim=32, M=8)
+    idx = LocalHNSW(p)
+    idx.add_batch(np.arange(len(data)), data)
+    for row, adj in enumerate(idx.graph):
+        for layer, nbrs in adj.items():
+            cap = p.max_m0 if layer == 0 else p.M
+            assert len(nbrs) <= cap, (row, layer, len(nbrs))
+
+
+def test_levels_deterministic_and_distributed():
+    mL = 1.0 / np.log(16)
+    levels = [level_for_id(i, mL) for i in range(20000)]
+    assert levels == [level_for_id(i, mL) for i in range(20000)]
+    frac0 = sum(1 for l in levels if l == 0) / len(levels)
+    # P(level >= 1) = exp(-1/mL) = 1/16 => ~93.75% at level 0
+    assert 0.92 < frac0 < 0.95
+
+
+def test_ef_clamped_to_k(data):
+    idx = LocalHNSW(HnswParams(dim=32, ef_search=2))
+    idx.add_batch(np.arange(len(data)), data)
+    res = idx.search(data[0].astype(np.float64), k=10)
+    assert len(res) == 10  # ef raised to k even though ef_search=2

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests — the 100 TB scale contract.
+
+These assert the plans we designed for, not just the answers:
+pushdown reaches the parquet scan, projections prune columns, dimension
+joins broadcast, distance math stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+from vectorsearch_with_hnsw_spark.operators.relational import (
+    pricing_summary,
+    region_revenue,
+    top_customers_by_revenue,
+)
+from vectorsearch_with_hnsw_spark.plans.checks import (
+    codegen_stage_count,
+    count_occurrences,
+    formatted_plan,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+def test_filter_pushdown_to_scan(spark, sf_smoke):
+    df = pricing_summary(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schema_columns(df)
+    assert schemas and all(set(s) == {"l_orderkey", "l_quantity"} for s in schemas)
+
+
+def test_q1_prunes_unused_columns(spark, sf_smoke):
+    df = pricing_summary(spark, sf_smoke)
+    schemas = read_schema_columns(df)
+    assert schemas, "expected a parquet scan"
+    for s in schemas:
+        assert "l_partkey" not in s and "l_suppkey" not in s
+
+
+def test_dimension_joins_broadcast(spark, sf_smoke):
+    assert uses_broadcast_join(region_revenue(spark, sf_smoke))
+    assert uses_broadcast_join(top_customers_by_revenue(spark, sf_smoke))
+    # star join: region+nation+customer all broadcast => >= 3 BHJ
+    assert count_occurrences(region_revenue(spark, sf_smoke), "BroadcastHashJoin") >= 3
+
+
+def test_knn_broadcasts_queries_no_shuffle_join(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = knn_exact(emb, q, k=5)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_present(spark, sf_smoke):
+    df = pricing_summary(spark, sf_smoke)
+    assert codegen_stage_count(df) >= 1

@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+from vectorsearch_with_hnsw_spark.operators.synth import synthetic_vectors
+
+
+def test_synthetic_vectors_deterministic_and_distributed(spark):
+    a = synthetic_vectors(spark, 200, 16, seed=42)
+    b = synthetic_vectors(spark, 200, 16, seed=42).repartition(7)
+    ra = {r["id"]: tuple(r["vec"]) for r in a.collect()}
+    rb = {r["id"]: tuple(r["vec"]) for r in b.collect()}
+    assert ra == rb and len(ra) == 200
+    # roughly standard-normal: mean ~0, std ~1 over all coordinates
+    import numpy as np
+
+    mat = np.array([list(v) for v in ra.values()])
+    assert abs(mat.mean()) < 0.05 and 0.9 < mat.std() < 1.1
+
+
+def test_cli_build_query_rebuild(spark, tmp_path, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    out = str(tmp_path / "idx")
+    cli.main(["build", "--n", "300", "--dim", "64", "--out", out, "--partitions", "2"])
+    cli.main(["query", "--index", out, "--sf-dir", "/root/testdata/sf0.001", "--k", "3", "--max-queries", "2"])
+    out2 = str(tmp_path / "idx2")
+    cli.main(["rebuild", "--index", out, "--out", out2])
+    captured = capsys.readouterr()
+    assert "built 300 x 64" in captured.out
+    assert "rebuilt" in captured.out

@@ -1,0 +1,88 @@
+"""Job-style CLI — the engine's twin of the reference's argparse entry
+(`main()`, hsnw_trial.py:450-484: --build / --load+query flows with
+hyperparameter flags). Serving (`--serve`, hsnw_trial.py:430-447) is out
+of scope per BASELINE.json ("batch construction, no query serving");
+batch query-in/results-out covers that capability.
+
+  python -m vectorsearch_with_hnsw_spark.cli build --n 1000 --dim 64 --out /tmp/idx
+  python -m vectorsearch_with_hnsw_spark.cli query --index /tmp/idx --sf-dir /root/testdata/sf0.001 --k 10
+  python -m vectorsearch_with_hnsw_spark.cli rebuild --index /tmp/idx --out /tmp/idx2
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+from .index.build import HnswIndex, HnswParams, hnsw_build
+from .index.query import knn_hnsw
+from .operators.synth import synthetic_vectors
+from .session import get_spark
+from .sources import load_table
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="vectorsearch_with_hnsw_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index over synthetic gaussian vectors")
+    b.add_argument("--n", type=int, default=1000)
+    b.add_argument("--dim", type=int, default=64)
+    b.add_argument("--M", type=int, default=16)
+    b.add_argument("--ef-construction", type=int, default=200)
+    b.add_argument("--ef-search", type=int, default=50)
+    b.add_argument("--metric", default="l2")
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--out", required=True)
+
+    q = sub.add_parser("query", help="probe a saved index with embeddings-table queries")
+    q.add_argument("--index", required=True)
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--ef", type=int, default=None)
+    q.add_argument("--max-queries", type=int, default=10)
+
+    r = sub.add_parser("rebuild", help="compact a saved index (drop tombstones)")
+    r.add_argument("--index", required=True)
+    r.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    try:
+        if args.cmd == "build":
+            vecs = synthetic_vectors(spark, args.n, args.dim, args.seed)
+            params = HnswParams(
+                dim=args.dim,
+                M=args.M,
+                ef_construction=args.ef_construction,
+                ef_search=args.ef_search,
+                metric=args.metric,
+                seed=args.seed,
+            )
+            hnsw_build(vecs, params, num_partitions=args.partitions).save(args.out)
+            print(f"built {args.n} x {args.dim} ({args.metric}) -> {args.out}")
+        elif args.cmd == "query":
+            idx = HnswIndex.load(spark, args.index)
+            queries = (
+                load_table(spark, args.sf_dir, "embeddings")
+                .filter(F.col("vec_id") < args.max_queries)
+                .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+            )
+            knn_hnsw(idx, queries, k=args.k, ef=args.ef).orderBy("query_id", "rnk").show(
+                args.max_queries * args.k, truncate=False
+            )
+        elif args.cmd == "rebuild":
+            HnswIndex.load(spark, args.index).rebuild().save(args.out)
+            print(f"rebuilt {args.index} -> {args.out}")
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Distributed batch HNSW construction, persistence, deletes, rebuild.
+
+Architecture (SURVEY.md §7 P3): the reference's insert loop is inherently
+sequential (each insert reads the whole prior graph, hsnw_trial.py:
+197-265), so a faithful distributed build partitions the vectors,
+builds an independent local HNSW graph per partition inside
+``applyInPandas`` (Arrow-batched, numpy kernel), and probes every
+partition at query time with a global top-k re-merge. Per-partition
+graphs lose no recall as long as every partition is probed — the merge
+of per-partition exact top-k IS the global top-k, and per-partition ANN
+recall composes the same way.
+
+Index artifact = three Parquet-backed tables (the columnar analog of the
+reference's vectors.npy / graph.json / meta.json, hsnw_trial.py:310-342):
+
+  nodes(partition, id, vec, level, deleted)
+  edges(partition, layer, src, dst)
+  meta (partition, entry_point, max_layer) + params as a JSON column
+
+Scale notes: partition count P scales with data (vectors per partition
+bounded by executor memory); the build is one shuffle (repartition by
+hash(id)) followed by embarrassingly-parallel kernels; no driver-side
+state at any point.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .local_hnsw import HnswParams, LocalHNSW
+
+NODES_SCHEMA = "partition int, id long, vec array<float>, level int, deleted boolean"
+EDGES_SCHEMA = "partition int, layer int, src long, dst long"
+META_SCHEMA = "partition int, entry_point long, max_layer int, n_nodes long"
+
+
+class HnswIndex:
+    """Handle to the three index tables + params."""
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame, meta: DataFrame, params: HnswParams):
+        self.nodes = nodes
+        self.edges = edges
+        self.meta = meta
+        self.params = params
+
+    def save(self, path: str) -> None:
+        """Persist as Parquet tables + params sidecar (logical equivalent
+        of the reference save(), hsnw_trial.py:310-342)."""
+        self.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        self.meta.write.mode("overwrite").parquet(f"{path}/meta")
+        spark = self.nodes.sparkSession
+        params_df = spark.createDataFrame([(json.dumps(asdict(self.params)),)], "params_json string")
+        params_df.coalesce(1).write.mode("overwrite").json(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "HnswIndex":
+        """Re-open a persisted index (reference load(), hsnw_trial.py:
+        344-376, including params defaulting via HnswParams defaults)."""
+        raw = json.loads(spark.read.json(f"{path}/params").first()["params_json"])
+        params = HnswParams(**raw)
+        return cls(
+            spark.read.parquet(f"{path}/nodes"),
+            spark.read.parquet(f"{path}/edges"),
+            spark.read.parquet(f"{path}/meta"),
+            params,
+        )
+
+    def delete(self, ids_df: DataFrame) -> "HnswIndex":
+        """Tombstone the given ids (delete-log semantics; edges untouched
+        — the lazy delete of hsnw_trial.py:296-305). Returns a new handle;
+        tables are immutable."""
+        dl = ids_df.select(F.col("id").alias("_del_id")).distinct()
+        nodes = (
+            self.nodes.join(F.broadcast(dl), self.nodes.id == F.col("_del_id"), "left")
+            .withColumn("deleted", F.col("deleted") | F.col("_del_id").isNotNull())
+            .drop("_del_id")
+        )
+        return HnswIndex(nodes, self.edges, self.meta, self.params)
+
+    def rebuild(self, num_partitions: int | None = None) -> "HnswIndex":
+        """Compaction: rebuild from the alive subset only (reference
+        rebuild(), hsnw_trial.py:381-389)."""
+        alive = self.nodes.filter(~F.col("deleted")).select("id", "vec")
+        nparts = num_partitions or self.meta.count()
+        return hnsw_build(alive, self.params, num_partitions=int(nparts))
+
+
+def hnsw_build(
+    vectors_df: DataFrame,
+    params: HnswParams,
+    num_partitions: int = 8,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> HnswIndex:
+    """Batch-build a partitioned HNSW index.
+
+    One hash shuffle assigns rows to partitions; each partition's kernel
+    is a single Arrow exchange + numpy build. Levels derive from global
+    ids (order-independent), so the result is deterministic under any
+    cluster layout.
+    """
+    pickled = params  # dataclass is picklable into the closure
+
+    src = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("vec"),
+        (F.pmod(F.hash(F.col(id_col)), F.lit(num_partitions))).alias("partition"),
+    )
+
+    def build_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["partition"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float32)
+        idx = LocalHNSW(pickled)
+        idx.add_batch(ids, mat)
+        layer, s, t = idx.edges()
+        return pd.DataFrame(
+            {
+                "partition": np.full(len(layer), part, dtype=np.int32),
+                "layer": layer,
+                "src": s,
+                "dst": t,
+                "entry_point": np.full(len(layer), idx.ids[idx.entry_point], dtype=np.int64),
+                "max_layer": np.full(len(layer), idx.max_layer, dtype=np.int32),
+            }
+        )
+
+    edges_raw = src.groupBy("partition").applyInPandas(
+        build_partition, EDGES_SCHEMA + ", entry_point long, max_layer int"
+    )
+    # Cache the kernel output: edges + meta both derive from it, and at
+    # scale you'd rather not run the build twice.
+    edges_raw = edges_raw.persist()
+    edges = edges_raw.select("partition", "layer", "src", "dst")
+    meta = (
+        edges_raw.groupBy("partition")
+        .agg(
+            F.first("entry_point").alias("entry_point"),
+            F.first("max_layer").alias("max_layer"),
+            F.countDistinct("src").alias("n_nodes"),
+        )
+    )
+    nodes = src.select(
+        "partition",
+        "id",
+        "vec",
+        _level_expr(F.col("id"), pickled).alias("level"),
+        F.lit(False).alias("deleted"),
+    )
+    return HnswIndex(nodes, edges, meta, params)
+
+
+def _level_expr(id_col, params: HnswParams):
+    """Level as a pandas UDF batch (exact same splitmix64 draw as the
+    kernel)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def lvl(ids: pd.Series) -> pd.Series:
+        from .local_hnsw import level_for_id
+
+        return ids.map(lambda i: level_for_id(int(i), params.mL, params.seed)).astype("int32")
+
+    return lvl(id_col)

@@ -1,0 +1,93 @@
+"""Distributed ANN probe over a partitioned HNSW index.
+
+Query path (SURVEY.md §7 P4): every index partition is probed by a local
+kernel reconstructed from the nodes+edges tables (cogrouped
+``applyInPandas`` — one Arrow exchange per partition), each emitting its
+per-partition top-k per query; a final tiny Window re-merge produces the
+global top-k. Shuffle volume of the merge is O(P * Q * k) — independent
+of index size, so the plan survives a 100x scale-up (P grows, per-task
+work stays constant).
+
+Queries are broadcast (bounded artifact — same rule as the label join).
+Semantics match the reference search (hsnw_trial.py:267-294): greedy
+descent, ef-search at layer 0 with ef = max(ef, k), tombstones skipped,
+results ascending, k-truncated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.knn import topk_per_group
+from .build import HnswIndex
+from .local_hnsw import LocalHNSW
+
+
+def knn_hnsw(
+    index: HnswIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    ef: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe all partitions, merge per-query top-k.
+
+    Returns (query_id, neighbor_id, dist, rnk)."""
+    params = index.params
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    spark = index.nodes.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    meta_rows = {
+        int(r["partition"]): (int(r["entry_point"]), int(r["max_layer"]))
+        for r in index.meta.collect()
+    }
+    bmeta = spark.sparkContext.broadcast(meta_rows)
+
+    def probe(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(nodes_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []}).astype(
+                {"query_id": np.int64, "neighbor_id": np.int64, "dist": np.float64}
+            )
+        part = int(nodes_pdf["partition"].iloc[0])
+        entry_point, max_layer = bmeta.value.get(part, (None, -1))
+        idx = LocalHNSW.from_tables(
+            params,
+            nodes_pdf["id"].to_numpy(dtype=np.int64),
+            np.array(list(nodes_pdf["vec"]), dtype=np.float32),
+            nodes_pdf["level"].to_numpy(dtype=np.int32),
+            nodes_pdf["deleted"].to_numpy(dtype=bool),
+            edges_pdf["layer"].to_numpy(dtype=np.int32),
+            edges_pdf["src"].to_numpy(dtype=np.int64),
+            edges_pdf["dst"].to_numpy(dtype=np.int64),
+            entry_point,
+            max_layer,
+        )
+        ids_b, qm = bq.value
+        out_q, out_n, out_d = [], [], []
+        for qid, qv in zip(ids_b, qm):
+            for nid, d in idx.search(qv, k=k, ef=ef):
+                out_q.append(qid)
+                out_n.append(nid)
+                out_d.append(d)
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "dist": np.array(out_d, dtype=np.float64),
+            }
+        )
+
+    partial = (
+        index.nodes.groupBy("partition")
+        .cogroup(index.edges.groupBy("partition"))
+        .applyInPandas(probe, "query_id long, neighbor_id long, dist double")
+    )
+    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )

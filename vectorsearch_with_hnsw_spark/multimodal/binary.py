@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference's multimodal step is the CIFAR pipeline: PIL image ->
+preprocess -> ResNet-18 embedding, executed one image per forward pass
+(CIFAR notebook cell 2, ``unsqueeze(0)``). Here the Spark-side plumbing
+is real — binary columns, Arrow-batched ``mapInPandas`` kernels, stable
+schemas, per-batch (not per-row) processing — while the actual media
+decoding is STUBBED (image/audio libraries are not in this container):
+
+- ``decode_image`` raises NotImplementedError (clearly-marked stub); at
+  deploy time it becomes Pillow/torchvision inside the same kernel.
+- ``extract_features`` uses a deterministic fake "decoder" (polynomial
+  hash of the payload bytes -> 4 pseudo-features) so the batch shape,
+  schema, and distributed execution path are fully testable — and even
+  oracle-checkable, because the fake is exact integer arithmetic.
+
+At 100 TB: payloads stay in executor-side Arrow batches end-to-end; no
+driver collection; model weights would ship via broadcast with lazy
+per-executor init (the standard iterator-of-batches pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+HASH_MOD = 1_000_000_007
+N_FEATURES = 4
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real deployment decodes bytes -> HWC uint8 array (Pillow).
+    Not available in this container."""
+    raise NotImplementedError(
+        "image decoding requires Pillow/torchvision; wire the real decoder "
+        "here at deploy time — the surrounding Spark plumbing is complete"
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode+embed: polynomial hash of the
+    bytes mapped to N pseudo-features in [0, 1). Exact integer math —
+    reproducible anywhere, including the SQL oracle."""
+    h = 0
+    for byte in payload:
+        h = (h * 31 + byte) % HASH_MOD
+    return [((h * (i + 1)) % 1009) / 1009.0 for i in range(N_FEATURES)]
+
+
+def extract_features(blobs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Batched feature extraction over a binary column via mapInPandas.
+
+    One Python call per Arrow batch (not per row) — the shape a real
+    embedding model needs (contrast the reference's batch-size-1 forward
+    passes, CIFAR notebook cell 2)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_features(p) for p in pdf[payload_col]]
+            out = {id_col: pdf[id_col].to_numpy()}
+            for i in range(N_FEATURES):
+                out[f"f{i}"] = [f[i] for f in feats]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"f{i} double" for i in range(N_FEATURES))
+    return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def frame_sample(blobs: DataFrame, id_col: str = "vid_id", payload_col: str = "payload", every_n: int = 10) -> DataFrame:
+    """STUB plumbing for video frame sampling: emits (id, frame_no,
+    frame_payload) rows. The splitter is a deterministic fake (fixed-size
+    byte windows standing in for decoded frames); the real ffmpeg-backed
+    splitter drops into the same kernel."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, payloads = [], [], []
+            for _id, p in zip(pdf[id_col], pdf[payload_col]):
+                chunks = [p[i : i + 64] for i in range(0, len(p), 64)]
+                for fno, chunk in enumerate(chunks[::every_n]):
+                    ids.append(_id)
+                    frames.append(fno)
+                    payloads.append(bytes(chunk))
+            yield pd.DataFrame({id_col: ids, "frame_no": frames, "frame_payload": payloads})
+
+    schema = f"{id_col} long, frame_no int, frame_payload binary"
+    return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -1,0 +1,228 @@
+"""Deduplication operators for the 100 TB training-data pipeline.
+
+Five families, each shuffle-aware (SURVEY.md §7 P5 / north star):
+
+- exact:      fingerprint hash -> groupBy. One shuffle on the hash.
+- ngram-jaccard: inverted-index join on word shingles (never a cross
+  join) -> pair co-occurrence counts -> exact Jaccard. Shuffles on the
+  shingle key; hot shingles are handled by AQE skew-join at scale.
+- MinHash+LSH: fixed universal-hash signatures -> band buckets ->
+  bucket equi-join. All integer arithmetic, fully SQL-expressible, so
+  the DuckDB oracle can verify it exactly.
+- SimHash: per-bit majority vote aggregated JVM-side; near-dup pairs by
+  banded Hamming join (pigeonhole: hamming<=3 over 4 bands guarantees a
+  shared band).
+- embedding near-dup: blocked cosine pairs (block = label here; at
+  scale the blocking key is an LSH bucket — see operators/ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_MOD,
+    fingerprint,
+    minhash_exprs,
+    poly_hash,
+    simhash_bit_weight,
+    word_shingles,
+)
+from ..functions.vector import cosine_distance, to_vec
+from ..sources import load_table
+
+NUM_MINHASH = 8
+MINHASH_BANDS = 4  # 4 bands x 2 rows
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup on a normalized-text fingerprint: keeper = min doc_id
+    per group (deterministic), plus group size."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index relation."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    |A ∩ B| from the shingle join, |A| and |B| from per-doc counts, so
+    Jaccard = common / (na + nb - common) exactly. The only large shuffle
+    is on the shingle key."""
+    sh = shingle_table(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= F.lit(threshold)).select(
+        "doc_a", "doc_b", "common", "na", "nb", "jaccard"
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
+    """MinHash signature per document: explode distinct word shingles,
+    hash each once, take the min of each universal-hash permutation.
+    Partial (map-side) min aggregation means the shuffle carries only one
+    row per (doc, signature)."""
+    tok = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    hashed = tok.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
+    mins = [F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("h"), num_hashes))]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows-per-band =
+    num_hashes/bands), equi-join docs sharing any band bucket, dedup, and
+    attach the estimated Jaccard (fraction of matching signature
+    components). Never compares all pairs — only bucket collisions."""
+    sig = minhash_signatures(docs, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.concat_ws("_", *[p.cast("string") for p in parts]).alias(f"band{b}"))
+    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
+    pair_frames = []
+    for b in range(bands):
+        l = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
+            F.col(f"band{b}").alias("bucket"),
+        )
+        r = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
+            F.col(f"band{b}").alias("bucket"),
+        )
+        pair_frames.append(
+            l.join(r, "bucket").filter(F.col("doc_a") < F.col("doc_b")).drop("bucket")
+        )
+    pairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        pairs = pairs.unionByName(pf)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per document: per-bit majority vote over token hashes,
+    packed into a single integer. Aggregation is JVM-side sums (one
+    shuffle on doc_id with map-side combine)."""
+    tok = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 1)).alias("token")
+    )
+    hashed = tok.select("doc_id", poly_hash(F.col("token")).alias("h"))
+    votes = [
+        F.sum(simhash_bit_weight(F.col("h"), b)).alias(f"v{b}") for b in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    packed = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)
+    )
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = SIMHASH_BITS, bands: int = SIMHASH_BANDS, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash. Banded join
+    (pigeonhole: distance <= bands-1 implies an identical band), then the
+    exact bit_count filter."""
+    sig = simhash_signatures(docs, bits)
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            (F.shiftright(F.col("simhash"), b * bits_per_band) % F.lit(mask + 1)).alias(f"sb{b}")
+            for b in range(bands)
+        ],
+    )
+    frames = []
+    for b in range(bands):
+        l = banded.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"sb{b}").alias("bucket")
+        )
+        r = banded.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"sb{b}").alias("bucket")
+        )
+        frames.append(l.join(r, "bucket").filter(F.col("doc_a") < F.col("doc_b")).drop("bucket"))
+    pairs = frames[0]
+    for pf in frames[1:]:
+        pairs = pairs.unionByName(pf)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.92, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Blocking turns the O(n^2) cross join into per-block joins that
+    shuffle on the block key; at 100 TB the block key is an LSH bucket
+    (operators/ann.py) rather than a label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col(block_col).alias("blk"), F.col("vec_id").alias("id_a"), to_vec("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"), F.col("vec_id").alias("id_b"), to_vec("embedding").alias("vb")
+    )
+    sim = F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("blk", "id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

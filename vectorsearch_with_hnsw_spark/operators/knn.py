@@ -1,0 +1,176 @@
+"""Exact kNN as a declarative Spark plan, plus a vectorized scale path.
+
+The reference's query surface is top-k nearest neighbors under L2 or
+cosine (``search``, hsnw_trial.py:267-294: ef-search then rescore, sort
+ascending, truncate to k). Exact kNN is its ground-truth oracle (the
+reference itself names brute-force recall as the missing rigorous test,
+FashionMNIST notebook cell 17).
+
+Two implementations with identical results:
+
+- ``knn_exact``: broadcast the (small) query set, map-side cross join,
+  native distance expression, per-query Window top-k. Fully declarative;
+  used as the correctness oracle.
+- ``knn_exact_fast``: same broadcast, but the per-partition running
+  top-k is computed inside an Arrow-batched ``mapInPandas`` kernel with
+  BLAS matrix distances, so only ``partitions x queries x k`` rows ever
+  reach the final (tiny) global top-k shuffle. This is the 100 TB path:
+  the full |index| x |queries| pair set never materializes or shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import metric_expr, to_vec
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Rank-within-group, keep <= k — the reference's result truncation
+    (sort asc + [:k], hsnw_trial.py:293-294) and degree-cap pruning
+    (hsnw_trial.py:250-254) are both this shape."""
+    w = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def knn_exact(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Brute-force top-k: broadcast queries, cross join, distance expr,
+    per-query window. Ties broken by neighbor id for determinism.
+
+    Returns (query_id, neighbor_id, dist, rnk) sorted semantics identical
+    to the reference search contract (ascending distance, rank 1 = self
+    for an indexed query vector).
+    """
+    dist = metric_expr(metric)
+    q = F.broadcast(
+        queries_df.select(
+            F.col(query_id_col).alias("query_id"),
+            to_vec(query_vec_col).alias("_qvec"),
+        )
+    )
+    base = index_df.select(
+        F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_vec")
+    )
+    pairs = base.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        dist(F.col("_vec"), F.col("_qvec")).alias("dist"),
+    )
+    return topk_per_group(pairs, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )
+
+
+def knn_exact_fast(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Vectorized exact kNN: per-partition BLAS top-k, then a tiny global
+    re-merge. The partial-top-k is the map-side combine that the Window
+    formulation lacks; shuffle volume is O(P * Q * k), independent of
+    index size."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"Unknown metric '{metric}'")
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qnorm = np.linalg.norm(qmat, axis=1)
+    spark = index_df.sparkSession
+    sc = spark.sparkContext
+    bq = sc.broadcast((qids, qmat))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, qm = bq.value
+        nq = len(ids_b)
+        best_d = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_i = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        if metric == "cosine":
+            qn = np.linalg.norm(qm, axis=1)
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["_vec"]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            if metric == "l2":
+                # |x-q|^2 = |x|^2 - 2 x.q + |q|^2, computed batch-at-once
+                x2 = (mat * mat).sum(axis=1)
+                d2 = x2[None, :] - 2.0 * (qm @ mat.T) + (qm * qm).sum(axis=1)[:, None]
+                dmat = np.sqrt(np.maximum(d2, 0.0))
+            else:
+                xn = np.linalg.norm(mat, axis=1)
+                denom = qn[:, None] * xn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = (qm @ mat.T) / denom
+                dmat = np.where(denom == 0.0, 1.0, 1.0 - sim)
+            for qi in range(nq):
+                d = np.concatenate([best_d[qi], dmat[qi]])
+                i = np.concatenate([best_i[qi], ids])
+                if len(d) > k:
+                    sel = np.lexsort((i, d))[:k]
+                else:
+                    sel = np.lexsort((i, d))
+                best_d[qi] = d[sel]
+                best_i[qi] = i[sel]
+        out = {
+            "query_id": np.repeat(ids_b, [len(b) for b in best_i]),
+            "neighbor_id": np.concatenate(best_i) if best_i else np.empty(0, np.int64),
+            "dist": np.concatenate(best_d) if best_d else np.empty(0, np.float64),
+        }
+        yield pd.DataFrame(out)
+
+    narrow = index_df.select(
+        F.col(id_col).alias("_id"), to_vec(vec_col).alias("_vec")
+    )
+    partial = narrow.mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, dist double"
+    )
+    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )
+
+
+def knn_with_labels(
+    knn_df: DataFrame,
+    labels_df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-lookup join of kNN results — the reference's only
+    join-shaped operation (CIFAR notebook cell 4: per-hit (image, label)
+    lookup + '<- QUERY' self marker). Dimension side is broadcast."""
+    lab = F.broadcast(
+        labels_df.select(F.col(id_col).alias("neighbor_id"), F.col(label_col))
+    )
+    return knn_df.join(lab, "neighbor_id", "left").withColumn(
+        "marker",
+        F.when(F.col("neighbor_id") == F.col("query_id"), F.lit("<- QUERY")).otherwise(
+            F.lit("")
+        ),
+    )

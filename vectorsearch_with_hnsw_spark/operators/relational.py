@@ -1,0 +1,165 @@
+"""Relational operator surface over the TPC-H-ish testdata.
+
+The reference has no relational algebra (SURVEY.md §2B) — this module is
+the engine's standard scan/filter/join/agg/window/top-k surface, written
+so Catalyst gets full freedom: filters next to scans (pushdown), explicit
+``broadcast()`` on dimension tables, decimal-exact money arithmetic
+(bit-stable across engines), AQE handles skew.
+
+Money columns are cast to DECIMAL before summing and back to DOUBLE after
+— exact integer-scaled arithmetic means the result is bit-identical
+regardless of aggregation order (crucial both for the DuckDB oracle and
+for run-to-run determinism on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dsum(col):
+    """Order-independent (exact decimal) sum, surfaced as double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> partial-agg -> final agg.
+    One shuffle on the (tiny-cardinality) grouping key; the shipdate
+    filter and 6-column projection both push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem revenue top-N. Fact-fact join shuffles
+    on orderkey; the customer dimension is broadcast; global top-N plans
+    as TakeOrderedAndProject (no full sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("order_rev"))
+    joined = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("order_rev").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    return joined.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(n)
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+    All three dimension tables broadcast; only the orders⋈lineitem join
+    shuffles."""
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def customer_order_rank(spark: SparkSession, sf_dir: str, topn: int = 3) -> DataFrame:
+    """Window ranking: each customer's top-N orders by totalprice — the
+    'rank within group, keep <= N' shape the reference uses for result
+    truncation and degree caps (SURVEY.md §2B windows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topn)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"), "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation over the events stream table —
+    the batch twin of the Structured Streaming window query
+    (streaming/events.py uses the identical plan on readStream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx sketch is demoed in tests; exact cols only for the oracle
+        .orderBy("bucket", "event_type")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_sec: int = 1800) -> DataFrame:
+    """Gap-based sessionization via window functions: a new session starts
+    when the gap to the previous event of the same user exceeds
+    ``gap_sec``. One shuffle on user_id; this is the batch twin of the
+    stateful streaming sessionizer."""
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer microseconds — bit-identical across engines, ANSI-safe
+    epoch_us = F.unix_micros(F.col("ts"))
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch_us - F.lag(epoch_us).over(w_user)) > F.lit(gap_sec * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    with_sid = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -1,0 +1,634 @@
+"""Query registry: every implemented operator as a (Spark plan, DuckDB
+oracle SQL) pair.
+
+This backs the driver contract in ``__spark_entry__.py``: the driver runs
+each Spark query and its oracle SQL side-by-side and compares row count +
+schema + order-insensitive value hash. Both sides are written as the SAME
+arithmetic shape — sequential double folds for distances, exact integer
+hashing, decimal-exact money sums surfaced as double — so results match
+bit-for-bit, with no rounding fudge.
+
+Type harmonization rules used throughout (Spark <-> DuckDB):
+  row_number()/size()/length()/bit_count() -> INT (cast INTEGER in SQL)
+  count() -> BIGINT (native both sides)
+  sum(int) -> BIGINT (DuckDB sums ints to HUGEINT; cast)
+  money -> sum over DECIMAL(18,2) exact, cast DOUBLE at the end
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions.vector import cosine_distance, l2_distance, l2_norm, normalize_pixels, to_vec
+from .operators import dedup as D
+from .operators.ann import lsh_knn_cosine
+from .operators.knn import knn_exact, knn_with_labels
+from .operators import relational as R
+from .sources import load_table
+
+DIM = 64  # embedding dimensionality of the testdata tables
+N_QUERIES = 10  # query set = vec_id < N_QUERIES
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring the Spark expression shapes exactly
+# ---------------------------------------------------------------------------
+
+SQL_TOKS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+SQL_TOKS_RAW = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+
+
+def sql_poly_hash(expr: str) -> str:
+    chars = f"list_transform(list_filter(string_split({expr}, ''), c -> c != ''), c -> CAST(ascii(c) AS BIGINT))"
+    return (
+        f"CASE WHEN len({chars}) = 0 THEN 0 "
+        f"ELSE list_reduce({chars}, (a, c) -> (a * 31 + c) % 1000000007) END"
+    )
+
+
+def sql_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, (x, i) -> (x - {b}[i]) * (x - {b}[i])), "
+        f"(s, u) -> s + u))"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return f"list_reduce(list_transform({a}, (x, i) -> x * {b}[i]), (s, u) -> s + u)"
+
+
+def sql_sq_norm(a: str) -> str:
+    return f"list_reduce(list_transform({a}, (x, i) -> x * x), (s, u) -> s + u)"
+
+
+SQL_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+MONEY = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _minhash_sql_terms() -> list[str]:
+    out = []
+    for i in range(D.NUM_MINHASH):
+        a, b = 2 * i + 1, 7919 * i + 1
+        out.append(f"MIN(({a} * h + {b}) % {T.MINHASH_MOD}) AS mh{i}")
+    return out
+
+
+def _hyperplane_sql(p: int) -> str:
+    return (
+        f"list_transform(range(0, {DIM}), j -> "
+        f"CAST(((1103515245 * ({p} * {DIM} + j) + 12345) % 2147483648) % 2001 - 1000 AS DOUBLE))"
+    )
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """Nested (((0*2+b0)*2+b1)...) exactly like the Spark fold."""
+    acc = "0"
+    for p in range(8):
+        dot = sql_dot(vec_expr, _hyperplane_sql(p))
+        bit = f"CASE WHEN {dot} >= 0.0 THEN 1 ELSE 0 END"
+        acc = f"({acc} * 2 + {bit})"
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_exact(emb, _emb_queries(spark, sf_dir), k=10, metric="l2")
+
+
+def q_knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_exact(emb, _emb_queries(spark, sf_dir), k=10, metric="cosine")
+
+
+def q_knn_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over the alive subset: delete-log anti-join semantics
+    (reference tombstone skip, hsnw_trial.py:178-179; delete at :296-305).
+    Deleted set = vec_id % 7 == 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    deletes = emb.select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    alive = emb.join(deletes, "vec_id", "left_anti")
+    return knn_exact(alive, _emb_queries(spark, sf_dir), k=10, metric="l2")
+
+
+def q_knn_label_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIFAR-style kNN report: cosine top-5 + neighbor label + '<- QUERY'
+    self-marker (CIFAR notebook cell 4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_exact(emb, _emb_queries(spark, sf_dir), k=5, metric="cosine")
+    return knn_with_labels(knn, emb).select(
+        "query_id", "neighbor_id", "dist", "rnk", "label", "marker"
+    )
+
+
+def q_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance expressions over consecutive-id pairs, plus a synthetic
+    zero vector paired with vec 0 to pin the cosine zero-norm guard
+    (reference returns exactly 1.0, hsnw_trial.py:51-52)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    zero = spark.range(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.array_repeat(F.lit(0.0), DIM).cast("array<float>").alias("embedding"),
+    )
+    base = emb.unionByName(zero)
+    a = base.select(F.col("vec_id").alias("id_a"), to_vec("embedding").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), to_vec("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            l2_distance(F.col("va"), F.col("vb")).alias("l2_dist"),
+            cosine_distance(F.col("va"), F.col("vb")).alias("cos_dist"),
+        )
+    )
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norms + dim validation + the /255 normalization projection head
+    (FashionMNIST flatten+normalize, notebook cell 4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_vec("embedding")
+    return emb.select(
+        "vec_id",
+        l2_norm(v).alias("norm"),
+        (F.size("embedding") == DIM).alias("dim_ok"),
+        F.element_at(normalize_pixels(F.col("embedding")), 1).alias("head_norm"),
+    )
+
+
+def q_lsh_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_knn_cosine(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(spark, sf_dir, threshold=0.8)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal.binary import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return extract_features(blobs)
+
+
+def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HNSW build + probe (approximate — rows-only check;
+    recall vs the exact oracle is asserted in tests)."""
+    from .index.build import HnswParams, hnsw_build
+    from .index.query import knn_hnsw
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = hnsw_build(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=4,
+    )
+    return knn_hnsw(idx, _emb_queries(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_KNN_SQL_TMPL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {nq}
+), b AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings {base_filter}
+), pairs AS (
+  SELECT q.query_id, b.neighbor_id, {dist} AS dist FROM b CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= {k}
+"""
+
+_COS_DIST_SQL = (
+    "CASE WHEN sqrt({na}) = 0 OR sqrt({nb}) = 0 THEN 1.0 "
+    "ELSE CAST(1 AS DOUBLE) - {dot} / (sqrt({na}) * sqrt({nb})) END"
+).format(na=sql_sq_norm("b.v"), nb=sql_sq_norm("q.qv"), dot=sql_dot("b.v", "q.qv"))
+
+
+def _knn_sql(metric: str, k: int, base_filter: str = "") -> str:
+    if metric == "l2":
+        dist = sql_l2("b.v", "q.qv")
+    else:
+        dist = _COS_DIST_SQL
+    return _KNN_SQL_TMPL.format(nq=N_QUERIES, k=k, dist=dist, base_filter=base_filter)
+
+
+SQL_KNN_LABEL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), pairs AS (
+  SELECT q.query_id, b.neighbor_id, b.label, {_COS_DIST_SQL} AS dist FROM b CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id, label, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk, label,
+       CASE WHEN neighbor_id = query_id THEN '<- QUERY' ELSE '' END AS marker
+FROM ranked WHERE rn <= 5
+"""
+
+SQL_PAIR_DISTANCES = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS vec_id, list_transform(range(0, {DIM}), j -> CAST(0 AS DOUBLE)) AS v
+), a AS (SELECT vec_id AS id_a, v AS va FROM base),
+  b AS (SELECT vec_id AS id_b, v AS vb FROM base)
+SELECT id_a, id_b,
+  {sql_l2("a.va", "b.vb")} AS l2_dist,
+  CASE WHEN sqrt({sql_sq_norm("a.va")}) = 0 OR sqrt({sql_sq_norm("b.vb")}) = 0 THEN 1.0
+       ELSE CAST(1 AS DOUBLE) - {sql_dot("a.va", "b.vb")} / (sqrt({sql_sq_norm("a.va")}) * sqrt({sql_sq_norm("b.vb")})) END AS cos_dist
+FROM a JOIN b ON a.id_a + 1 = b.id_b
+"""
+
+SQL_VECTOR_NORMS = f"""
+SELECT vec_id,
+  sqrt({sql_sq_norm("embedding::DOUBLE[]")}) AS norm,
+  len(embedding) = {DIM} AS dim_ok,
+  (embedding::DOUBLE[])[1] / CAST(255.0 AS DOUBLE) AS head_norm
+FROM embeddings
+"""
+
+SQL_LSH_ANN = f"""
+WITH b AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT q.query_id, b.neighbor_id, {_COS_DIST_SQL} AS dist
+  FROM b JOIN q USING (bucket)
+), ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 10
+"""
+
+_FP_SQL = sql_poly_hash(f"array_to_string({SQL_TOKS_LOWER}, ' ')")
+
+SQL_DEDUP_EXACT = f"""
+SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_CTE = f"""
+tok AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM (
+      SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents
+    )
+  )
+)
+"""
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM tok a JOIN tok b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+         CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, common, na, nb, jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+
+def _sql_dedup_minhash() -> str:
+    sig_terms = ",\n         ".join(_minhash_sql_terms())
+    rpb = D.NUM_MINHASH // D.MINHASH_BANDS
+    band_defs = []
+    for b in range(D.MINHASH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{i} AS VARCHAR)" for i in range(b * rpb, (b + 1) * rpb)
+        )
+        band_defs.append(f"{parts} AS band{b}")
+    mh_cols = ", ".join(f"mh{i}" for i in range(D.NUM_MINHASH))
+    band_unions = []
+    for b in range(D.MINHASH_BANDS):
+        a_cols = ", ".join(f"a.mh{i} AS a_mh{i}" for i in range(D.NUM_MINHASH))
+        b_cols = ", ".join(f"b.mh{i} AS b_mh{i}" for i in range(D.NUM_MINHASH))
+        band_unions.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {a_cols}, {b_cols} "
+            f"FROM banded a JOIN banded b ON a.band{b} = b.band{b} WHERE a.doc_id < b.doc_id"
+        )
+    matches = " + ".join(
+        f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END" for i in range(D.NUM_MINHASH)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {sql_poly_hash('shingle')} AS h FROM tok),
+sig AS (SELECT doc_id, {sig_terms} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {mh_cols}, {', '.join(band_defs)} FROM sig),
+pairs AS (SELECT DISTINCT * FROM ({' UNION ALL '.join(band_unions)}))
+SELECT doc_a, doc_b, CAST({matches} AS DOUBLE) / CAST({D.NUM_MINHASH} AS DOUBLE) AS est_jaccard
+FROM pairs
+"""
+
+
+def _sql_dedup_simhash() -> str:
+    bits = D.SIMHASH_BITS
+    bands = D.SIMHASH_BANDS
+    bpb = bits // bands
+    votes = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    band_cols = ", ".join(
+        f"(simhash >> {b * bpb}) % {1 << bpb} AS sb{b}" for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sh_a, b.simhash AS sh_b "
+        f"FROM banded a JOIN banded b ON a.sb{b} = b.sb{b} WHERE a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents
+),
+hashed AS (SELECT doc_id, {sql_poly_hash('token')} AS h FROM toks),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg),
+banded AS (SELECT doc_id, simhash, {band_cols} FROM sig),
+pairs AS (SELECT DISTINCT * FROM ({unions}))
+SELECT doc_a, doc_b, sh_a, sh_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT label AS blk, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.blk, a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt({sql_sq_norm("a.v")}) = 0 OR sqrt({sql_sq_norm("b.v")}) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) - (CASE WHEN sqrt({sql_sq_norm("a.v")}) = 0 OR sqrt({sql_sq_norm("b.v")}) = 0 THEN 1.0
+                   ELSE CAST(1 AS DOUBLE) - {sql_dot("a.v", "b.v")} / (sqrt({sql_sq_norm("a.v")}) * sqrt({sql_sq_norm("b.v")})) END) END AS cos_sim
+  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+)
+SELECT blk, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
+"""
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+  CAST(len({SQL_TOKS_RAW}) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_measured,
+  {_FP_SQL} AS fp
+FROM documents
+"""
+
+
+def _sql_langid() -> str:
+    score_defs = []
+    for lang in T.LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+        score_defs.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in T.LANG_PRIORITY) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in T.LANG_PRIORITY
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(score_defs)} FROM t)
+SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS lang_pred FROM s
+"""
+
+
+def _sql_doc_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS_RAW} AS toks,
+         CAST(len({SQL_TOKS_RAW}) AS INTEGER) AS n_tok,
+         CAST(length(text) AS INTEGER) AS n_char,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS INTEGER) AS n_punct
+  FROM documents
+), f AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+    CASE WHEN n_char > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN CAST(len(list_filter(list_transform(toks, x -> lower(x)), t -> list_contains([{stop}], t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tok AS n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+  (((CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+   + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+   + CASE WHEN stopword_ratio >= 0.05 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+   + CASE WHEN punct_ratio <= 0.2 THEN CAST(0.1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality_score
+FROM f
+"""
+
+
+SQL_MULTIMODAL = f"""
+WITH h AS (SELECT doc_id, {sql_poly_hash('text')} AS h FROM documents)
+SELECT doc_id,
+  CAST((h * 1) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE) AS f0,
+  CAST((h * 2) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE) AS f1,
+  CAST((h * 3) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE) AS f2,
+  CAST((h * 4) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE) AS f3
+FROM h
+"""
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({MONEY}) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SQL_TOP_CUSTOMERS = f"""
+WITH po AS (
+  SELECT l_orderkey, SUM({MONEY}) AS order_rev FROM lineitem GROUP BY l_orderkey
+)
+SELECT c_custkey, c_name, CAST(SUM(order_rev) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+FROM orders
+JOIN po ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+SQL_REGION_REVENUE = f"""
+SELECT r_name, CAST(SUM({MONEY}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+SQL_CUSTOMER_ORDER_RANK = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, CAST(rn AS INTEGER) AS rnk
+FROM ranked WHERE rn <= 3
+"""
+
+SQL_EVENTS_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY bucket, event_type
+"""
+
+SQL_EVENTS_SESSIONIZE = """
+WITH w AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS ep,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN (ep - prev_ep) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM w
+), sid AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sid GROUP BY user_id, session_seq
+"""
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # relational surface
+    "pricing_summary": (R.pricing_summary, SQL_PRICING_SUMMARY),
+    "top_customers": (R.top_customers_by_revenue, SQL_TOP_CUSTOMERS),
+    "region_revenue": (R.region_revenue, SQL_REGION_REVENUE),
+    "customer_order_rank": (R.customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
+    "events_tumbling": (R.events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessionize": (R.events_sessionize, SQL_EVENTS_SESSIONIZE),
+    # vector surface (reference parity)
+    "knn_exact_l2": (q_knn_exact_l2, _knn_sql("l2", 10)),
+    "knn_exact_cosine": (q_knn_exact_cosine, _knn_sql("cosine", 10)),
+    "knn_tombstone": (q_knn_tombstone, _knn_sql("l2", 10, "WHERE vec_id % 7 != 0")),
+    "knn_label_lookup": (q_knn_label_lookup, SQL_KNN_LABEL),
+    "pair_distances": (q_pair_distances, SQL_PAIR_DISTANCES),
+    "vector_norms": (q_vector_norms, SQL_VECTOR_NORMS),
+    "lsh_ann_cosine": (q_lsh_ann_cosine, SQL_LSH_ANN),
+    "knn_hnsw": (q_knn_hnsw, None),  # approximate: rows-only check
+    # training-data pipeline surface
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash": (q_dedup_minhash, _sql_dedup_minhash()),
+    "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_langid": (q_text_langid, _sql_langid()),
+    "doc_quality": (q_doc_quality, _sql_doc_quality()),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,123 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no stream abstraction — its "real-time insert" is a
+lock-guarded in-memory append (hsnw_trial.py:109,203; SURVEY.md §2 row
+18) — so this module is north-star capability: the same event analytics
+the batch operators expose (operators/relational.py), expressed as
+incremental plans with watermarks for late data.
+
+Batch/stream parity is the test contract: ``events_tumbling_stream``
+over a bounded file stream (availableNow trigger) must equal the batch
+``events_tumbling`` plan. Incremental HNSW ingest follows the same
+pattern at deploy time: micro-batch append via foreachBatch + periodic
+``rebuild`` compaction (the reference's rebuild, hsnw_trial.py:381-389).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = bounded
+    backfill; on a cluster this is a kafka/kinesis source with the same
+    downstream plan). The parquet stores TIMESTAMP(NANOS) — read as long
+    under the nanosAsLong conf and convert (see sources/tables.py)."""
+    # glob (not a literal file path): FileStreamSource requires a
+    # directory or pattern
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parqu*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def events_tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Hourly tumbling aggregation with a late-data watermark — the
+    incremental twin of relational.events_tumbling (identical output
+    schema)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts double, session_seq long"
+SESSION_OUT_SCHEMA = "user_id long, session_seq long, n_events long"
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: per-user gap sessionization via
+    applyInPandasWithState — the streaming twin of
+    relational.events_sessionize. State = (last event time, running
+    session counter) per user; emits (user_id, session_seq, n_events)
+    increments per micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_seq = state.get
+        else:
+            # -1 so the first event's gap-trigger yields session 0,
+            # matching the batch sessionizer's numbering
+            last_ts, session_seq = float("-inf"), -1
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                ep = ts.timestamp()
+                if ep - last_ts > gap_sec:
+                    session_seq += 1
+                last_ts = ep
+                counts[session_seq] = counts.get(session_seq, 0) + 1
+        state.update((last_ts, session_seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(counts),
+                "session_seq": list(counts.keys()),
+                "n_events": list(counts.values()),
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into an in-memory sink (availableNow) and
+    return the materialized result — the test harness for parity checks."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(name)
