@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "knn_exact_cosine",
     "knn_label_lookup",
     "lsh_ann_cosine",
+    "ivf_ann_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -66,16 +66,21 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings; empty array when fewer than n
-    tokens (guarded — Spark's sequence() would go descending otherwise)."""
+    """Word n-gram shingles as strings (empty array when fewer than n
+    tokens).
+
+    Implemented as a zip of n shifted slices, NOT per-shingle slicing:
+    a ``transform(sequence, i -> slice(toks, i+1, n))`` formulation
+    re-evaluates the whole tokenization per output element (O(T^2) regex
+    work per document — measured 20x slower on real data). Here each
+    slice is evaluated once per row and the per-element work is struct
+    field access."""
     toks = tokens(F.lower(text))
-    mk = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
-    )
-    return F.when(F.size(toks) >= F.lit(n), mk).otherwise(
-        F.array().cast("array<string>")
-    )
+    if n == 1:
+        return toks
+    ln = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(n)])
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
 
 
 def minhash_exprs(token_hash: Column, num_hashes: int = 8) -> list[Column]:

@@ -92,6 +92,25 @@ class HnswIndex:
         nparts = num_partitions or self.meta.count()
         return hnsw_build(alive, self.params, num_partitions=int(nparts))
 
+    def append(self, vectors_df: DataFrame, num_partitions: int = 1,
+               id_col: str = "id", vec_col: str = "vec") -> "HnswIndex":
+        """Incremental insert as append-batch: build fresh partitions for
+        the new vectors only and union the tables. Existing graph is
+        untouched; probe-all keeps results correct. This is the batch
+        form of the reference's lock-guarded real-time insert
+        (hsnw_trial.py:197-203; SURVEY.md §2 row 18) — run ``rebuild``
+        periodically to re-mix partitions."""
+        offset = self.meta.agg(F.max("partition")).first()[0] + 1
+        fresh = hnsw_build(vectors_df, self.params, num_partitions=num_partitions,
+                           id_col=id_col, vec_col=vec_col)
+        shift = lambda df: df.withColumn("partition", (F.col("partition") + F.lit(offset)).cast("int"))  # noqa: E731
+        return HnswIndex(
+            self.nodes.unionByName(shift(fresh.nodes)),
+            self.edges.unionByName(shift(fresh.edges)),
+            self.meta.unionByName(shift(fresh.meta)),
+            self.params,
+        )
+
 
 def hnsw_build(
     vectors_df: DataFrame,

@@ -94,31 +94,59 @@ class LocalHNSW:
         self._norms: np.ndarray | None = None
 
     # -- vectorized distance of one query against a set of stored rows --
-    def _dists(self, vec: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    def _dists(self, vec: np.ndarray, rows: np.ndarray, inv_qn: float | None = None) -> np.ndarray:
+        """Distances of one query vector to a set of stored rows.
+
+        Cosine uses precomputed reciprocal norms (zero norm -> 0), so the
+        zero-norm guard falls out arithmetically: sim becomes 0 and the
+        distance exactly 1.0 (reference contract, hsnw_trial.py:51-52) —
+        no per-call errstate/where needed (those were ~25% of build time).
+        """
         mat = self._mat[rows]
         if self.p.metric == "l2":
             diff = mat - vec
             return np.sqrt(np.einsum("ij,ij->i", diff, diff))
-        qn = float(np.linalg.norm(vec))
-        norms = self._norms[rows]
-        denom = norms * qn
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sim = (mat @ vec) / denom
-        return np.where(denom == 0.0, 1.0, 1.0 - sim)
+        if inv_qn is None:
+            inv_qn = self._inv_norm_of(vec)
+        sim = (mat @ vec) * (self._inv_norms[rows] * inv_qn)
+        return 1.0 - sim
+
+    @staticmethod
+    def _inv_norm_of(vec: np.ndarray) -> float:
+        qn = float(np.sqrt(vec @ vec))
+        return 0.0 if qn == 0.0 else 1.0 / qn
+
+    def _pairwise(self, rows: np.ndarray) -> np.ndarray:
+        """All-pairs distances among a candidate set in one BLAS call —
+        feeds the diversity-selection loop without per-pair numpy
+        overhead."""
+        mat = self._mat[rows]
+        if self.p.metric == "l2":
+            sq = np.einsum("ij,ij->i", mat, mat)
+            d2 = sq[:, None] - 2.0 * (mat @ mat.T) + sq[None, :]
+            return np.sqrt(np.maximum(d2, 0.0))
+        inv = self._inv_norms[rows]
+        sim = (mat @ mat.T) * (inv[:, None] * inv[None, :])
+        return 1.0 - sim
 
     def _refresh_cache(self) -> None:
+        # float32 storage AND float32 math (reference stores float32,
+        # hsnw_trial.py:201): halves memory bandwidth of every distance
         self._mat = (
             np.vstack(self.vectors) if self.vectors else np.empty((0, self.p.dim), np.float32)
-        ).astype(np.float64)
+        )
         self._norms = np.linalg.norm(self._mat, axis=1)
+        with np.errstate(divide="ignore"):
+            self._inv_norms = np.where(self._norms == 0.0, 0.0, 1.0 / self._norms)
 
     # ---------------- search internals ----------------
 
     def _greedy_descent(self, vec: np.ndarray, start: int, top_layer: int, stop_layer: int) -> int:
         """ef=1 hill-climb from top_layer down to stop_layer (exclusive
         bottom): move to any strictly closer neighbor until fixpoint."""
+        inv_qn = self._inv_norm_of(vec) if self.p.metric == "cosine" else None
         cur = start
-        cur_d = float(self._dists(vec, np.array([cur]))[0])
+        cur_d = float(self._dists(vec, np.array([cur]), inv_qn)[0])
         for layer in range(top_layer, stop_layer, -1):
             improved = True
             while improved:
@@ -127,7 +155,7 @@ class LocalHNSW:
                 if not nbrs:
                     break
                 arr = np.array(nbrs)
-                ds = self._dists(vec, arr)
+                ds = self._dists(vec, arr, inv_qn)
                 j = int(np.argmin(ds))
                 if ds[j] < cur_d:
                     cur, cur_d = int(arr[j]), float(ds[j])
@@ -137,7 +165,8 @@ class LocalHNSW:
     def _search_layer(self, vec: np.ndarray, entry: int, ef: int, layer: int) -> list[tuple[float, int]]:
         """Bounded best-first search; returns [(dist, row)] sorted asc.
         Frontier expansions are scored as one numpy batch per pop."""
-        d0 = float(self._dists(vec, np.array([entry]))[0])
+        inv_qn = self._inv_norm_of(vec) if self.p.metric == "cosine" else None
+        d0 = float(self._dists(vec, np.array([entry]), inv_qn)[0])
         visited = {entry}
         cand: list[tuple[float, int]] = [(d0, entry)]  # min-heap
         best: list[tuple[float, int]] = [(-d0, entry)]  # max-heap of best ef
@@ -154,7 +183,7 @@ class LocalHNSW:
                 continue
             visited.update(fresh)
             arr = np.array(fresh)
-            ds = self._dists(vec, arr)
+            ds = self._dists(vec, arr, inv_qn)
             worst = -best[0][0]
             for nd, n in zip(ds, arr):
                 if len(best) < ef or nd < worst:
@@ -167,17 +196,20 @@ class LocalHNSW:
 
     def _select_neighbors(self, vec: np.ndarray, candidates: list[tuple[float, int]], m: int) -> list[int]:
         """Diversity heuristic: scan ascending; keep a candidate only if
-        no already-kept neighbor is closer to it than it is to the query."""
-        kept: list[int] = []
-        for d_q, cand in candidates:
-            if len(kept) >= m:
+        no already-kept neighbor is closer to it than it is to the query.
+        All candidate-pair distances come from one precomputed matrix."""
+        if not candidates:
+            return []
+        rows = np.fromiter((c for _, c in candidates), dtype=np.int64, count=len(candidates))
+        D = self._pairwise(rows)
+        kept_idx: list[int] = []
+        for ci, (d_q, _) in enumerate(candidates):
+            if len(kept_idx) >= m:
                 break
-            if kept:
-                dk = self._dists(self._mat[cand], np.array(kept))
-                if bool(np.any(dk < d_q)):
-                    continue
-            kept.append(cand)
-        return kept
+            if kept_idx and bool((D[ci, kept_idx] < d_q).any()):
+                continue
+            kept_idx.append(ci)
+        return [int(rows[i]) for i in kept_idx]
 
     # ---------------- public API ----------------
 
@@ -233,7 +265,7 @@ class LocalHNSW:
         """Top-k (global_id, dist), ascending; ef = max(ef, k)."""
         if self.entry_point is None:
             return []
-        vec = np.asarray(vec, dtype=np.float64)
+        vec = np.asarray(vec, dtype=np.float32)
         if vec.shape != (self.p.dim,):
             raise ValueError(f"expected dim {self.p.dim}, got {vec.shape}")
         ef = max(ef or self.p.ef_search, k)

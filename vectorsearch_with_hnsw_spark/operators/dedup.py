@@ -62,8 +62,13 @@ def ngram_jaccard_pairs(
 
     |A ∩ B| from the shingle join, |A| and |B| from per-doc counts, so
     Jaccard = common / (na + nb - common) exactly. The only large shuffle
-    is on the shingle key."""
-    sh = shingle_table(docs, n)
+    is on the shingle key.
+
+    The shingle relation feeds three consumers (sizes + both join sides);
+    persist it so the explode+distinct runs once, not five times — at
+    scale this is the difference between one pass over the corpus and
+    five."""
+    sh = shingle_table(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

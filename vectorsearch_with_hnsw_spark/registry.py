@@ -237,6 +237,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(blobs)
 
 
+def q_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import ivf_knn_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_knn_cosine(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10, n_probe=2)
+
+
 def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed HNSW build + probe (approximate — rows-only check;
     recall vs the exact oracle is asserted in tests)."""
@@ -336,6 +343,50 @@ WITH b AS (
 ), cand AS (
   SELECT q.query_id, b.neighbor_id, {_COS_DIST_SQL} AS dist
   FROM b JOIN q USING (bucket)
+), ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 10
+"""
+
+_COS_GENERIC = (
+    "CASE WHEN sqrt({na}) = 0 OR sqrt({nb}) = 0 THEN 1.0 "
+    "ELSE CAST(1 AS DOUBLE) - {dot} / (sqrt({na}) * sqrt({nb})) END"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS_GENERIC.format(na=sql_sq_norm(a), nb=sql_sq_norm(b), dot=sql_dot(a, b))
+
+
+SQL_IVF_ANN = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), perdim AS (
+  SELECT label AS cell, pos, CAST(SUM(CAST(v[pos] AS DECIMAL(28,10))) AS DOUBLE) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS pos) p
+  GROUP BY 1, 2
+), cents AS (
+  SELECT cell, list(s / n ORDER BY pos) AS centroid FROM perdim GROUP BY cell
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_cos_sql('e.v', 'c.centroid')}, c.cell) AS crnk
+    FROM e CROSS JOIN cents c
+  ) WHERE crnk = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {_cos_sql('q.qv', 'c.centroid')}, c.cell) AS crnk
+    FROM q CROSS JOIN cents c
+  ) WHERE crnk <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cos_sql('a.v', 'p.qv')} AS dist
+  FROM assigned a JOIN probes p USING (cell)
 ), ranked AS (
   SELECT query_id, neighbor_id, dist,
          row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
@@ -612,6 +663,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pair_distances": (q_pair_distances, SQL_PAIR_DISTANCES),
     "vector_norms": (q_vector_norms, SQL_VECTOR_NORMS),
     "lsh_ann_cosine": (q_lsh_ann_cosine, SQL_LSH_ANN),
+    "ivf_ann_cosine": (q_ivf_ann_cosine, SQL_IVF_ANN),
     "knn_hnsw": (q_knn_hnsw, None),  # approximate: rows-only check
     # training-data pipeline surface
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
