@@ -67,15 +67,19 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        spark.catalog.clearCache()  # release operator-persisted frames between queries
 
     # HNSW build + probe, timed separately (the baseline-comparable path)
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
+    # partitions sized so each local graph is big enough to amortize the
+    # python-worker + Arrow overhead (>= ~500 vectors per partition)
+    n_parts = max(1, min(cpus, n_vec // 500))
     t0 = time.perf_counter()
     idx = hnsw_build(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
         HnswParams(dim=registry.DIM, metric="cosine"),
-        num_partitions=max(4, cpus // 2),
+        num_partitions=n_parts,
     )
     idx.edges.count()  # force build
     t_build = time.perf_counter() - t0

@@ -1,0 +1,65 @@
+"""Unit-level dedup semantics beyond the oracle comparison."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.operators import dedup as D
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    # inject exact duplicates (case/whitespace variants) of doc 0
+    d0 = docs.filter(F.col("doc_id") == 0)
+    dup1 = d0.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.upper("text").alias("text"), "lang", "source", "n_chars",
+    )
+    dup2 = d0.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(dup1).unionByName(dup2)
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs_with_dups):
+    groups = D.dedup_exact(docs_with_dups).filter(F.col("n_dups") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_doc_id"] == 0 and groups[0]["n_dups"] == 3
+
+
+def test_jaccard_identical_docs_score_1(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_with_dups, threshold=0.9).collect()
+    }
+    assert pairs.get((0, 10_000)) == 1.0
+    assert pairs.get((0, 20_000)) == 1.0
+
+
+def test_minhash_identical_docs_collide(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(docs_with_dups).collect()
+    }
+    assert pairs.get((0, 10_000)) == 1.0  # identical shingle sets → identical sigs
+
+
+def test_simhash_identical_docs_hamming_zero(docs_with_dups):
+    rows = D.simhash_pairs(docs_with_dups, max_hamming=0).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert found.get((0, 10_000)) == 0
+
+
+def test_simhash_bits_all_meaningful(spark, sf_smoke):
+    """Regression: a small hash modulus zeroes the high SimHash bits and
+    collapses the top band into one LSH bucket."""
+    sigs = D.simhash_signatures(load_table(spark, sf_smoke, "documents"))
+    top_band_nonzero = sigs.filter(
+        (F.shiftright(F.col("simhash"), 36) % F.lit(1 << 12)) != 0
+    ).count()
+    assert top_band_nonzero > 0

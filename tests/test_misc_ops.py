@@ -1,0 +1,83 @@
+"""Small reference-parity surfaces: formatting, flatten, load-or-build,
+plus hypothesis-driven property checks of the distance expressions."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.functions.vector import (
+    cosine_distance,
+    flatten_image,
+    l2_distance,
+)
+from vectorsearch_with_hnsw_spark.operators.knn import format_results, knn_exact
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+def test_format_results(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = format_results(knn_exact(emb, q, k=3)).collect()
+    for r in out:
+        assert len(r["dist_fmt"].split(".")[-1]) == 4  # 4-decimal strings
+
+
+def test_flatten_image(spark):
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0], [3.0, 4.0]])], "id int, img array<array<double>>"
+    )
+    row = df.select(flatten_image(F.col("img")).alias("v")).first()
+    assert row["v"] == [1.0, 2.0, 3.0, 4.0]  # row-major, like reshape(-1)
+
+
+def test_load_or_build_caching(spark, sf_smoke, tmp_path):
+    from vectorsearch_with_hnsw_spark.index.build import HnswParams, load_or_build
+    from vectorsearch_with_hnsw_spark.operators.synth import synthetic_vectors
+
+    vecs = synthetic_vectors(spark, 100, 16, seed=3)
+    path = str(tmp_path / "cached_idx")
+    a = load_or_build(spark, path, vecs, HnswParams(dim=16), num_partitions=2)
+    n_edges = a.edges.count()
+    # second call must read the persisted artifact, not rebuild
+    b = load_or_build(spark, path, vecs.limit(1), HnswParams(dim=16))
+    assert b.edges.count() == n_edges
+    assert b.nodes.count() == 100
+
+
+# -- hypothesis: expression semantics vs numpy ground truth --------------
+
+vec_strategy = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=vec_strategy, b=vec_strategy)
+def test_distance_exprs_match_numpy(spark_holder, a, b):
+    spark = spark_holder
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+        cosine_distance(F.col("a"), F.col("b")).alias("cos"),
+    ).first()
+    na, nb = np.array(a), np.array(b)
+    assert row["l2"] == pytest.approx(float(np.linalg.norm(na - nb)), rel=1e-9, abs=1e-12)
+    denom = np.linalg.norm(na) * np.linalg.norm(nb)
+    want_cos = 1.0 if denom == 0 else 1.0 - float(na @ nb) / denom
+    assert row["cos"] == pytest.approx(want_cos, rel=1e-9, abs=1e-12)
+
+
+@pytest.fixture(scope="module")
+def spark_holder(spark):
+    # hypothesis forbids function-scoped fixtures interacting with @given;
+    # module-scoped pass-through keeps one SparkSession across examples
+    return spark

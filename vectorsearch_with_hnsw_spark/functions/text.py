@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 
 HASH_MOD = 1_000_000_007  # prime modulus for the polynomial rolling hash
 MINHASH_MOD = 2_147_483_647  # 2^31 - 1, modulus for minhash permutations
+# SimHash token hashes need all 48 bits meaningful. A polynomial fold
+# alone can't deliver that: short tokens never wrap the modulus (an
+# 8-char word stays under 31^7*127 < 2^42), leaving high bits zero and
+# collapsing the top Hamming bands into single LSH buckets. So: fold to
+# 31 bits, then a square-mix finalizer (h*(h+c1)+c2) mod 2^48 — h^2 is
+# < 2^62, exact in any int64 engine, and squaring spreads low bits high.
+SIMHASH_MIX_C1 = 0xA5A5  # 42405
+SIMHASH_MIX_C2 = 25_214_903_917
+SIMHASH_SPACE = 1 << 48
+
+
+def simhash_token_hash(token: Column) -> Column:
+    h = poly_hash(token, mod=MINHASH_MOD)
+    return (h * (h + F.lit(SIMHASH_MIX_C1)) + F.lit(SIMHASH_MIX_C2)) % F.lit(SIMHASH_SPACE)
 
 # tiny per-language stopword lists for the n-gram/stopword-vote language
 # heuristic; priority order breaks ties deterministically

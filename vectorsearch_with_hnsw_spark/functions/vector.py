@@ -86,6 +86,13 @@ def validate_dim(vec: Column, dim: int) -> Column:
     return F.size(vec) == F.lit(dim)
 
 
+def flatten_image(mat: Column) -> Column:
+    """Row-major flatten of a nested array (image matrix -> vector): the
+    FashionMNIST reshape(n, -1) projection (notebook cell 4) as a pure
+    higher-order function."""
+    return F.flatten(mat)
+
+
 def normalize_pixels(vec: Column, denom: float = 255.0) -> Column:
     """Per-element ``x / denom`` projection — the FashionMNIST
     flatten+normalize step (`/255.0`, FashionMNIST notebook cell 4) as a

@@ -112,6 +112,24 @@ class HnswIndex:
         )
 
 
+def load_or_build(
+    spark: SparkSession,
+    path: str,
+    vectors_df: DataFrame,
+    params: HnswParams,
+    num_partitions: int = 8,
+) -> HnswIndex:
+    """Reuse a persisted index if present, else build and save — the
+    reference's try-load / except-build caching pattern (CIFAR notebook
+    cell 5)."""
+    try:
+        return HnswIndex.load(spark, path)
+    except Exception:
+        idx = hnsw_build(vectors_df, params, num_partitions=num_partitions)
+        idx.save(path)
+        return HnswIndex.load(spark, path)
+
+
 def hnsw_build(
     vectors_df: DataFrame,
     params: HnswParams,

@@ -27,6 +27,7 @@ from ..functions.text import (
     minhash_exprs,
     poly_hash,
     simhash_bit_weight,
+    simhash_token_hash,
     word_shingles,
 )
 from ..functions.vector import cosine_distance, to_vec
@@ -34,7 +35,7 @@ from ..sources import load_table
 
 NUM_MINHASH = 8
 MINHASH_BANDS = 4  # 4 bands x 2 rows
-SIMHASH_BITS = 32
+SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 
 
@@ -102,7 +103,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFr
     tok = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     ).distinct()
-    hashed = tok.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
+    # repartition = explicit materialization barrier: the polynomial hash
+    # is computed ONCE per token before the exchange; without it Catalyst
+    # collapses projections and re-inlines the whole character fold into
+    # every one of the num_hashes aggregate expressions. The groupBy then
+    # reuses this partitioning (no second shuffle).
+    hashed = tok.select("doc_id", poly_hash(F.col("shingle")).alias("h")).repartition(
+        "doc_id"
+    )
     mins = [F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("h"), num_hashes))]
     return hashed.groupBy("doc_id").agg(*mins)
 
@@ -122,7 +130,9 @@ def minhash_lsh_pairs(
     for b in range(bands):
         parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_cols.append(F.concat_ws("_", *[p.cast("string") for p in parts]).alias(f"band{b}"))
-    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
+    # persist: each band join references this frame twice (4 bands x 2
+    # sides = 8 recomputations of the signature pipeline otherwise)
+    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols).persist()
     pair_frames = []
     for b in range(bands):
         l = banded.select(
@@ -160,7 +170,12 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 1)).alias("token")
     )
-    hashed = tok.select("doc_id", poly_hash(F.col("token")).alias("h"))
+    # same barrier as minhash_signatures: hash once, not once per bit
+    # (the inlined folds made this the slowest dedup op before);
+    # square-mixed 48-bit hash so every simhash bit carries signal
+    hashed = tok.select(
+        "doc_id", simhash_token_hash(F.col("token")).alias("h")
+    ).repartition("doc_id")
     votes = [
         F.sum(simhash_bit_weight(F.col("h"), b)).alias(f"v{b}") for b in range(bits)
     ]
@@ -187,7 +202,7 @@ def simhash_pairs(
             (F.shiftright(F.col("simhash"), b * bits_per_band) % F.lit(mask + 1)).alias(f"sb{b}")
             for b in range(bands)
         ],
-    )
+    ).persist()
     frames = []
     for b in range(bands):
         l = banded.select(
@@ -218,13 +233,28 @@ def embedding_neardup_pairs(
     shuffle on the block key; at 100 TB the block key is an LSH bucket
     (operators/ann.py) rather than a label."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col(block_col).alias("blk"), F.col("vec_id").alias("id_a"), to_vec("embedding").alias("va")
+    # Precompute each side's norm BEFORE the join: one fold per row
+    # instead of two extra folds per PAIR (3x fewer fold evaluations in
+    # the O(pairs) hot path; values identical, so the oracle still
+    # matches bit-for-bit).
+    from ..functions.vector import dot, l2_norm
+
+    withn = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id"),
+        to_vec("embedding").alias("v"),
+        l2_norm(to_vec("embedding")).alias("nrm"),
     )
-    b = emb.select(
-        F.col(block_col).alias("blk"), F.col("vec_id").alias("id_b"), to_vec("embedding").alias("vb")
+    a = withn.select(
+        "blk", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    sim = F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb"))
+    b = withn.select(
+        "blk", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos_dist = F.when(
+        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(1.0)
+    ).otherwise(F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    sim = F.lit(1.0) - cos_dist
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -156,6 +156,13 @@ def knn_exact_fast(
     )
 
 
+def format_results(knn_df: DataFrame, decimals: int = 4) -> DataFrame:
+    """Presentation projection: distance formatted to fixed decimals —
+    the reference's report formatting (4-decimal prints, FashionMNIST
+    notebook cell 16 / CIFAR cell 4)."""
+    return knn_df.withColumn("dist_fmt", F.format_number(F.col("dist"), decimals))
+
+
 def knn_with_labels(
     knn_df: DataFrame,
     labels_df: DataFrame,

@@ -41,11 +41,11 @@ SQL_TOKS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x
 SQL_TOKS_RAW = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
 
 
-def sql_poly_hash(expr: str) -> str:
+def sql_poly_hash(expr: str, mod: int = T.HASH_MOD) -> str:
     chars = f"list_transform(list_filter(string_split({expr}, ''), c -> c != ''), c -> CAST(ascii(c) AS BIGINT))"
     return (
         f"CASE WHEN len({chars}) = 0 THEN 0 "
-        f"ELSE list_reduce({chars}, (a, c) -> (a * 31 + c) % 1000000007) END"
+        f"ELSE list_reduce({chars}, (a, c) -> (a * 31 + c) % {mod}) END"
     )
 
 
@@ -194,7 +194,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    # hamming <= 1: this synthetic corpus (tiny shared vocabulary) puts
+    # ~17% of ALL pairs within hamming 3, so the classic threshold would
+    # emit millions of rows; <=1 keeps the banded-join path meaningful
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=1)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +465,7 @@ FROM pairs
 """
 
 
-def _sql_dedup_simhash() -> str:
+def _sql_dedup_simhash(max_hamming: int = 1) -> str:
     bits = D.SIMHASH_BITS
     bands = D.SIMHASH_BANDS
     bpb = bits // bands
@@ -483,13 +486,16 @@ def _sql_dedup_simhash() -> str:
 WITH toks AS (
   SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents
 ),
-hashed AS (SELECT doc_id, {sql_poly_hash('token')} AS h FROM toks),
+hashed AS (
+  SELECT doc_id, (h0 * (h0 + {T.SIMHASH_MIX_C1}) + {T.SIMHASH_MIX_C2}) % {T.SIMHASH_SPACE} AS h
+  FROM (SELECT doc_id, {sql_poly_hash('token', T.MINHASH_MOD)} AS h0 FROM toks)
+),
 agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
 sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg),
 banded AS (SELECT doc_id, simhash, {band_cols} FROM sig),
 pairs AS (SELECT DISTINCT * FROM ({unions}))
 SELECT doc_a, doc_b, sh_a, sh_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 

@@ -30,6 +30,11 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # defensively set here, not only in session.py: the driver calls
+        # queries() with its OWN SparkSession, which won't have the
+        # builder conf. Runtime-settable (verified).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # TIMESTAMP(NANOS) parquet arrives as long nanos under
