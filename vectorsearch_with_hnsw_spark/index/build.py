@@ -52,9 +52,12 @@ class HnswIndex:
 
     def save(self, path: str) -> None:
         """Persist as Parquet tables + params sidecar (logical equivalent
-        of the reference save(), hsnw_trial.py:310-342)."""
-        self.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
-        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        of the reference save(), hsnw_trial.py:310-342). nodes/edges are
+        laid out partitionBy(partition): a probe of one index partition
+        reads exactly one directory (partition pruning), and the probe
+        job's cogroup starts from co-partitioned files."""
+        self.nodes.write.mode("overwrite").partitionBy("partition").parquet(f"{path}/nodes")
+        self.edges.write.mode("overwrite").partitionBy("partition").parquet(f"{path}/edges")
         self.meta.write.mode("overwrite").parquet(f"{path}/meta")
         spark = self.nodes.sparkSession
         params_df = spark.createDataFrame([(json.dumps(asdict(self.params)),)], "params_json string")

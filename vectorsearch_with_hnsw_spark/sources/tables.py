@@ -27,14 +27,26 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Engine session contract, applied defensively at every table load:
+    the driver calls queries() with its OWN SparkSession, which won't
+    have our builder confs. Both are runtime-settable (verified).
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
+      by Spark otherwise.
+    - UTC session timezone: TIMESTAMP_LTZ values (timestamp_micros)
+      convert to pandas/strings through the session zone; a non-UTC
+      driver session would shift event buckets/session bounds relative
+      to DuckDB's naive reading.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # defensively set here, not only in session.py: the driver calls
-        # queries() with its OWN SparkSession, which won't have the
-        # builder conf. Runtime-settable (verified).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # TIMESTAMP(NANOS) parquet arrives as long nanos under
