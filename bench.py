@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "customer_order_rank",
     "events_tumbling",
     "events_sessionize",
+    "events_props_json",
     "knn_exact_l2",
     "knn_exact_cosine",
     "knn_label_lookup",
@@ -88,8 +89,18 @@ def main() -> None:
     queries_df = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    knn_hnsw(idx, queries_df, k=10).count()
+    ann = knn_hnsw(idx, queries_df, k=10)
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
     timings["hnsw_probe"] = round(time.perf_counter() - t0, 3)
+
+    # recall@10 vs the exact oracle — quality reported next to speed
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact(emb, queries_df, k=10, metric="cosine").collect()
+    }
+    recall = round(len(ann_pairs & exact_pairs) / max(1, len(exact_pairs)), 4)
 
     total = round(time.perf_counter() - t_all, 3)
     result = {
@@ -102,6 +113,7 @@ def main() -> None:
             "n_vectors": n_vec,
             "build_vecs_per_sec": round(n_vec / t_build, 2),
             "build_vecs_per_sec_per_core": round(n_vec / t_build / cpus, 2),
+            "hnsw_recall_at_10": recall,
             "cpus": cpus,
         },
     }

@@ -1,3 +1,31 @@
-from .knn import knn_exact, knn_exact_fast, topk_per_group
+from .ann import lsh_knn_cosine
+from .dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from .ivf import ivf_knn_cosine
+from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
+from .synth import synthetic_vectors
 
-__all__ = ["knn_exact", "knn_exact_fast", "topk_per_group"]
+__all__ = [
+    "dedup_exact",
+    "embedding_neardup_pairs",
+    "format_results",
+    "ivf_knn_cosine",
+    "knn_exact",
+    "knn_exact_fast",
+    "knn_with_labels",
+    "lsh_knn_cosine",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "simhash_signatures",
+    "synthetic_vectors",
+    "topk_per_group",
+]

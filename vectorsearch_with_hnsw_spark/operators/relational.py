@@ -132,6 +132,25 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a field from the JSON
+    props string, aggregate per event_type. JSON path evaluation happens
+    JVM-side (get_json_object) — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str, gap_sec: int = 1800) -> DataFrame:
     """Gap-based sessionization via window functions: a new session starts
     when the gap to the previous event of the same user exceeds

@@ -628,6 +628,15 @@ FROM events
 GROUP BY bucket, event_type
 """
 
+SQL_EVENTS_PROPS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+) WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
 SQL_EVENTS_SESSIONIZE = """
 WITH w AS (
   SELECT user_id, event_id, ts, value, epoch_us(ts) AS ep,
@@ -661,6 +670,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "customer_order_rank": (R.customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
     "events_tumbling": (R.events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sessionize": (R.events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_props_json": (R.events_props_json, SQL_EVENTS_PROPS_JSON),
     # vector surface (reference parity)
     "knn_exact_l2": (q_knn_exact_l2, _knn_sql("l2", 10)),
     "knn_exact_cosine": (q_knn_exact_cosine, _knn_sql("cosine", 10)),
