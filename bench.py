@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_props_json",
     "knn_exact_l2",
+    "knn_exact_l2_fast",
     "knn_exact_cosine",
     "knn_label_lookup",
     "lsh_ann_cosine",

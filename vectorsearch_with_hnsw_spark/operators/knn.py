@@ -151,7 +151,25 @@ def knn_exact_fast(
     partial = narrow.mapInPandas(
         partial_topk, "query_id long, neighbor_id long, dist double"
     )
-    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+    merged = topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id"
+    )
+    # Exact rescore of the k*Q winners with the canonical fold expression:
+    # the BLAS kernel's algebraic rearrangement (|x|^2 - 2x.q + |q|^2)
+    # differs from the fold in the last float bits; rescoring the tiny
+    # result makes this path bit-identical to the declarative one (and to
+    # the SQL oracle) at negligible cost.
+    dist_expr = metric_expr(metric)
+    base = index_df.select(F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_v"))
+    q = F.broadcast(
+        queries_df.select(F.col(query_id_col).alias("query_id"), to_vec(query_vec_col).alias("_q"))
+    )
+    rescored = (
+        merged.join(base, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", dist_expr(F.col("_v"), F.col("_q")).alias("dist"))
+    )
+    return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
 

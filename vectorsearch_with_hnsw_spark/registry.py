@@ -115,6 +115,17 @@ def q_knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, _emb_queries(spark, sf_dir), k=10, metric="l2")
 
 
+def q_knn_exact_l2_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized (mapInPandas partial-top-k) exact kNN — the 100 TB
+    scale path — checked against the SAME oracle as the declarative one:
+    its winners are rescored with the canonical fold, so even this BLAS
+    path is bit-identical."""
+    from .operators.knn import knn_exact_fast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_exact_fast(emb, _emb_queries(spark, sf_dir), k=10, metric="l2")
+
+
 def q_knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_exact(emb, _emb_queries(spark, sf_dir), k=10, metric="cosine")
@@ -673,6 +684,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_props_json": (R.events_props_json, SQL_EVENTS_PROPS_JSON),
     # vector surface (reference parity)
     "knn_exact_l2": (q_knn_exact_l2, _knn_sql("l2", 10)),
+    "knn_exact_l2_fast": (q_knn_exact_l2_fast, _knn_sql("l2", 10)),
     "knn_exact_cosine": (q_knn_exact_cosine, _knn_sql("cosine", 10)),
     "knn_tombstone": (q_knn_tombstone, _knn_sql("l2", 10, "WHERE vec_id % 7 != 0")),
     "knn_label_lookup": (q_knn_label_lookup, SQL_KNN_LABEL),
