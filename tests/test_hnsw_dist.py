@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectorsearch_with_hnsw_spark.index.build import HnswIndex, HnswParams, hnsw_build
-from vectorsearch_with_hnsw_spark.index.query import knn_hnsw
+from vectorsearch_with_hnsw_spark.index.query import knn_hnsw, knn_hnsw_distributed
 from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
 from vectorsearch_with_hnsw_spark.sources import load_table
 
@@ -46,6 +46,16 @@ def test_probe_recall(spark, emb, queries, index):
     ann = knn_hnsw(index, queries, k=10)
     exact = knn_exact(emb, queries, k=10, metric="cosine")
     assert _recall(ann, exact) >= 0.9
+
+
+def test_distributed_probe_matches_broadcast_probe(spark, emb, queries, index):
+    """The no-driver-collect probe must return exactly the broadcast
+    probe's results (same kernels, same merge)."""
+    a = {(r["query_id"], r["neighbor_id"], r["rnk"])
+         for r in knn_hnsw(index, queries, k=10).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rnk"])
+         for r in knn_hnsw_distributed(index, queries, k=10).collect()}
+    assert a == b
 
 
 def test_results_sorted_and_self_match(index, queries):

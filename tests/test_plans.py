@@ -67,3 +67,24 @@ def test_knn_broadcasts_queries_no_shuffle_join(spark, sf_smoke):
 def test_whole_stage_codegen_present(spark, sf_smoke):
     df = pricing_summary(spark, sf_smoke)
     assert codegen_stage_count(df) >= 1
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_smoke):
+    """Co-located layout: orders ⋈ lineitem bucketed+sorted on the join
+    key must plan without any shuffle Exchange."""
+    from vectorsearch_with_hnsw_spark.plans.bucketing import (
+        bucketed_orders_lineitem_join,
+        write_bucketed,
+    )
+
+    tables = write_bucketed(spark, sf_smoke, buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_orders_lineitem_join(spark, tables)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

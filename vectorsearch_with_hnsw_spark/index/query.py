@@ -26,6 +26,101 @@ from .build import HnswIndex
 from .local_hnsw import LocalHNSW
 
 
+def knn_hnsw_distributed(
+    index: HnswIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    ef: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe with NO driver-side query collection — the path for query
+    batches too large to broadcast (millions of rows at 100 TB scale).
+
+    Queries are replicated across index partitions by an explode join
+    (each query visits every partition, exactly the probe-all contract),
+    then ride the same cogroup as the index nodes, tagged by a marker
+    column. Shuffle volume: |Q| * P query rows + one pass of the index
+    tables; the merge stays O(P * Q * k).
+    """
+    params = index.params
+    parts = index.meta.select("partition")
+    q_rep = queries_df.select(
+        F.col(query_id_col).alias("id"),
+        F.col(query_vec_col).cast("array<float>").alias("vec"),
+    ).crossJoin(F.broadcast(parts))
+    tagged_nodes = index.nodes.select(
+        "partition", "id", "vec", "level", "deleted", F.lit(False).alias("is_query")
+    ).unionByName(
+        q_rep.select(
+            "partition",
+            "id",
+            "vec",
+            F.lit(0).alias("level"),
+            F.lit(False).alias("deleted"),
+            F.lit(True).alias("is_query"),
+        )
+    )
+    meta_rows = {
+        int(r["partition"]): (int(r["entry_point"]), int(r["max_layer"]))
+        for r in index.meta.collect()
+    }
+    spark = index.nodes.sparkSession
+    bmeta = spark.sparkContext.broadcast(meta_rows)
+
+    def probe(mixed_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="float64")}
+        )
+        if len(mixed_pdf) == 0:
+            return empty
+        is_q = mixed_pdf["is_query"].to_numpy(dtype=bool)
+        nodes_pdf = mixed_pdf[~is_q]
+        queries_pdf = mixed_pdf[is_q]
+        if len(nodes_pdf) == 0 or len(queries_pdf) == 0:
+            return empty
+        part = int(nodes_pdf["partition"].iloc[0])
+        entry_point, max_layer = bmeta.value.get(part, (None, -1))
+        idx = LocalHNSW.from_tables(
+            params,
+            nodes_pdf["id"].to_numpy(dtype=np.int64),
+            np.array(list(nodes_pdf["vec"]), dtype=np.float32),
+            nodes_pdf["level"].to_numpy(dtype=np.int32),
+            nodes_pdf["deleted"].to_numpy(dtype=bool),
+            edges_pdf["layer"].to_numpy(dtype=np.int32),
+            edges_pdf["src"].to_numpy(dtype=np.int64),
+            edges_pdf["dst"].to_numpy(dtype=np.int64),
+            entry_point,
+            max_layer,
+        )
+        out_q, out_n, out_d = [], [], []
+        for qid, qv in zip(
+            queries_pdf["id"].to_numpy(dtype=np.int64),
+            queries_pdf["vec"],
+        ):
+            for nid, d in idx.search(np.asarray(qv, dtype=np.float32), k=k, ef=ef):
+                out_q.append(qid)
+                out_n.append(nid)
+                out_d.append(d)
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "dist": np.array(out_d, dtype=np.float64),
+            }
+        )
+
+    partial = (
+        tagged_nodes.groupBy("partition")
+        .cogroup(index.edges.groupBy("partition"))
+        .applyInPandas(probe, "query_id long, neighbor_id long, dist double")
+    )
+    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )
+
+
 def knn_hnsw(
     index: HnswIndex,
     queries_df: DataFrame,
@@ -34,7 +129,9 @@ def knn_hnsw(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Probe all partitions, merge per-query top-k.
+    """Probe all partitions, merge per-query top-k. Queries are collected
+    + broadcast (bounded artifact — right for interactive batches; use
+    ``knn_hnsw_distributed`` for huge query tables).
 
     Returns (query_id, neighbor_id, dist, rnk)."""
     params = index.params
