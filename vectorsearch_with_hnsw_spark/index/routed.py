@@ -1,0 +1,194 @@
+"""LSH-routed HNSW: partition the index by hyperplane-LSH bucket and
+probe only the partitions a query can plausibly live in.
+
+The plain build partitions by hash(id): correct, but every probe must
+visit every partition, so probe cost grows with P. Routing fixes that:
+
+- build: partition = lsh_bucket(vec) % P — neighbors tend to co-locate.
+- probe: each query visits its own bucket's partition plus the
+  partitions of all Hamming-1 bucket flips (classic multi-probe LSH) —
+  at most n_planes+1 partitions REGARDLESS of P.
+
+Trade-off is recall at partition boundaries (measured in tests: >= 0.8
+at defaults vs the exact oracle, vs 1.0 for probe-all); ef/posting-size
+tuning and more probes buy recall back. Both modes share the same index
+tables, kernels and merge — this module only changes the partitioner
+and the query->partition routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.ann import lsh_bucket
+from ..operators.knn import topk_per_group
+from .build import EDGES_SCHEMA, HnswIndex, HnswParams
+from .local_hnsw import LocalHNSW
+
+
+def hnsw_build_routed(
+    vectors_df: DataFrame,
+    params: HnswParams,
+    num_partitions: int = 8,
+    n_planes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> HnswIndex:
+    """Same kernel build as hnsw_build, but the partitioner is the LSH
+    bucket of the vector (co-locates likely neighbors)."""
+    import numpy as np
+    import pandas as pd
+
+    pickled = params
+    src = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("vec"),
+        (
+            F.pmod(lsh_bucket(F.col(vec_col).cast("array<double>"), params.dim, n_planes), F.lit(num_partitions))
+        ).cast("int").alias("partition"),
+    )
+
+    def build_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["partition"].iloc[0])
+        idx = LocalHNSW(pickled)
+        idx.add_batch(pdf["id"].to_numpy(dtype=np.int64), np.array(list(pdf["vec"]), dtype=np.float32))
+        layer, s, t = idx.edges()
+        return pd.DataFrame(
+            {
+                "partition": np.full(len(layer), part, dtype=np.int32),
+                "layer": layer,
+                "src": s,
+                "dst": t,
+                "entry_point": np.full(len(layer), idx.ids[idx.entry_point], dtype=np.int64),
+                "max_layer": np.full(len(layer), idx.max_layer, dtype=np.int32),
+            }
+        )
+
+    edges_raw = src.groupBy("partition").applyInPandas(
+        build_partition, EDGES_SCHEMA + ", entry_point long, max_layer int"
+    ).persist()
+    edges = edges_raw.select("partition", "layer", "src", "dst")
+    meta = edges_raw.groupBy("partition").agg(
+        F.first("entry_point").alias("entry_point"),
+        F.first("max_layer").alias("max_layer"),
+        F.countDistinct("src").alias("n_nodes"),
+    )
+    from .build import _level_expr
+
+    nodes = src.select(
+        "partition", "id", "vec", _level_expr(F.col("id"), pickled).alias("level"), F.lit(False).alias("deleted")
+    )
+    return HnswIndex(nodes, edges, meta, params)
+
+
+def route_partitions(
+    qvec: F.Column, dim: int, num_partitions: int, n_planes: int = 8, radius: int = 2
+) -> F.Column:
+    """Array of candidate partitions for a query: its own bucket plus all
+    Hamming<=radius flips (multi-probe LSH), deduplicated after mod P.
+
+    radius=2 over 8 planes = 37 buckets — a constant independent of P.
+    At small P the distinct partitions cover everything (probe-all, full
+    recall); at P=1000 a query touches <= 37 of 1000 partitions."""
+    b = lsh_bucket(qvec, dim, n_planes)
+    flips = [b]
+    for i in range(n_planes):
+        flips.append(b.bitwiseXOR(F.lit(1 << i)))
+    if radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                flips.append(b.bitwiseXOR(F.lit((1 << i) | (1 << j))))
+    return F.array_distinct(
+        F.transform(F.array(*flips), lambda x: F.pmod(x, F.lit(num_partitions)).cast("int"))
+    )
+
+
+def knn_hnsw_routed(
+    index: HnswIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    ef: int | None = None,
+    n_planes: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-probe routed query: each query is replicated only to its
+    candidate partitions (<= n_planes+1 of them, independent of P)."""
+    import numpy as np
+    import pandas as pd
+
+    params = index.params
+    num_partitions = index.meta.count()
+    routed = queries_df.select(
+        F.col(query_id_col).alias("id"),
+        F.col(query_vec_col).cast("array<float>").alias("vec"),
+        F.explode(
+            route_partitions(
+                F.col(query_vec_col).cast("array<double>"), params.dim, int(num_partitions), n_planes
+            )
+        ).alias("partition"),
+    )
+    tagged = index.nodes.select(
+        "partition", "id", "vec", "level", "deleted", F.lit(False).alias("is_query")
+    ).unionByName(
+        routed.select(
+            "partition", "id", "vec", F.lit(0).alias("level"), F.lit(False).alias("deleted"),
+            F.lit(True).alias("is_query"),
+        )
+    )
+    meta_rows = {
+        int(r["partition"]): (int(r["entry_point"]), int(r["max_layer"]))
+        for r in index.meta.collect()
+    }
+    spark = index.nodes.sparkSession
+    bmeta = spark.sparkContext.broadcast(meta_rows)
+
+    def probe(mixed_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="float64")}
+        )
+        if len(mixed_pdf) == 0:
+            return empty
+        is_q = mixed_pdf["is_query"].to_numpy(dtype=bool)
+        nodes_pdf = mixed_pdf[~is_q]
+        queries_pdf = mixed_pdf[is_q]
+        if len(nodes_pdf) == 0 or len(queries_pdf) == 0:
+            return empty
+        part = int(nodes_pdf["partition"].iloc[0])
+        entry_point, max_layer = bmeta.value.get(part, (None, -1))
+        idx = LocalHNSW.from_tables(
+            params,
+            nodes_pdf["id"].to_numpy(dtype=np.int64),
+            np.array(list(nodes_pdf["vec"]), dtype=np.float32),
+            nodes_pdf["level"].to_numpy(dtype=np.int32),
+            nodes_pdf["deleted"].to_numpy(dtype=bool),
+            edges_pdf["layer"].to_numpy(dtype=np.int32),
+            edges_pdf["src"].to_numpy(dtype=np.int64),
+            edges_pdf["dst"].to_numpy(dtype=np.int64),
+            entry_point,
+            max_layer,
+        )
+        out_q, out_n, out_d = [], [], []
+        for qid, qv in zip(queries_pdf["id"].to_numpy(dtype=np.int64), queries_pdf["vec"]):
+            for nid, d in idx.search(np.asarray(qv, dtype=np.float32), k=k, ef=ef):
+                out_q.append(qid)
+                out_n.append(nid)
+                out_d.append(d)
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "dist": np.array(out_d, dtype=np.float64),
+            }
+        )
+
+    partial = (
+        tagged.groupBy("partition")
+        .cogroup(index.edges.groupBy("partition"))
+        .applyInPandas(probe, "query_id long, neighbor_id long, dist double")
+    )
+    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )
