@@ -23,9 +23,17 @@ def write_bucketed(
     spark: SparkSession, sf_dir: str, buckets: int = 8, prefix: str = "bkt"
 ) -> dict[str, str]:
     """Persist bucketed managed tables; returns {logical: table_name}."""
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
     out = {}
     for name, key in BUCKET_SPECS.items():
         tbl = f"{prefix}_{name}"
+        # idempotent across sessions: a fresh metastore doesn't know the
+        # table, but its managed location may survive on disk
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
         (
             load_table(spark, sf_dir, name)
             .write.mode("overwrite")
