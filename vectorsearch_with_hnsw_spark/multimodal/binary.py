@@ -23,11 +23,27 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 HASH_MOD = 1_000_000_007
 N_FEATURES = 4
+
+# powers of 31 mod HASH_MOD, grown lazily to the longest payload seen;
+# lets the byte-polynomial hash run as one vectorized dot instead of a
+# per-byte Python loop (~30x on KB-sized payloads)
+_POW31 = np.array([1], dtype=np.int64)
+
+
+def _pow31(n: int) -> np.ndarray:
+    global _POW31
+    while _POW31.size < n:
+        # double by one vectorized modmul: 31^(m+j) = 31^m * 31^j mod p
+        # (each factor < p < 2^30, product < 2^60 — exact in int64)
+        step = int(_POW31[-1] * 31 % HASH_MOD)  # 31^m for m = current size
+        _POW31 = np.concatenate([_POW31, (_POW31 * step) % HASH_MOD])
+    return _POW31[:n]
 
 
 def decode_image(payload: bytes) -> "object":
@@ -42,10 +58,21 @@ def decode_image(payload: bytes) -> "object":
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for decode+embed: polynomial hash of the
     bytes mapped to N pseudo-features in [0, 1). Exact integer math —
-    reproducible anywhere, including the SQL oracle."""
+    reproducible anywhere, including the SQL oracle.
+
+    Horner's rule h = ((b0*31 + b1)*31 + b2)... equals
+    sum(b_i * 31^(n-1-i)) mod p, computed as a vectorized product-sum.
+    Each term is < 256 * p < 2.6e11, so int64 sums stay exact for chunks
+    up to ~3e7 bytes; chunk with running mod far below that bound."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    if n == 0:
+        return [0.0] * N_FEATURES
+    pows = _pow31(n)[::-1]  # 31^(n-1), ..., 31^0
     h = 0
-    for byte in payload:
-        h = (h * 31 + byte) % HASH_MOD
+    chunk = 1 << 24  # 16M terms per exact int64 partial sum
+    for s in range(0, n, chunk):
+        h = (h + int(np.dot(arr[s : s + chunk], pows[s : s + chunk]) % HASH_MOD)) % HASH_MOD
     return [((h * (i + 1)) % 1009) / 1009.0 for i in range(N_FEATURES)]
 
 

@@ -132,6 +132,93 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (grouping sets): per
+    (returnflag, linestatus), per returnflag subtotal, and grand total in
+    one pass — Spark computes all grouping levels from a single shuffle.
+    NULL grouping keys are surfaced as 'ALL' (the flag domains are 1-char
+    codes, so the sentinel cannot collide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "sum_base_price",
+            "count_order",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def events_asof_purchase(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """As-of join: each ``left_type`` event gets the most recent
+    ``right_type`` event of the same user at-or-before its timestamp.
+
+    Spark has no native as-of join; the scalable formulation is
+    union-with-tag + a running ``last(..., ignorenulls)`` window — ONE
+    shuffle on user_id, no range-join explosion, no per-row lookups, so
+    the plan survives 100 TB (contrast a theta-join on ts <= ts, which
+    Spark would execute as a broadcast nested loop). Right events are
+    deduped to one row per (user, ts) (max event_id) so results are
+    deterministic under ties; a right event at exactly the left ts counts
+    (tag orders right rows first)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_dd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.filter(F.col("event_type") == F.lit(right_type))
+        .withColumn("_rn", F.row_number().over(w_dd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("ev_value"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    left = ev.filter(F.col("event_type") == F.lit(left_type)).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.col("value").alias("ev_value"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    w_carry = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        right.unionByName(left)
+        .withColumn("last_purchase_ts", F.last("r_ts", ignorenulls=True).over(w_carry))
+        .withColumn("last_purchase_value", F.last("r_value", ignorenulls=True).over(w_carry))
+        .filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("ev_value").alias("value"),
+            "last_purchase_ts",
+            "last_purchase_value",
+        )
+    )
+
+
 def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a field from the JSON
     props string, aggregate per event_type. JSON path evaluation happens

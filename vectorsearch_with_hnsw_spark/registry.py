@@ -621,6 +621,44 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
+SQL_PRICING_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+SQL_EVENTS_ASOF = """
+WITH p0 AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, 0 AS tag, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS DOUBLE) AS ev_value, ts AS r_ts, value AS r_value
+  FROM p0 WHERE rn = 1
+), l AS (
+  SELECT user_id, ts, 1 AS tag, event_id, value AS ev_value,
+         CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS DOUBLE) AS r_value
+  FROM events WHERE event_type = 'click'
+), u AS (
+  SELECT * FROM r UNION ALL SELECT * FROM l
+), w AS (
+  SELECT *,
+    last_value(r_ts IGNORE NULLS) OVER win AS last_purchase_ts,
+    last_value(r_value IGNORE NULLS) OVER win AS last_purchase_value
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, ev_value AS value, last_purchase_ts, last_purchase_value
+FROM w WHERE tag = 1
+"""
+
 SQL_CUSTOMER_ORDER_RANK = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -679,6 +717,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_customers": (R.top_customers_by_revenue, SQL_TOP_CUSTOMERS),
     "region_revenue": (R.region_revenue, SQL_REGION_REVENUE),
     "customer_order_rank": (R.customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
+    "pricing_rollup": (R.pricing_rollup, SQL_PRICING_ROLLUP),
+    "events_asof": (R.events_asof_purchase, SQL_EVENTS_ASOF),
     "events_tumbling": (R.events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sessionize": (R.events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_props_json": (R.events_props_json, SQL_EVENTS_PROPS_JSON),
