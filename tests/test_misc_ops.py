@@ -81,3 +81,44 @@ def spark_holder(spark):
     # hypothesis forbids function-scoped fixtures interacting with @given;
     # module-scoped pass-through keeps one SparkSession across examples
     return spark
+
+
+def test_asof_join_semantics(spark):
+    """Edge semantics of the generic as-of join: later right rows never
+    attach, equal-ts attaches, ties resolve to max order_col, keys don't
+    leak across, and left rows before any right row get NULLs."""
+    from vectorsearch_with_hnsw_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, 100, 10.0, 1),
+            (1, 100, 99.0, 2),   # tie on ts=100 -> max order wins (99.0)
+            (1, 200, 20.0, 3),
+            (2, 150, 55.0, 4),
+        ],
+        "user_id long, ts long, value double, event_id long",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 10, 50, -1.0),    # before any purchase -> NULL
+            (1, 11, 100, -2.0),   # equal ts -> attaches (99.0, tie winner)
+            (1, 12, 150, -3.0),   # between -> still ts=100
+            (1, 13, 250, -4.0),   # after last -> ts=200
+            (2, 14, 149, -5.0),   # other key, before its purchase -> NULL
+            (2, 15, 151, -6.0),   # other key, after -> 55.0
+        ],
+        "user_id long, event_id long, ts long, value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            left, right, key="user_id", ts_col="ts",
+            payload_cols=["value"], order_col="event_id",
+        ).collect()
+    }
+    assert out[10] == (None, None)
+    assert out[11] == (100, 99.0)
+    assert out[12] == (100, 99.0)
+    assert out[13] == (200, 20.0)
+    assert out[14] == (None, None)
+    assert out[15] == (150, 55.0)

@@ -88,3 +88,14 @@ def test_bucketed_join_is_exchange_free(spark, sf_smoke):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_plan_has_no_join_operator(spark, sf_smoke):
+    """The as-of join must plan as union+window — zero join operators,
+    bounded exchanges (one for the right-side dedupe, one for the carry
+    window) — or it would explode into a range join at scale."""
+    from vectorsearch_with_hnsw_spark.operators.relational import events_asof_purchase
+
+    plan = formatted_plan(events_asof_purchase(spark, sf_smoke))
+    assert "Join" not in plan
+    assert count_occurrences(events_asof_purchase(spark, sf_smoke), "Exchange") <= 4

@@ -158,64 +158,96 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    order_col: str,
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """Generic as-of join: attach to each left row the most recent right
+    row of the same ``key`` with right ts at-or-before the left ts.
+
+    Spark has no native as-of join; the scalable formulation is
+    union-with-tag + a running ``last(..., ignorenulls)`` window — no
+    range-join explosion, no per-row lookups, so the plan survives 100 TB
+    (contrast a theta-join on ts <= ts, which Spark would execute as a
+    broadcast nested loop). Shuffles: one on (key, ts) to dedupe the
+    (smaller) right side, one on key for the carry window; zero join
+    operators in the plan. Right rows are deduped to one per (key, ts)
+    (max ``order_col``) so results are deterministic under ties; a right
+    row at exactly the left ts counts (tag orders right rows first).
+
+    Output = every left column + ``out_prefix``-ed right ts/payloads
+    (NULL when no right row precedes — a left as-of join)."""
+    w_dd = Window.partitionBy(key, ts_col).orderBy(F.col(order_col).desc())
+    r_cols = [F.col(ts_col).alias(f"{out_prefix}{ts_col}")] + [
+        F.col(c).alias(f"{out_prefix}{c}") for c in payload_cols
+    ]
+    out_names = [f"{out_prefix}{ts_col}"] + [f"{out_prefix}{c}" for c in payload_cols]
+    left_names = left.columns
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_dd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key),
+            F.col(ts_col),
+            F.lit(0).alias("_tag"),
+            F.lit(None).cast("long").alias("_ord"),
+            *r_cols,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_names if c not in (key, ts_col)],
+        )
+    )
+    l = left.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("_tag"),
+        F.col(order_col).cast("long").alias("_ord"),
+        *[F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{out_prefix}{ts_col}")],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{out_prefix}{c}") for c in payload_cols],
+        *[F.col(c) for c in left_names if c not in (key, ts_col)],
+    )
+    w_carry = Window.partitionBy(key).orderBy(ts_col, "_tag", "_ord").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = r.unionByName(l)
+    for c in out_names:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w_carry))
+    return carried.filter(F.col("_tag") == 1).select(*left_names, *out_names)
+
+
 def events_asof_purchase(
     spark: SparkSession,
     sf_dir: str,
     left_type: str = "click",
     right_type: str = "purchase",
 ) -> DataFrame:
-    """As-of join: each ``left_type`` event gets the most recent
-    ``right_type`` event of the same user at-or-before its timestamp.
-
-    Spark has no native as-of join; the scalable formulation is
-    union-with-tag + a running ``last(..., ignorenulls)`` window — ONE
-    shuffle on user_id, no range-join explosion, no per-row lookups, so
-    the plan survives 100 TB (contrast a theta-join on ts <= ts, which
-    Spark would execute as a broadcast nested loop). Right events are
-    deduped to one row per (user, ts) (max event_id) so results are
-    deterministic under ties; a right event at exactly the left ts counts
-    (tag orders right rows first)."""
+    """As-of join over events: each ``left_type`` event gets the most
+    recent ``right_type`` event of the same user at-or-before its
+    timestamp (see ``asof_join`` for the plan shape)."""
     ev = load_table(spark, sf_dir, "events")
-    w_dd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    right = (
-        ev.filter(F.col("event_type") == F.lit(right_type))
-        .withColumn("_rn", F.row_number().over(w_dd))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("tag"),
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("ev_value"),
-            F.col("ts").alias("r_ts"),
-            F.col("value").alias("r_value"),
-        )
+    joined = asof_join(
+        left=ev.filter(F.col("event_type") == F.lit(left_type)).select(
+            "user_id", "event_id", "ts", "value"
+        ),
+        right=ev.filter(F.col("event_type") == F.lit(right_type)).select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        key="user_id",
+        ts_col="ts",
+        payload_cols=["value"],
+        order_col="event_id",
+        out_prefix="last_purchase_",
     )
-    left = ev.filter(F.col("event_type") == F.lit(left_type)).select(
+    return joined.select(
         "user_id",
-        "ts",
-        F.lit(1).alias("tag"),
         "event_id",
-        F.col("value").alias("ev_value"),
-        F.lit(None).cast("timestamp").alias("r_ts"),
-        F.lit(None).cast("double").alias("r_value"),
-    )
-    w_carry = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        right.unionByName(left)
-        .withColumn("last_purchase_ts", F.last("r_ts", ignorenulls=True).over(w_carry))
-        .withColumn("last_purchase_value", F.last("r_value", ignorenulls=True).over(w_carry))
-        .filter(F.col("tag") == 1)
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.col("ev_value").alias("value"),
-            "last_purchase_ts",
-            "last_purchase_value",
-        )
+        "ts",
+        "value",
+        "last_purchase_ts",
+        "last_purchase_value",
     )
 
 
