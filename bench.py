@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "region_revenue",
     "customer_order_rank",
     "pricing_rollup",
+    "brand_supplier_revenue",
+    "view_days_no_purchase",
     "events_asof",
     "events_tumbling",
     "events_sessionize",

@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     scale this is the difference between one pass over the corpus and
     five."""
     sh = shingle_table(docs, n).persist()
+    sh.count()  # eager: 3 consumers below — avoid concurrent cache-population races
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -133,6 +134,11 @@ def minhash_lsh_pairs(
     # persist: each band join references this frame twice (4 bands x 2
     # sides = 8 recomputations of the signature pipeline otherwise)
     banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols).persist()
+    # eager materialization: without it the 8 cache readers race to
+    # populate the cache and can each recompute the signature pipeline
+    # concurrently (observed 5-10x wall-clock swings); one count() is the
+    # batch analog of writing the intermediate table before the fan-out
+    banded.count()
     pair_frames = []
     for b in range(bands):
         l = banded.select(
@@ -203,6 +209,7 @@ def simhash_pairs(
             for b in range(bands)
         ],
     ).persist()
+    banded.count()  # eager: see minhash_lsh_pairs — prevents 8-way concurrent cache-population races
     frames = []
     for b in range(bands):
         l = banded.select(

@@ -251,6 +251,50 @@ def events_asof_purchase(
     )
 
 
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand x supplier nation: the fact table joins two
+    part/supplier dimensions plus nation, all broadcast — the only
+    shuffle is the final small-cardinality aggregation."""
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand", "supp_nation")
+    )
+
+
+def view_days_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference / anti-join surface: (user, day) pairs with at
+    least one 'view' but no 'purchase' that day. Both sides aggregate to
+    distinct pairs before the anti-join, so the shuffle carries only the
+    deduped keys."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts")).alias("day")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    )
+    return views.join(purchases, ["user_id", "day"], "left_anti").orderBy(
+        "user_id", "day"
+    )
+
+
 def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a field from the JSON
     props string, aggregate per event_type. JSON path evaluation happens

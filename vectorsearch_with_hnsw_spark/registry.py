@@ -659,6 +659,28 @@ SELECT user_id, event_id, ts, ev_value AS value, last_purchase_ts, last_purchase
 FROM w WHERE tag = 1
 """
 
+SQL_BRAND_SUPPLIER_REVENUE = f"""
+SELECT p_brand, n_name AS supp_nation,
+  CAST(SUM({MONEY}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_brand, supp_nation
+"""
+
+SQL_VIEW_DAYS_NO_PURCHASE = """
+WITH v AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY user_id, day
+), p AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.day, v.n_views FROM v ANTI JOIN p USING (user_id, day)
+"""
+
 SQL_CUSTOMER_ORDER_RANK = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -718,6 +740,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "region_revenue": (R.region_revenue, SQL_REGION_REVENUE),
     "customer_order_rank": (R.customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
     "pricing_rollup": (R.pricing_rollup, SQL_PRICING_ROLLUP),
+    "brand_supplier_revenue": (R.brand_supplier_revenue, SQL_BRAND_SUPPLIER_REVENUE),
+    "view_days_no_purchase": (R.view_days_without_purchase, SQL_VIEW_DAYS_NO_PURCHASE),
     "events_asof": (R.events_asof_purchase, SQL_EVENTS_ASOF),
     "events_tumbling": (R.events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sessionize": (R.events_sessionize, SQL_EVENTS_SESSIONIZE),
