@@ -36,3 +36,46 @@ def test_sessionize_stream_matches_batch(spark, sf_smoke):
     assert _rows(got, ["user_id", "session_seq", "n_events"]) == _rows(
         want, ["user_id", "session_seq", "n_events"]
     )
+
+
+def test_dedup_stream_matches_batch_distinct(spark, sf_smoke):
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.events import events_dedup_stream
+
+    stream = events_dedup_stream(read_events_stream(spark, sf_smoke))
+    got = run_stream_to_memory(stream, "dedup_test", mode="append")
+    want = load_table(spark, sf_smoke, "events").dropDuplicates(["event_id"])
+    assert got.count() == want.count()
+    assert _rows(got, ["event_id"]) == _rows(want, ["event_id"])
+
+
+def test_streaming_index_ingest_builds_probeable_index(spark, sf_smoke):
+    """Micro-batch vector ingest: drain the embeddings stream through
+    foreachBatch, then probe the resulting index — the streaming analog
+    of the reference's 'real-time insert' (hsnw_trial.py:197-203)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.index.build import HnswParams
+    from vectorsearch_with_hnsw_spark.index.query import knn_hnsw
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.ingest import (
+        StreamingIndexIngest,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    dim = len(emb.first()["embedding"])
+    ingest = StreamingIndexIngest(HnswParams(dim=dim, metric="cosine"), partitions_per_batch=2)
+    idx = ingest.run(read_embeddings_stream(spark, sf_smoke))
+    assert idx.nodes.count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = knn_hnsw(idx, q, k=5)
+    rows = res.collect()
+    assert len(rows) == 3 * 5
+    # self-match contract: an indexed query returns itself at rank 1, dist 0
+    for r in rows:
+        if r["rnk"] == 1:
+            assert r["neighbor_id"] == r["query_id"]
+            assert abs(r["dist"]) < 1e-6

@@ -35,7 +35,10 @@ def get_spark(
         # data has no sub-microsecond components)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == executor: size the heap for 32 concurrent
+        # tasks of shuffle-heavy joins (8g gave ~150 MB execution memory
+        # per task slot -> silent spill/GC churn on the shingle joins)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

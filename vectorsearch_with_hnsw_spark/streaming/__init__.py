@@ -1,0 +1,18 @@
+from .events import (
+    events_dedup_stream,
+    events_tumbling_stream,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
+from .ingest import StreamingIndexIngest, read_embeddings_stream
+
+__all__ = [
+    "StreamingIndexIngest",
+    "events_dedup_stream",
+    "events_tumbling_stream",
+    "read_embeddings_stream",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "sessionize_stream",
+]

@@ -109,6 +109,15 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800, watermark: str = "
     )
 
 
+def events_dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeated event_ids within the
+    watermark horizon — the incremental twin of the batch dedup surface
+    (operators/dedup.py). State is bounded by the watermark: ids older
+    than the horizon are evicted, which is what makes this run forever at
+    100 TB/day ingest."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into an in-memory sink (availableNow) and
     return the materialized result — the test harness for parity checks."""

@@ -1,0 +1,91 @@
+"""Streaming vector ingest into the HNSW index.
+
+The reference advertises "real-time inserts", implemented as a
+lock-guarded in-memory append (hsnw_trial.py:109,197-203). The Spark
+analog is micro-batch append: a vector stream drains through
+``foreachBatch``; each micro-batch builds fresh index partitions
+(``HnswIndex.append`` — same kernel as the batch build) and the running
+handle stays probeable between batches. Periodic ``rebuild`` compaction
+(the reference's rebuild, hsnw_trial.py:381-389) re-mixes partitions
+when the append count passes a threshold.
+
+Scale shape: each micro-batch is one hash shuffle + embarrassingly
+parallel build kernels; the existing graph is never touched, so ingest
+cost is O(batch), not O(index). Probe-all keeps results correct across
+the appended partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.build import HnswIndex, HnswParams, hnsw_build
+
+EMBEDDINGS_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-source stream over the embeddings parquet (on a
+    cluster: kafka/kinesis with the same downstream plan)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/embeddings.parqu*")
+    )
+
+
+class StreamingIndexIngest:
+    """foreachBatch sink that appends each micro-batch into a running
+    HnswIndex, with rebuild compaction every ``rebuild_every`` appended
+    partitions."""
+
+    def __init__(
+        self,
+        params: HnswParams,
+        partitions_per_batch: int = 4,
+        rebuild_every: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.params = params
+        self.partitions_per_batch = partitions_per_batch
+        self.rebuild_every = rebuild_every
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.index: HnswIndex | None = None
+        self.batches_seen = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen += 1
+        if self.index is None:
+            self.index = hnsw_build(
+                batch_df,
+                self.params,
+                num_partitions=self.partitions_per_batch,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+        else:
+            self.index = self.index.append(
+                batch_df,
+                num_partitions=self.partitions_per_batch,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+        n_parts = self.index.meta.count()
+        if n_parts >= self.rebuild_every:
+            self.index = self.index.rebuild(num_partitions=self.partitions_per_batch)
+
+    def run(self, stream_df: DataFrame, await_sec: int = 120) -> HnswIndex:
+        """Drain a bounded stream (availableNow) and return the built
+        index handle."""
+        q = (
+            stream_df.writeStream.foreachBatch(self)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(await_sec)
+        if self.index is None:
+            raise ValueError("stream produced no micro-batches")
+        return self.index
