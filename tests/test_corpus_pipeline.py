@@ -1,0 +1,169 @@
+"""Semantics + plan-shape tests for the corpus-pipeline operators:
+connected components, vocabulary/tf-idf, stratified sampling, length
+outliers, SQ8 quantized ANN, interval join, and the CSV/JSONL formats.
+(Bit-exact value checks live in test_oracle_parity.py; these cover the
+properties an oracle can't — convergence, determinism, plan shape,
+roundtrips.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectorsearch_with_hnsw_spark.operators.clusters import (
+    connected_components,
+    dedup_clusters,
+)
+from vectorsearch_with_hnsw_spark.operators.quantize import dim_ranges, quantize, sq8_knn
+from vectorsearch_with_hnsw_spark.operators.relational import interval_join
+from vectorsearch_with_hnsw_spark.operators.textpipe import (
+    stratified_sample,
+    tfidf_top_terms,
+    vocab_top_tokens,
+)
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component), island pair 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keeper_flags(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert all(r["cluster_id"] == 5 for r in rows.values())
+    assert rows[5]["is_keeper"] and not rows[7]["is_keeper"] and not rows[9]["is_keeper"]
+
+
+def test_connected_components_deep_chain_converges(spark):
+    # diameter > a couple of iterations: 0-1-2-...-12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_vocab_and_tfidf_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha gamma gamma delta"),
+            (3, "alpha epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: (r["rank"], r["doc_freq"]) for r in vocab_top_tokens(docs).collect()}
+    assert vocab["alpha"] == (1, 3)  # in every doc, rank 1
+    assert vocab["gamma"][1] == 2
+    top = tfidf_top_terms(docs, per_doc=1, min_token_len=4).collect()
+    by_doc = {r["doc_id"]: r["token"] for r in top}
+    # 'alpha' has idf ln(1)=0 everywhere; doc 1's top term is 'beta' (tf 2)
+    assert by_doc[1] == "beta"
+    # delta: tf=1, idf=ln(3) beats gamma: tf=2, idf=ln(3/2)
+    assert by_doc[2] == "delta"
+    assert by_doc[3] == "epsilon"
+
+
+def test_stratified_sample_deterministic_and_pushed_down(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    rates = {"en": 50}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    assert a == b and len(a) > 0
+    # map-only: no exchange in the plan
+    plan = stratified_sample(docs, rates)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sq8_quantize_bounds_and_selfmatch(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ranges = dim_ranges(emb)
+    code_stats = (
+        quantize(emb, ranges)
+        .select(F.explode("code").alias("c"))
+        .agg(F.min("c"), F.max("c"))
+        .first()
+    )
+    assert code_stats[0] >= 0 and code_stats[1] <= 255
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = sq8_knn(emb, queries, k=5).collect()
+    assert len(res) == 15
+    for r in res:
+        if r["rnk"] == 1:
+            # identical codes -> qdist2 == 0; id tiebreak makes self rank 1
+            assert r["neighbor_id"] == r["query_id"] and r["qdist2"] == 0
+
+
+def test_interval_join_semantics_and_plan(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 12:00:00", 200)],
+        "user_id long, ts string, purchase_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 1.0),  # in window for purchase 100
+            (1, "2024-01-01 08:59:59", 2.0),  # outside 1h lookback
+            (1, "2024-01-01 10:00:00", 3.0),  # boundary: inclusive
+            (2, "2024-01-01 11:30:00", 4.0),  # other user, in window
+        ],
+        "user_id long, ts string, view_value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    j = interval_join(left, right, key="user_id", lookback_sec=3600)
+    got = sorted((r["purchase_id"], r["view_value"]) for r in j.collect())
+    assert got == [(100, 1.0), (100, 3.0), (200, 4.0)]
+    # equi-join on the key, never a nested loop over timestamps
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_csv_jsonl_roundtrip(spark, sf_smoke, tmp_path):
+    from vectorsearch_with_hnsw_spark.sources.formats import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+        write_parquet_partitioned,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+    )
+
+    write_csv(docs, str(tmp_path / "csv"))
+    got_csv = read_csv(spark, str(tmp_path / "csv"), schema)
+    assert sorted((r["doc_id"], r["text"]) for r in got_csv.select("doc_id", "text").collect()) == want
+
+    write_jsonl(docs, str(tmp_path / "jsonl"))
+    got_json = read_jsonl(spark, str(tmp_path / "jsonl"), schema)
+    assert sorted((r["doc_id"], r["text"]) for r in got_json.select("doc_id", "text").collect()) == want
+
+    write_parquet_partitioned(docs, str(tmp_path / "pq"), "lang")
+    back = spark.read.parquet(str(tmp_path / "pq"))
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter scans one directory only
+    pruned = back.filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+@pytest.mark.parametrize("bad_iter", [1])
+def test_connected_components_bounded_iterations(spark, bad_iter):
+    # max_iter too small for the diameter -> labels not fully converged,
+    # but still a valid partial labeling (every node present exactly once)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs, max_iter=bad_iter).collect()
+    assert len(got) == 9

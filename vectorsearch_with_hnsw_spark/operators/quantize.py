@@ -1,0 +1,115 @@
+"""Scalar-quantized (SQ8) approximate kNN.
+
+The third ANN family next to LSH (operators/ann.py) and IVF
+(operators/ivf.py): compress each float32 dimension to an 8-bit code
+against per-dimension global [min, max] ranges, then run top-k on
+integer distances. At 100 TB this is the memory-bound win — 4x smaller
+scan than float32, integer SIMD distance kernels — and the standard
+companion to IVF (IVF+SQ8) in every production vector store. The
+reference stores raw float32 only (hsnw_trial.py:103,201); this is the
+scale path it lacks.
+
+Everything is exact integer arithmetic after quantization, so the DuckDB
+oracle matches bit-for-bit (the quantization itself uses floor(), whose
+semantics are identical in every engine — round() half-way ties are not).
+
+Plan shape: the range stats are one posexplode + groupBy(pos) with
+map-side combine (dim × P partial rows shuffled, a few KB), collapsed to
+a single broadcastable row; encode is map-only; the probe is the same
+broadcast-queries × index scan as exact kNN but over 8-bit codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LEVELS = 256
+
+
+def dim_ranges(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Single-row frame (qmin array<double>, qmax array<double>): global
+    per-dimension min/max, ordered by dimension."""
+    stats = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    return stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn"))
+        ).alias("_mn_s"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mx"))
+        ).alias("_mx_s"),
+    ).select(
+        F.transform("_mn_s", lambda s: s["mn"]).alias("qmin"),
+        F.transform("_mx_s", lambda s: s["mx"]).alias("qmax"),
+    )
+
+
+def _quantize_expr(vec_col, qmin, qmax):
+    """floor((x - mn) * 256 / (mx - mn)) clamped to [0, 255]; degenerate
+    dims (mx == mn) encode as 0."""
+    def enc(x, i):
+        mn = F.element_at(qmin, i + 1)
+        mx = F.element_at(qmax, i + 1)
+        code = F.floor((x.cast("double") - mn) * F.lit(float(LEVELS)) / (mx - mn))
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.least(F.lit(LEVELS - 1), F.greatest(F.lit(0), code)))
+            .cast("long")
+        )
+
+    # transform's lambda index is 0-based; element_at is 1-based
+    return F.transform(vec_col, enc)
+
+
+def quantize(emb: DataFrame, ranges: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(id, code array<long>) — map-only encode against broadcast ranges."""
+    return emb.crossJoin(F.broadcast(ranges)).select(
+        F.col(id_col),
+        _quantize_expr(F.col(vec_col), F.col("qmin"), F.col("qmax")).alias("code"),
+    )
+
+
+def sq8_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k by squared L2 over SQ8 codes (integer-exact). Ties broken by
+    neighbor id for a total order. Queries are quantized against the SAME
+    ranges as the index — the standard symmetric-distance SQ scheme."""
+    ranges = dim_ranges(emb, vec_col)
+    base = quantize(emb, ranges, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("bcode")
+    )
+    qcode = quantize(queries, ranges, query_id_col, query_vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col("code").alias("qcode")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("bcode"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = base.crossJoin(F.broadcast(qcode)).select(
+        "query_id", "neighbor_id", dist2.alias("qdist2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "qdist2")
+    )

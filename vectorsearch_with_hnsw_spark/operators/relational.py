@@ -345,3 +345,57 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_sec: int = 1800) -> 
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_sec: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: pair each left row with the right rows of
+    the same ``key`` whose timestamp falls in
+    ``(left_ts - lookback_sec, left_ts]``.
+
+    Spark executes a bare theta-join on timestamps as a broadcast
+    nested loop — quadratic and unbroadcastable at scale. The scalable
+    shape is EQUI-join on the key (hash shuffle both sides, AQE handles
+    hot users) with the range predicate applied as a join residual; for
+    key-less workloads, bucket both sides to epoch//lookback buckets and
+    join on (bucket, bucket±1). Here every pairing is already key-scoped,
+    so the equi-join IS the pruning."""
+    l = left.select(
+        F.col(key), F.col(left_ts).alias("_lts"), *[c for c in left.columns if c not in (key, left_ts)]
+    )
+    r = right.select(
+        F.col(key), F.col(right_ts).alias("_rts"), *[c for c in right.columns if c not in (key, right_ts)]
+    )
+    lo = F.col("_lts") - F.expr(f"INTERVAL {lookback_sec} SECONDS")
+    joined = l.join(r, key).filter((F.col("_rts") > lo) & (F.col("_rts") <= F.col("_lts")))
+    return joined.withColumnRenamed("_lts", left_ts + "_left").withColumnRenamed("_rts", right_ts + "_right")
+
+
+def purchase_view_window(
+    spark: SparkSession, sf_dir: str, lookback_sec: int = 3600
+) -> DataFrame:
+    """Range-join query: for each purchase event, how many views the same
+    user made in the preceding hour (inclusive of the purchase instant),
+    and their decimal-exact total value."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    j = interval_join(purchases, views, key="user_id", lookback_sec=lookback_sec)
+    return (
+        j.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.col("view_value").cast(DEC)).cast("double").alias("views_value"),
+        )
+        .select("purchase_id", "n_views", "views_value")
+    )

@@ -1,0 +1,126 @@
+"""Corpus-level text-pipeline operators: vocabulary, TF-IDF, stratified
+sampling, outlier filtering.
+
+These are the corpus statistics a 100 TB training-data pipeline runs
+after per-document scoring (functions/text.py) and before training:
+build the vocabulary, weight terms, draw a reproducible sample, drop
+length outliers. All pure Catalyst expressions — each op is one or two
+shuffles with map-side partial aggregation, no Python in the hot path.
+
+Determinism contract (the DuckDB oracle gate): token counts and document
+frequencies are exact integers; sampling uses an explicit integer mix of
+doc_id (never rand()); z-scores derive mean/variance from exact integer
+moment sums so the float math is one deterministic expression per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+
+# Knuth multiplicative-hash constant; doc_id mix for sampling
+SAMPLE_MIX = 2_654_435_761
+SAMPLE_MOD = 2_147_483_647
+
+
+def doc_tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, token) relation, lowercased; distinct=True gives the
+    document-frequency relation (one row per doc/token)."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return tok.distinct() if distinct else tok
+
+
+def vocab_top_tokens(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Vocabulary head: top-N tokens by document frequency with a total
+    ordering (df desc, token asc) so rank is unambiguous. One explode +
+    one count shuffle; the window runs over the tiny aggregated
+    relation, not the corpus."""
+    df_counts = doc_tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "token", "doc_freq")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, per_doc: int = 3, min_token_len: int = 4) -> DataFrame:
+    """Top terms per document by tf·idf, idf = ln(N/df).
+
+    Shuffle shape at scale: tf is one groupBy(doc, token) with map-side
+    combine; df is one groupBy(token) of the distinct relation; the df
+    side joins back on token (shuffle on token — at 100 TB the hot
+    stopword tokens are pruned by min_token_len before the join, and AQE
+    skew-join splits what remains). N is a scalar cross-joined in
+    (broadcast of one row)."""
+    tok = doc_tokens(docs, distinct=False).filter(
+        F.length("token") >= min_token_len
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= per_doc)
+        .select("doc_id", "rnk", "token", "tf", "df", "tfidf")
+    )
+
+
+def stratified_sample(docs: DataFrame, rates_pct: dict[str, int], default_pct: int = 10) -> DataFrame:
+    """Reproducible stratified sample: per-stratum (lang) keep-rates in
+    percent, decided by an integer multiplicative hash of doc_id — the
+    same rows come back on every run, any cluster, any partitioning
+    (rand()-based sampling is none of those). Map-only: no shuffle at
+    all; the filter pushes down to the scan."""
+    mix = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    rate = F.lit(default_pct)
+    for lang, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return docs.filter(mix % 100 < rate).select("doc_id", "lang", "source")
+
+
+def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Length outliers by z-score, with mean/std derived from EXACT
+    integer moment sums (n, Σx, Σx²) so the result is engine-independent:
+    the only float ops are two divisions, one sqrt and one subtraction,
+    in a fixed expression shape. One full pass with map-side partial agg
+    for the moments (3 numbers to the driver-sized broadcast), one
+    map-only filter pass for the flags."""
+    moments = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars")).alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    z = (F.col("n_chars").cast("double") - mean) / F.sqrt(var)
+    return (
+        docs.crossJoin(F.broadcast(moments))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(z_threshold))
+        .select("doc_id", "n_chars", "z")
+    )

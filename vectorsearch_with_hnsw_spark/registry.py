@@ -728,6 +728,197 @@ FROM sid GROUP BY user_id, session_seq
 """
 
 # ---------------------------------------------------------------------------
+# Corpus pipeline: clusters, vocabulary, tf-idf, sampling, outliers,
+# SQ8 ANN, range join
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"de": 30, "en": 5}  # per-stratum keep %, default 10
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clusters import dedup_clusters
+
+    pairs = D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import vocab_top_tokens
+
+    return vocab_top_tokens(load_table(spark, sf_dir, "documents"), top_n=50)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import tfidf_top_terms
+
+    # ln() differs by 1 ULP between JVM and libm, so the raw score can't
+    # be hash-compared; rank/tf/df are integer-exact (ordering is stable:
+    # a flip would need two different (tf, df) pairs within 1 ULP).
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents")).drop("tfidf")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"), SAMPLE_RATES)
+
+
+def q_doc_len_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import doc_len_outliers
+
+    return doc_len_outliers(load_table(spark, sf_dir, "documents"))
+
+
+def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantize import sq8_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq8_knn(emb, queries, k=10)
+
+
+def _sql_dedup_clusters() -> str:
+    """Connected components over the minhash pair list as a recursive
+    CTE — min-reachable-id per node is exactly the Spark label-propagation
+    fixpoint."""
+    minhash = _sql_dedup_minhash()
+    return f"""
+WITH RECURSIVE mh AS (
+{minhash}
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM mh UNION SELECT doc_b, doc_a FROM mh),
+nd AS (SELECT DISTINCT src AS node FROM e),
+reach(node, label) AS (
+  SELECT node, node FROM nd
+  UNION
+  SELECT e.src, r.label FROM e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       (node = MIN(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+SQL_VOCAB_TOP = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents
+  )
+),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, token) AS INTEGER) AS rank,
+         token, doc_freq
+  FROM dfreq
+)
+SELECT rank, token, doc_freq FROM ranked WHERE rank <= 50
+"""
+
+SQL_TFIDF_TOP = f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents
+  ) WHERE length(token) >= 4
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(nn.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rnk,
+         token, tf, df, tfidf
+  FROM scored
+)
+SELECT doc_id, rnk, token, tf, df FROM ranked WHERE rnk <= 3
+"""
+
+
+def _sql_sample_stratified() -> str:
+    from .operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
+
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (doc_id * {SAMPLE_MIX}) % {SAMPLE_MOD} % 100 < CASE {cases} ELSE 10 END
+"""
+
+
+SQL_DOC_LEN_OUTLIERS = """
+WITH m AS (
+  SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  (CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+FROM documents CROSS JOIN m
+WHERE abs((CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) > 2.0
+"""
+
+SQL_SQ8_ANN = f"""
+WITH st AS (
+  SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+  FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY i
+),
+rng AS (SELECT list(mn ORDER BY i) AS qmin, list(mx ORDER BY i) AS qmax FROM st),
+enc AS (
+  SELECT vec_id, list_transform(embedding, (x, i) ->
+    CASE WHEN qmax[i] = qmin[i] THEN 0
+         ELSE CAST(least(255, greatest(0, floor((CAST(x AS DOUBLE) - qmin[i]) * 256.0 / (qmax[i] - qmin[i])))) AS BIGINT)
+    END) AS code
+  FROM embeddings CROSS JOIN rng
+),
+q AS (SELECT vec_id AS query_id, code AS qcode FROM enc WHERE vec_id < {N_QUERIES}),
+b AS (SELECT vec_id AS neighbor_id, code AS bcode FROM enc),
+pairs AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_transform(qcode, (a, i) -> (a - bcode[i]) * (a - bcode[i])), (s, u) -> s + u) AS qdist2
+  FROM b CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdist2, neighbor_id) AS INTEGER) AS rnk,
+         neighbor_id, qdist2
+  FROM pairs
+)
+SELECT query_id, rnk, neighbor_id, qdist2 FROM ranked WHERE rnk <= 10
+"""
+
+SQL_PURCHASE_VIEW_WINDOW = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT p.purchase_id, v.view_value
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.ts > p.ts - INTERVAL 3600 SECOND AND v.ts <= p.ts
+)
+SELECT purchase_id, COUNT(*) AS n_views,
+  CAST(SUM(CAST(view_value AS DECIMAL(18,2))) AS DOUBLE) AS views_value
+FROM j GROUP BY purchase_id
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -767,6 +958,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_langid": (q_text_langid, _sql_langid()),
     "doc_quality": (q_doc_quality, _sql_doc_quality()),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    # corpus pipeline: clusters / vocab / tf-idf / sampling / outliers /
+    # SQ8 / range join
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
+    "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
+    "doc_len_outliers": (q_doc_len_outliers, SQL_DOC_LEN_OUTLIERS),
+    "sq8_ann": (q_sq8_ann, SQL_SQ8_ANN),
+    "purchase_view_window": (R.purchase_view_window, SQL_PURCHASE_VIEW_WINDOW),
 }
 
 

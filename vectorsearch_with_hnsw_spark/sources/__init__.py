@@ -1,3 +1,19 @@
+from .formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_parquet_partitioned,
+)
 from .tables import TABLES, load_table, load_tables
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_jsonl",
+    "write_csv",
+    "write_jsonl",
+    "write_parquet_partitioned",
+]
