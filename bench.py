@@ -153,10 +153,13 @@ def main() -> None:
         F.col("id"), F.col("vec")
     ).persist()
     sv.count()  # materialize generation outside the timed build
-    t0 = time.perf_counter()
-    idx512 = hnsw_build(sv, HnswParams(dim=512, metric="cosine"), num_partitions=cpus)
-    idx512.edges.count()
-    t_build512 = time.perf_counter() - t0
+    t_build512 = None
+    for _ in range(2):  # min-of-2: this is the headline baseline number
+        t0 = time.perf_counter()
+        idx512 = hnsw_build(sv, HnswParams(dim=512, metric="cosine"), num_partitions=cpus)
+        idx512.edges.count()
+        dt = time.perf_counter() - t0
+        t_build512 = dt if t_build512 is None else min(t_build512, dt)
     timings["hnsw_build_dim512"] = round(t_build512, 3)
     sv.unpersist()
 

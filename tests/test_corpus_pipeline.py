@@ -167,3 +167,51 @@ def test_connected_components_bounded_iterations(spark, bad_iter):
     )
     got = connected_components(pairs, max_iter=bad_iter).collect()
     assert len(got) == 9
+
+
+# -- hypothesis: connected components vs pure-Python union-find ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# small graphs: each example pays O(diameter) Spark iterations, so keep
+# the node range tight (random graphs here converge in 2-4 rounds)
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.fixture(scope="module")
+def spark_holder(spark):
+    # hypothesis forbids function-scoped fixtures interacting with @given;
+    # module-scoped pass-through keeps one SparkSession across examples
+    return spark
+
+
+@settings(max_examples=5, deadline=None)
+@given(edges=edge_strategy)
+def test_connected_components_matches_union_find(spark_holder, edges):
+    spark = spark_holder
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == _union_find_components(edges)

@@ -60,24 +60,23 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        # carry a change flag inline: convergence costs one cheap count
+        # over the checkpointed frame, not an extra join against the old
+        # labels
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("new_label"),
+                (new_label < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if stepped.filter(F.col("chg")).limit(1).count() == 0:
             break
 
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
