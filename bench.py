@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "doc_len_outliers",
     "sq8_ann",
     "purchase_view_window",
+    "curation_pipeline",
 ]
 
 

@@ -215,3 +215,18 @@ def test_connected_components_matches_union_find(spark_holder, edges):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == _union_find_components(edges)
+
+
+def test_curation_pipeline_single_shuffle_no_join(spark, sf_smoke):
+    """The end-to-end curation plan: scoring/gating/sampling fuse into
+    the scan stage; the ONLY exchange is the dedup-keeper window on the
+    fingerprint, and there is no join anywhere."""
+    from vectorsearch_with_hnsw_spark.registry import q_curation_pipeline
+
+    df = q_curation_pipeline(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    # WindowGroupLimit: rank-1 keeper filter applied before the full sort
+    assert "WindowGroupLimit" in plan
+    assert df.count() > 0

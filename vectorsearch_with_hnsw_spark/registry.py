@@ -918,6 +918,78 @@ SELECT purchase_id, COUNT(*) AS n_views,
 FROM j GROUP BY purchase_id
 """
 
+CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
+CURATE_MIN_QUALITY = 0.5
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import curate
+
+    return curate(
+        load_table(spark, sf_dir, "documents"),
+        rates_pct=CURATE_RATES,
+        min_quality=CURATE_MIN_QUALITY,
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    """The full curation composition (score -> gate -> dedup-keeper ->
+    sample) as one SQL statement — checks the end-to-end pipeline, not
+    just its pieces."""
+    from .operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
+
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+    score_defs = []
+    for lang in T.LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+        score_defs.append(
+            f"len(list_filter(ltoks, t -> list_contains([{words}], t))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in T.LANG_PRIORITY) + ")"
+    lang_cases = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in T.LANG_PRIORITY
+    )
+    rate_cases = " ".join(
+        f"WHEN lang_pred = '{lang}' THEN {pct}" for lang, pct in sorted(CURATE_RATES.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS_LOWER} AS ltoks,
+         CAST(len({SQL_TOKS_RAW}) AS INTEGER) AS n_tok,
+         CAST(length(text) AS INTEGER) AS n_char,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS INTEGER) AS n_punct,
+         CAST(len(list_filter(list_transform({SQL_TOKS_RAW}, x -> lower(x)),
+                              t2 -> list_contains([{stop}], t2))) AS INTEGER) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id, text, n_tok, {', '.join(score_defs)},
+    CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+    CASE WHEN n_char > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+  FROM t
+), scored AS (
+  SELECT doc_id, text, CASE {lang_cases} ELSE 'und' END AS lang_pred,
+    n_tok AS n_tokens,
+    (((CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+     + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+     + CASE WHEN stopword_ratio >= 0.05 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+     + CASE WHEN punct_ratio <= 0.2 THEN CAST(0.1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality_score
+  FROM s
+), gated AS (
+  SELECT * FROM scored WHERE quality_score >= {CURATE_MIN_QUALITY} AND lang_pred != 'und'
+), keyed AS (
+  SELECT doc_id, lang_pred, n_tokens, quality_score,
+         row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang_pred, n_tokens, quality_score
+FROM keyed
+WHERE rn = 1
+  AND (doc_id * {SAMPLE_MIX}) % {SAMPLE_MOD} % 100 < CASE {rate_cases} ELSE 20 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -967,6 +1039,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_len_outliers": (q_doc_len_outliers, SQL_DOC_LEN_OUTLIERS),
     "sq8_ann": (q_sq8_ann, SQL_SQ8_ANN),
     "purchase_view_window": (R.purchase_view_window, SQL_PURCHASE_VIEW_WINDOW),
+    "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
 }
 
 
