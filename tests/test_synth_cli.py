@@ -27,3 +27,19 @@ def test_cli_build_query_rebuild(spark, tmp_path, capsys):
     captured = capsys.readouterr()
     assert "built 300 x 64" in captured.out
     assert "rebuilt" in captured.out
+
+
+def test_cli_curate_and_clusters(spark, tmp_path, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    cur = str(tmp_path / "curated")
+    cli.main(["curate", "--sf-dir", "/root/testdata/sf0.001", "--out", cur])
+    cl = str(tmp_path / "clusters")
+    cli.main(["clusters", "--sf-dir", "/root/testdata/sf0.001", "--out", cl])
+    captured = capsys.readouterr()
+    assert "curated 500 ->" in captured.out
+    assert "clustered docs ->" in captured.out
+    # curated sink is partitioned by predicted language (pruning layout)
+    back = spark.read.parquet(cur)
+    assert back.count() > 0 and "lang_pred" in back.columns
+    assert spark.read.parquet(cl).count() > 0

@@ -48,6 +48,22 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--index", required=True)
     r.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "curate",
+        help="score/gate/dedup/sample the documents table -> partitioned parquet",
+    )
+    c.add_argument("--sf-dir", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--default-pct", type=int, default=20)
+
+    cl = sub.add_parser(
+        "clusters",
+        help="near-dup cluster assignment (MinHash LSH pairs -> connected components)",
+    )
+    cl.add_argument("--sf-dir", required=True)
+    cl.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -79,6 +95,24 @@ def main(argv: list[str] | None = None) -> None:
         elif args.cmd == "rebuild":
             HnswIndex.load(spark, args.index).rebuild().save(args.out)
             print(f"rebuilt {args.index} -> {args.out}")
+        elif args.cmd == "curate":
+            from .operators.pipeline import curate
+            from .sources.formats import write_parquet_partitioned
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            out = curate(
+                docs, default_pct=args.default_pct, min_quality=args.min_quality
+            )
+            write_parquet_partitioned(out, args.out, "lang_pred")
+            print(f"curated {docs.count()} -> {out.count()} docs at {args.out}")
+        elif args.cmd == "clusters":
+            from .operators import dedup as D
+            from .operators.clusters import dedup_clusters
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            cc = dedup_clusters(D.minhash_lsh_pairs(docs))
+            cc.write.mode("overwrite").parquet(args.out)
+            print(f"{cc.count()} clustered docs -> {args.out}")
     finally:
         if owns_session:
             spark.stop()
