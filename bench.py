@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "doc_len_outliers",
     "sq8_ann",
+    "ivf_sq8_ann",
     "purchase_view_window",
     "curation_pipeline",
 ]

@@ -230,3 +230,21 @@ def test_curation_pipeline_single_shuffle_no_join(spark, sf_smoke):
     # WindowGroupLimit: rank-1 keeper filter applied before the full sort
     assert "WindowGroupLimit" in plan
     assert df.count() > 0
+
+
+def test_ivf_sq8_selfmatch(spark, sf_smoke):
+    """The hybrid prober: a query that is itself indexed probes its own
+    cell first (nearest centroid = assigned centroid), its code matches
+    itself exactly -> rank 1, distance 0."""
+    from vectorsearch_with_hnsw_spark.operators.quantize import ivf_sq8_knn
+    from vectorsearch_with_hnsw_spark.registry import DIM
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivf_sq8_knn(emb, queries, dim=DIM, k=5).collect()
+    assert len(res) == 15
+    for r in res:
+        if r["rnk"] == 1:
+            assert r["neighbor_id"] == r["query_id"] and r["qdist2"] == 0

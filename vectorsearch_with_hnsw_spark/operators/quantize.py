@@ -69,12 +69,19 @@ def _quantize_expr(vec_col, qmin, qmax):
     return F.transform(vec_col, enc)
 
 
-def quantize(emb: DataFrame, ranges: DataFrame, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """(id, code array<long>) — map-only encode against broadcast ranges."""
+def quantize(
+    emb: DataFrame,
+    ranges: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, code array<long>[, extras]) — map-only encode against
+    broadcast ranges."""
     return emb.crossJoin(F.broadcast(ranges)).select(
         F.col(id_col),
         _quantize_expr(F.col(vec_col), F.col("qmin"), F.col("qmax")).alias("code"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 
@@ -110,6 +117,67 @@ def sq8_knn(
     )
     return (
         pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "qdist2")
+    )
+
+
+def ivf_sq8_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF routing + SQ8 distances — the production vector-store shape
+    (FAISS's IVF,SQ8): centroids prune the candidate set to ``n_probe``
+    cells, then candidates rank by integer SQ8 L2 instead of float
+    cosine. At 100 TB the scan reads 4x less (codes, not floats) over
+    1/cells of the data; both prunings compose multiplicatively.
+
+    Entirely deterministic integer/fixed-expression arithmetic after the
+    centroid assignment, so the full hybrid is DuckDB-oracle-checkable.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .ivf import assign_cells, label_centroids
+
+    cents = label_centroids(emb, dim)
+    assigned = assign_cells(emb.select("vec_id", "embedding"), cents)
+    ranges = dim_ranges(emb)
+    bcode = quantize(assigned, ranges, extra_cols=["cell"]).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("code").alias("bcode"), "cell"
+    )
+
+    from ..functions.vector import cosine_distance, to_vec
+
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "query_vec",
+        "cell",
+        cosine_distance(to_vec("query_vec"), F.col("centroid")).alias("cdist"),
+    )
+    wq = W.partitionBy("query_id").orderBy("cdist", "cell")
+    probes = (
+        qcells.withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    qcode = quantize(
+        probes, ranges, id_col="query_id", vec_col="query_vec", extra_cols=["cell"]
+    ).select("query_id", F.col("code").alias("qcode"), "cell")
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("bcode"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = bcode.join(F.broadcast(qcode), "cell").select(
+        "query_id", "neighbor_id", dist2.alias("qdist2")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qdist2").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "qdist2")
     )

@@ -918,6 +918,69 @@ SELECT purchase_id, COUNT(*) AS n_views,
 FROM j GROUP BY purchase_id
 """
 
+def q_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantize import ivf_sq8_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_sq8_knn(emb, queries, dim=DIM, k=10, n_probe=2)
+
+
+_SQ8_ENC_SQL = """list_transform({vec}, (x, i) ->
+    CASE WHEN qmax[i] = qmin[i] THEN 0
+         ELSE CAST(least(255, greatest(0, floor((CAST(x AS DOUBLE) - qmin[i]) * 256.0 / (qmax[i] - qmin[i])))) AS BIGINT)
+    END)"""
+
+SQL_IVF_SQ8_ANN = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), perdim AS (
+  SELECT label AS cell, pos, CAST(SUM(CAST(v[pos] AS DECIMAL(28,10))) AS DOUBLE) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS pos) p
+  GROUP BY 1, 2
+), cents AS (
+  SELECT cell, list(s / n ORDER BY pos) AS centroid FROM perdim GROUP BY cell
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {{cosva}}, c.cell) AS crnk
+    FROM e CROSS JOIN cents c
+  ) WHERE crnk = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {{cosqa}}, c.cell) AS crnk
+    FROM q CROSS JOIN cents c
+  ) WHERE crnk <= 2
+), st AS (
+  SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+  FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY i
+), rng AS (SELECT list(mn ORDER BY i) AS qmin, list(mx ORDER BY i) AS qmax FROM st),
+benc AS (
+  SELECT a.vec_id AS neighbor_id, a.cell, {_SQ8_ENC_SQL.format(vec='a.v')} AS bcode
+  FROM assigned a CROSS JOIN rng
+), qenc AS (
+  SELECT p.query_id, p.cell, {_SQ8_ENC_SQL.format(vec='p.qv')} AS qcode
+  FROM probes p CROSS JOIN rng
+), cand AS (
+  SELECT qenc.query_id, benc.neighbor_id,
+    list_reduce(list_transform(qcode, (a, i) -> (a - bcode[i]) * (a - bcode[i])), (s, u) -> s + u) AS qdist2
+  FROM benc JOIN qenc USING (cell)
+), ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdist2, neighbor_id) AS INTEGER) AS rnk,
+         neighbor_id, qdist2
+  FROM cand
+)
+SELECT query_id, rnk, neighbor_id, qdist2 FROM ranked WHERE rnk <= 10
+"""
+
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1038,6 +1101,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
     "doc_len_outliers": (q_doc_len_outliers, SQL_DOC_LEN_OUTLIERS),
     "sq8_ann": (q_sq8_ann, SQL_SQ8_ANN),
+    "ivf_sq8_ann": (
+        q_ivf_sq8_ann,
+        SQL_IVF_SQ8_ANN.format(
+            cosva=_cos_sql("e.v", "c.centroid"), cosqa=_cos_sql("q.qv", "c.centroid")
+        ),
+    ),
     "purchase_view_window": (R.purchase_view_window, SQL_PURCHASE_VIEW_WINDOW),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
 }
