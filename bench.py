@@ -110,7 +110,13 @@ def main() -> None:
     # 16 partitions beat 8 AND 32 at n=2000)
     n_parts = max(2, min(cpus, n_vec // 125))
     t_build = None
-    for _ in range(2):  # min-of-2: same stall guard as the query loop
+    for i in range(2):  # min-of-2: same stall guard as the query loop
+        if i > 0:
+            # drop the previous build's persisted kernel output: the
+            # second iteration's plan is IDENTICAL and Spark substitutes
+            # the cached relation — without this the "rebuild" is a
+            # cache read, not a build (measured 0.17s vs 5s)
+            idx.kernel_out.unpersist(blocking=True)
         t0 = time.perf_counter()
         idx = hnsw_build(
             emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
@@ -156,7 +162,12 @@ def main() -> None:
     ).persist()
     sv.count()  # materialize generation outside the timed build
     t_build512 = None
-    for _ in range(2):  # min-of-2: this is the headline baseline number
+    for i in range(2):  # min-of-2: this is the headline baseline number
+        if i > 0:
+            # unpersist the previous build only (keep sv hot): identical
+            # plans would otherwise resolve to the cached kernel output
+            # and time a cache read instead of a build
+            idx512.kernel_out.unpersist(blocking=True)
         t0 = time.perf_counter()
         idx512 = hnsw_build(sv, HnswParams(dim=512, metric="cosine"), num_partitions=cpus)
         idx512.edges.count()

@@ -79,3 +79,37 @@ def test_streaming_index_ingest_builds_probeable_index(spark, sf_smoke):
         if r["rnk"] == 1:
             assert r["neighbor_id"] == r["query_id"]
             assert abs(r["dist"]) < 1e-6
+
+
+def test_curate_stream_matches_batch(spark, sf_smoke):
+    """The streaming curation (score->gate->sample) is a stateless plan:
+    applying the SAME transformation to the batch frame must give the
+    same rows. With dedup=True, one row per distinct fingerprint
+    survives."""
+    from vectorsearch_with_hnsw_spark.functions.text import fingerprint
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        curate_stream,
+        read_documents_stream,
+    )
+
+    rates = {"en": 40, "de": 60}
+    stream = curate_stream(read_documents_stream(spark, sf_smoke), rates_pct=rates)
+    got = run_stream_to_memory(stream, "curate_test", mode="append")
+    docs = load_table(spark, sf_smoke, "documents")
+    want = curate_stream(docs, rates_pct=rates)  # same plan, batch input
+    cols = ["doc_id", "lang_pred", "n_tokens", "quality_score"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+    dd_stream = curate_stream(
+        read_documents_stream(spark, sf_smoke), rates_pct=rates, dedup=True
+    )
+    dd = run_stream_to_memory(dd_stream, "curate_dd_test", mode="append")
+    n_fp = (
+        want.join(docs.select("doc_id", "text"), "doc_id")
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert dd.count() == n_fp

@@ -49,6 +49,7 @@ class HnswIndex:
         self.edges = edges
         self.meta = meta
         self.params = params
+        self.kernel_out: DataFrame | None = None  # set by hnsw_build
 
     def save(self, path: str) -> None:
         """Persist as Parquet tables + params sidecar (logical equivalent
@@ -195,7 +196,12 @@ def hnsw_build(
         _level_expr(F.col("id"), pickled).alias("level"),
         F.lit(False).alias("deleted"),
     )
-    return HnswIndex(nodes, edges, meta, params)
+    idx = HnswIndex(nodes, edges, meta, params)
+    # the persisted kernel output, exposed so callers (bench, repeated
+    # rebuilds) can release exactly this cache entry — edges/meta are
+    # projections of it and unpersisting those is a no-op
+    idx.kernel_out = edges_raw
+    return idx
 
 
 def _level_expr(id_col, params: HnswParams):

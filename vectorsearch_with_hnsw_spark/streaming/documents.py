@@ -1,0 +1,76 @@
+"""Streaming corpus curation: the incremental twin of
+operators/pipeline.curate.
+
+A landing-zone document stream is scored, quality-gated, and
+hash-sampled entirely map-side — every stage is a stateless projection
+or filter, so the streaming plan is the batch plan verbatim, with no
+state store at all. The exact-dedup keeper step is the one stateful
+stage; it runs as ``dropDuplicates`` on the fingerprint (bounded by the
+retention horizon at deploy time; the documents table carries no event
+time, so the demo stream keeps full fingerprint state — call that out
+rather than faking a watermark).
+
+Parity contract (tests): streaming score→gate→sample over a bounded
+file stream equals the batch composition minus the keeper window; the
+keeper stage's streaming semantics ("first arrival wins") intentionally
+differ from batch ("min doc_id wins"), which only matters when true
+duplicates race — documented, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, lang_id, quality_features
+from ..operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
+
+DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-source stream over the documents parquet (cluster
+    deployment: object-store landing zone with file notifications)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/documents.parqu*")
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 20,
+    min_quality: float = 0.5,
+    dedup: bool = False,
+) -> DataFrame:
+    """Incremental score → gate → sample (→ optional first-wins dedup).
+
+    Stateless except the optional dedup; output schema matches the batch
+    ``curate`` (doc_id, lang_pred, n_tokens, quality_score)."""
+    rates_pct = rates_pct or {}
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("text"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    gated = scored.filter(
+        (F.col("quality_score") >= F.lit(min_quality)) & (F.col("lang_pred") != "und")
+    )
+    mix = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    rate = F.lit(default_pct)
+    for lang, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col("lang_pred") == lang, F.lit(pct)).otherwise(rate)
+    sampled = gated.filter(mix % 100 < rate)
+    if dedup:
+        # first-arrival-wins keeper; full fingerprint state (no event
+        # time on documents — at deploy time bound it with a retention
+        # watermark on the ingest timestamp)
+        sampled = sampled.withColumn("fp", fingerprint(F.col("text"))).dropDuplicates(
+            ["fp"]
+        )
+    return sampled.drop("text", "fp") if dedup else sampled.drop("text")
