@@ -176,6 +176,37 @@ def main() -> None:
     timings["hnsw_build_dim512"] = round(t_build512, 3)
     sv.unpersist()
 
+    # recall@10 of the other ANN families vs the same exact oracle, on
+    # the registry's query set (untimed — quality context for the speeds
+    # above; an ANN row without recall next to it is meaningless)
+    from vectorsearch_with_hnsw_spark import registry as _r
+
+    qset = emb.filter(F.col("vec_id") < _r.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact10 = {
+        metric: {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_exact_fast(emb, qset, k=10, metric=metric).collect()
+        }
+        for metric in ("l2", "cosine")
+    }
+    # each family vs the metric it approximates: SQ8 codes estimate L2;
+    # LSH/IVF route and rank by cosine
+    ann_recall = {}
+    for name, metric in (
+        ("sq8_ann", "l2"),
+        ("ivf_sq8_ann", "l2"),
+        ("lsh_ann_cosine", "cosine"),
+        ("ivf_ann_cosine", "cosine"),
+    ):
+        pairs = {
+            (r["query_id"], r["neighbor_id"]) for r in qmap[name](spark, sf_dir).collect()
+        }
+        want = exact10[metric]
+        ann_recall[f"recall_{name}"] = round(len(pairs & want) / max(1, len(want)), 4)
+    spark.catalog.clearCache()
+
     total = round(time.perf_counter() - t_all, 3)
     result = {
         "metric": "bench_suite_seconds",
@@ -191,6 +222,7 @@ def main() -> None:
             "build512_vecs_per_sec": round(n512 / t_build512, 2),
             "build512_vecs_per_sec_per_core": round(n512 / t_build512 / cpus, 2),
             "hnsw_recall_at_10": recall,
+            **ann_recall,
             "cpus": cpus,
         },
     }

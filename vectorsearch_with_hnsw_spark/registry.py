@@ -350,10 +350,15 @@ WITH b AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
          {_bucket_sql("embedding::DOUBLE[]")} AS bucket
   FROM embeddings
-), q AS (
+), q0 AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
          {_bucket_sql("embedding::DOUBLE[]")} AS bucket
   FROM embeddings WHERE vec_id < {N_QUERIES}
+), q AS (
+  -- multi-probe: home bucket + every 1-bit flip (mirrors the Spark op)
+  SELECT query_id, qv, unnest(list_prepend(bucket,
+           list_transform(range(0, 8), i -> xor(bucket, 1 << CAST(i AS INTEGER))))) AS bucket
+  FROM q0
 ), cand AS (
   SELECT q.query_id, b.neighbor_id, {_COS_DIST_SQL} AS dist
   FROM b JOIN q USING (bucket)
