@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "ivf_sq8_ann",
     "purchase_view_window",
     "curation_pipeline",
+    "quantity_order_stats",
+    "customer_running_total",
 ]
 
 

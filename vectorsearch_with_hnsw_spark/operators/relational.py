@@ -399,3 +399,39 @@ def purchase_view_window(
         )
         .select("purchase_id", "n_views", "views_value")
     )
+
+
+def quantity_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per return flag: discrete percentiles
+    (PERCENTILE_DISC picks an actual data value — no interpolation
+    arithmetic to diverge between engines). One shuffle with map-side
+    partial aggregation; at 100 TB exact percentiles require the sort
+    within each group, which Spark distributes per-key."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_stats")
+    return spark.sql("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          MIN(l_quantity) AS min_qty,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+          MAX(l_quantity) AS max_qty
+        FROM _li_stats GROUP BY l_returnflag
+    """)
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order time — the running-
+    window frame (rows unbounded-preceding..current). One shuffle on
+    custkey; decimal-exact accumulation so every prefix sum is
+    order-independent-exact and engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("int").alias("order_seq"),
+    )

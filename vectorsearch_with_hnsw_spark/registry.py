@@ -986,6 +986,25 @@ SELECT query_id, rnk, neighbor_id, qdist2 FROM ranked WHERE rnk <= 10
 """
 
 
+SQL_QUANTITY_ORDER_STATS = """
+SELECT l_returnflag, COUNT(*) AS n,
+  MIN(l_quantity) AS min_qty,
+  quantile_disc(l_quantity, 0.5) AS p50_qty,
+  quantile_disc(l_quantity, 0.9) AS p90_qty,
+  MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+SQL_CUSTOMER_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  CAST(row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+FROM orders
+"""
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1114,6 +1133,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "purchase_view_window": (R.purchase_view_window, SQL_PURCHASE_VIEW_WINDOW),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
+    "quantity_order_stats": (R.quantity_order_stats, SQL_QUANTITY_ORDER_STATS),
+    "customer_running_total": (R.customer_running_total, SQL_CUSTOMER_RUNNING_TOTAL),
 }
 
 
