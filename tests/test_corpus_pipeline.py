@@ -248,3 +248,22 @@ def test_ivf_sq8_selfmatch(spark, sf_smoke):
     for r in res:
         if r["rnk"] == 1:
             assert r["neighbor_id"] == r["query_id"] and r["qdist2"] == 0
+
+
+def test_new_ops_on_empty_inputs(spark):
+    """Empty-input totality: every new operator returns an empty frame
+    with the right schema instead of raising."""
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty_pairs).count() == 0
+    assert dedup_clusters(empty_pairs).columns == ["doc_id", "cluster_id", "is_keeper"]
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string, source string, n_chars long")
+    assert vocab_top_tokens(empty_docs).count() == 0
+    assert tfidf_top_terms(empty_docs).count() == 0
+    assert stratified_sample(empty_docs, {"en": 50}).count() == 0
+
+    from vectorsearch_with_hnsw_spark.operators.pipeline import curate
+    from vectorsearch_with_hnsw_spark.operators.textpipe import doc_len_outliers
+
+    assert curate(empty_docs).count() == 0
+    assert doc_len_outliers(empty_docs).count() == 0
