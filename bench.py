@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "quantity_order_stats",
     "customer_running_total",
+    "nation_trade_volume",
+    "shipping_priority",
 ]
 
 

@@ -99,3 +99,16 @@ def test_asof_join_plan_has_no_join_operator(spark, sf_smoke):
     plan = formatted_plan(events_asof_purchase(spark, sf_smoke))
     assert "Join" not in plan
     assert count_occurrences(events_asof_purchase(spark, sf_smoke), "Exchange") <= 4
+
+
+def test_nation_trade_volume_broadcasts_all_dims(spark, sf_smoke):
+    """Q7 shape: both nation aliases + supplier + customer are broadcast;
+    no shuffle join anywhere at dim scale (the lineitem⋈orders join is
+    also broadcast at this SF; at 100 TB it becomes the one SMJ, made
+    exchange-free by orderkey bucketing)."""
+    from vectorsearch_with_hnsw_spark.operators.relational import nation_trade_volume
+
+    df = nation_trade_volume(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert df.count() > 0

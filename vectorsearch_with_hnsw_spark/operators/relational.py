@@ -435,3 +435,71 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         ).cast("int").alias("order_seq"),
     )
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume: revenue flowing from
+    supplier nation to customer nation. Two broadcast copies of the
+    nation dim (aliased), broadcast supplier+customer dims; the ONE big
+    shuffle is lineitem⋈orders on orderkey (at scale: co-locate by
+    bucketing both on orderkey — plans/bucketing.py — and it vanishes
+    too)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1995-03-15", topn: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top unshipped-revenue orders
+    for one market segment. Broadcast the filtered customer dim; shuffle
+    once on orderkey for the join+agg; rank on the aggregated (small)
+    result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    agg = (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topn)
+        .select("rnk", "l_orderkey", "o_orderdate", "revenue")
+    )

@@ -1005,6 +1005,37 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """
 
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(SUM({MONEY}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name != nc.n_name
+GROUP BY 1, 2
+"""
+
+SQL_SHIPPING_PRIORITY = f"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, CAST(SUM({MONEY}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS INTEGER) AS rnk,
+         l_orderkey, o_orderdate, revenue
+  FROM agg
+)
+SELECT rnk, l_orderkey, o_orderdate, revenue FROM ranked WHERE rnk <= 10
+"""
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1135,6 +1166,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
     "quantity_order_stats": (R.quantity_order_stats, SQL_QUANTITY_ORDER_STATS),
     "customer_running_total": (R.customer_running_total, SQL_CUSTOMER_RUNNING_TOTAL),
+    "nation_trade_volume": (R.nation_trade_volume, SQL_NATION_TRADE_VOLUME),
+    "shipping_priority": (R.shipping_priority, SQL_SHIPPING_PRIORITY),
 }
 
 
