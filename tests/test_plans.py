@@ -112,3 +112,37 @@ def test_nation_trade_volume_broadcasts_all_dims(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
     assert df.count() > 0
+
+
+def test_order_priority_check_plans_semi_join(spark, sf_smoke):
+    """The EXISTS decorrelates to a LeftSemi join (probe multiplicity
+    never materialized) and the orderdate range filter pushes into the
+    orders parquet scan."""
+    from vectorsearch_with_hnsw_spark.operators.relational import order_priority_check
+
+    plan = formatted_plan(order_priority_check(spark, sf_smoke))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_large_orders_having_filters_before_join(spark, sf_smoke):
+    """Q18 shape: the HAVING-filtered per-order aggregate is the build
+    side of a broadcast join — the full lineitem relation is never
+    re-joined."""
+    from vectorsearch_with_hnsw_spark.operators.relational import large_orders
+
+    df = large_orders(spark, sf_smoke, min_qty=50)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
+
+
+def test_small_quantity_revenue_broadcasts_part_dim(spark, sf_smoke):
+    """Q17 shape: the part dimension joins broadcast; the decorrelated
+    per-part average joins on partkey (shuffle at this SF is fine — the
+    relation is one row per part, not per lineitem)."""
+    from vectorsearch_with_hnsw_spark.operators.relational import small_quantity_revenue
+
+    df = small_quantity_revenue(spark, sf_smoke)
+    assert uses_broadcast_join(df)
+    assert df.count() > 0

@@ -473,6 +473,191 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_check(spark: SparkSession, sf_dir: str, year: str = "1996") -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: orders placed in one year that
+    had at least one line item shipped more than 90 days after the order
+    date, counted per priority. The EXISTS decorrelates to a LEFT SEMI
+    join on orderkey (Spark never materializes the multiplicity of the
+    probe side); the orderdate filter pushes into the orders scan and
+    prunes before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed exactly N
+    orders, including N=0 via a LEFT OUTER join (count(o_orderkey) skips
+    the NULLs an unmatched customer produces). Two shuffles — custkey for
+    the join+count, then the tiny count-of-counts re-agg."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("c_count").desc())
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) -> DataFrame:
+    """TPC-H Q18-shaped HAVING: orders whose total line-item quantity
+    exceeds ``min_qty``, with customer and order detail. The HAVING is a
+    filter over the per-order aggregate — it runs on the reduced relation
+    (one row per order), so only qualifying orderkeys reach the joins;
+    both joins then broadcast the (tiny) filtered aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_tq"))
+        .filter(F.col("_tq") > F.lit(min_qty).cast(DEC))
+        .select("l_orderkey", F.col("_tq").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(oq), orders.o_orderkey == oq.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation (manual pivot): per line
+    status, how many line items belong to high- vs low-priority orders.
+    The CASE WHEN runs inside the aggregate — one join shuffle on
+    orderkey, one tiny agg; no second pass per pivot column."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias("high_count"),
+            F.sum(F.when(~high, F.lit(1)).otherwise(F.lit(0))).alias("low_count"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def brand_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped COUNT DISTINCT: distinct suppliers per
+    (brand, size). Spark plans distinct-aggregates as a two-stage expand
+    (dedupe on group+supplier, then count) — the dedupe happens map-side
+    first, so the shuffle carries unique triples, not raw lineitems."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand", "p_size")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated: line
+    items with quantity below 20% of their part's average, grouped by
+    brand. The per-part average is a separate aggregate joined back on
+    partkey — the classic decorrelation Catalyst cannot do for you when
+    you write a per-row subquery, expressed directly as the efficient
+    plan. The average divides exact decimal sums so the threshold is
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    avg_qty = F.col("sq").cast("double") / F.col("n").cast("double")
+    return (
+        li.join(per_part, li.l_partkey == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * avg_qty)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dsum("l_extendedprice").alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def wealthy_inactive_customers(
+    spark: SparkSession, sf_dir: str, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22-shaped scalar subquery + anti-join: customers whose
+    balance exceeds the global positive-balance average and who placed no
+    order since ``since``, per nation. The scalar average is a 1-row
+    aggregate cross-joined (broadcast) onto every customer row; the
+    "no recent orders" NOT EXISTS is a LEFT ANTI join against the
+    deduped recent-customer keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_row = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows every 30 minutes, so
+    each event lands in exactly two windows. Spark expands the window
+    memberships map-side (no self-join) then aggregates with one shuffle
+    — the same plan Structured Streaming uses for sliding watermarked
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
                       cutoff: str = "1995-03-15", topn: int = 10) -> DataFrame:
     """TPC-H Q3-shaped shipping priority: top unshipped-revenue orders

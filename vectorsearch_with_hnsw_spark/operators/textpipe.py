@@ -124,3 +124,46 @@ def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
         .filter(F.abs(F.col("z")) > F.lit(z_threshold))
         .select("doc_id", "n_chars", "z")
     )
+
+
+def doc_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, the highest single-token frequency, and the
+    two derived ratios (top-token fraction, type/token ratio) that gate
+    boilerplate and keyboard-mash out of a training corpus.
+
+    Shape at scale: explode -> groupBy(doc_id, token) with map-side
+    combine -> groupBy(doc_id). Both shuffles carry one row per distinct
+    (doc, token) — bounded by document length, not corpus size. The
+    LEFT join back to `documents` keeps zero-token documents (their
+    ratios are defined as 0.0, and they are exactly the rows a
+    repetition gate should surface)."""
+    tf = (
+        doc_tokens(docs, distinct=False)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("tf").alias("max_tf"),
+    )
+    zero = F.lit(0).cast("long")
+    joined = docs.select("doc_id").join(per_doc, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), zero).alias("n_tokens"),
+        F.coalesce(F.col("n_distinct"), zero).alias("n_distinct"),
+        F.coalesce(F.col("max_tf"), zero).alias("max_tf"),
+    )
+    nonzero = F.col("n_tokens") > 0
+    ratio = lambda num: F.when(  # noqa: E731
+        nonzero, F.col(num).cast("double") / F.col("n_tokens").cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "max_tf",
+        ratio("max_tf").alias("top_token_ratio"),
+        ratio("n_distinct").alias("unique_ratio"),
+    )

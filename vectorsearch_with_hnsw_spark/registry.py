@@ -1036,6 +1036,119 @@ WITH agg AS (
 SELECT rnk, l_orderkey, o_orderdate, revenue FROM ranked WHERE rnk <= 10
 """
 
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS n_customers FROM pc GROUP BY c_count
+"""
+
+SQL_LARGE_ORDERS = """
+WITH oq AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(300 AS DECIMAL(18,2))
+)
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(tq AS DOUBLE) AS total_qty
+FROM oq JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+"""
+
+SQL_PRIORITY_LINESTATUS = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+SQL_BRAND_SUPPLIER_DISTINCT = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt, COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_size
+"""
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH pp AS (
+  SELECT l_partkey AS pp_key, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, COUNT(*) AS n_small,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+FROM lineitem
+JOIN pp ON l_partkey = pp_key
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < CAST(0.2 AS DOUBLE) * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+GROUP BY p_brand
+"""
+
+SQL_WEALTHY_INACTIVE = """
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN a
+ANTI JOIN recent ON c_custkey = o_custkey
+WHERE c_acctbal > avg_bal
+GROUP BY c_nationkey
+"""
+
+SQL_EVENTS_SLIDING = """
+SELECT bucket, event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS bucket,
+         event_type, value
+  FROM events
+)
+GROUP BY bucket, event_type
+"""
+
+SQL_DOC_REPETITION = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents)
+  GROUP BY doc_id, token
+), pd AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, MAX(tf) AS max_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_distinct, 0) AS n_distinct,
+  COALESCE(max_tf, 0) AS max_tf,
+  CASE WHEN COALESCE(n_tokens, 0) > 0
+       THEN CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS top_token_ratio,
+  CASE WHEN COALESCE(n_tokens, 0) > 0
+       THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS unique_ratio
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import doc_repetition
+
+    return doc_repetition(load_table(spark, sf_dir, "documents"))
+
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1168,6 +1281,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "customer_running_total": (R.customer_running_total, SQL_CUSTOMER_RUNNING_TOTAL),
     "nation_trade_volume": (R.nation_trade_volume, SQL_NATION_TRADE_VOLUME),
     "shipping_priority": (R.shipping_priority, SQL_SHIPPING_PRIORITY),
+    "order_priority_check": (R.order_priority_check, SQL_ORDER_PRIORITY_CHECK),
+    "customer_order_distribution": (
+        R.customer_order_distribution,
+        SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    ),
+    "large_orders": (R.large_orders, SQL_LARGE_ORDERS),
+    "priority_linestatus_counts": (R.priority_linestatus_counts, SQL_PRIORITY_LINESTATUS),
+    "brand_supplier_distinct": (R.brand_supplier_distinct, SQL_BRAND_SUPPLIER_DISTINCT),
+    "small_quantity_revenue": (R.small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "wealthy_inactive_customers": (R.wealthy_inactive_customers, SQL_WEALTHY_INACTIVE),
+    "events_sliding": (R.events_sliding, SQL_EVENTS_SLIDING),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
 }
 
 
