@@ -6,9 +6,11 @@ import pytest
 
 from vectorsearch_with_hnsw_spark.operators.relational import (
     events_sessionize,
+    events_sliding,
     events_tumbling,
 )
 from vectorsearch_with_hnsw_spark.streaming.events import (
+    events_sliding_stream,
     events_tumbling_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -24,6 +26,14 @@ def test_tumbling_stream_matches_batch(spark, sf_smoke):
     stream = events_tumbling_stream(read_events_stream(spark, sf_smoke))
     got = run_stream_to_memory(stream, "tumbling_test", mode="complete")
     want = events_tumbling(spark, sf_smoke)
+    cols = ["bucket", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_matches_batch(spark, sf_smoke):
+    stream = events_sliding_stream(read_events_stream(spark, sf_smoke))
+    got = run_stream_to_memory(stream, "sliding_test", mode="complete")
+    want = events_sliding(spark, sf_smoke)
     cols = ["bucket", "event_type", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
 

@@ -638,6 +638,29 @@ def wealthy_inactive_customers(
     )
 
 
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + distribution window functions in one pass: per
+    customer order, days since the previous order (LAG), the next
+    order's key (LEAD), and the price quartile within the customer
+    (NTILE). All three windows share the custkey partitioning, so
+    Catalyst evaluates them over a single shuffle + sort (the ntile
+    window only re-sorts within already-partitioned groups)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+    )
+
+
 def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window aggregation: 1-hour windows every 30 minutes, so
     each event lands in exactly two windows. Spark expands the window

@@ -1149,6 +1149,66 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(load_table(spark, sf_dir, "documents"))
 
 
+SQL_CUSTOMER_ORDER_GAPS = """
+SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day',
+    CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+  lead(o_orderkey) OVER w AS next_orderkey,
+  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+SQL_EMBEDDING_DIM_STATS = f"""
+WITH x AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT pos, COUNT(*) AS n, MIN(v) AS dim_min, MAX(v) AS dim_max,
+  CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS dim_mean
+FROM x GROUP BY pos
+"""
+
+SQL_MULTIMODAL_FRAMES = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS olen FROM documents)
+SELECT doc_id,
+  CAST(i AS INTEGER) AS frame_no,
+  CAST(least(64, olen - i * 640) AS INTEGER) AS frame_bytes
+FROM d, unnest(range(0, CAST(ceil(olen / 640.0) AS BIGINT))) AS t(i)
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding array column —
+    the array-analytics shape (posexplode -> groupBy position) that also
+    trains the SQ8 quantizer ranges. Decimal-exact mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode(to_vec("embedding")).alias("pos", "v"))
+    return x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("dim_min"),
+        F.max("v").alias("dim_max"),
+        (F.sum(F.col("v").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias(
+            "dim_mean"
+        ),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: 1 payload row -> N frame rows
+    through an Arrow-batched mapInPandas kernel (multimodal/binary.py);
+    the oracle mirrors the byte-window arithmetic exactly."""
+    from .multimodal.binary import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    frames = frame_sample(blobs, id_col="doc_id", every_n=10)
+    return frames.select(
+        "doc_id", "frame_no", F.length("frame_payload").cast("int").alias("frame_bytes")
+    )
+
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1293,6 +1353,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "wealthy_inactive_customers": (R.wealthy_inactive_customers, SQL_WEALTHY_INACTIVE),
     "events_sliding": (R.events_sliding, SQL_EVENTS_SLIDING),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "customer_order_gaps": (R.customer_order_gaps, SQL_CUSTOMER_ORDER_GAPS),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }
 
 

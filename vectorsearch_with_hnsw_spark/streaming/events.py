@@ -56,6 +56,25 @@ def events_tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def events_sliding_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window aggregation (1 h window, 30 min slide) with a
+    late-data watermark — the incremental twin of
+    relational.events_sliding. Spark expands each event into its two
+    window memberships map-side; state per open window is evicted once
+    the watermark passes the window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = "last_ts double, session_seq long"
 SESSION_OUT_SCHEMA = "user_id long, session_seq long, n_events long"
 
