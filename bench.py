@@ -67,6 +67,19 @@ BENCH_QUERIES = [
     "customer_running_total",
     "nation_trade_volume",
     "shipping_priority",
+    "order_priority_check",
+    "customer_order_distribution",
+    "large_orders",
+    "priority_linestatus_counts",
+    "brand_supplier_distinct",
+    "small_quantity_revenue",
+    "wealthy_inactive_customers",
+    "events_sliding",
+    "doc_repetition",
+    "customer_order_gaps",
+    "embedding_dim_stats",
+    "multimodal_frames",
+    "user_event_pivot",
 ]
 
 

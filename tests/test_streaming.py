@@ -191,3 +191,26 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # dropped by watermark eviction rather than re-emitted; 3 is within
     # the horizon (same batch window) and passes
     assert ids == [1, 2, 3]
+
+
+def test_streaming_knn_matches_batch(spark, sf_smoke, tmp_path):
+    """Micro-batch kNN serving: a bounded query stream answered against
+    the static embeddings relation must produce exactly the batch
+    knn_exact_fast results for the same query set."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact_fast
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.ingest import read_embeddings_stream
+    from vectorsearch_with_hnsw_spark.streaming.search import StreamingKnn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    to_queries = lambda df: df.filter(F.col("vec_id") < 8).select(  # noqa: E731
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sink = StreamingKnn(emb, str(tmp_path / "knn_out"), k=5, metric="cosine")
+    got = sink.run(to_queries(read_embeddings_stream(spark, sf_smoke)))
+    want = knn_exact_fast(emb, to_queries(emb), k=5, metric="cosine")
+    cols = ["query_id", "neighbor_id", "dist", "rnk"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert sink.batches_seen >= 1

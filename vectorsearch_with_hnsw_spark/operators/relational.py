@@ -638,6 +638,26 @@ def wealthy_inactive_customers(
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-user event values spread into one column per
+    event type. The pivot values are EXPLICIT — with them Spark skips
+    the extra distinct-values job and plans a single conditional
+    aggregation pass (one shuffle on user_id), which is also the only
+    shape that has a stable schema at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"{t}_value") for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
 def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation + distribution window functions in one pass: per
     customer order, days since the previous order (LAG), the next

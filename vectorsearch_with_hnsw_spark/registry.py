@@ -1149,6 +1149,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(load_table(spark, sf_dir, "documents"))
 
 
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error_value,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup_value,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_value
+FROM events GROUP BY user_id
+"""
+
 SQL_CUSTOMER_ORDER_GAPS = """
 SELECT o_custkey, o_orderkey,
   CAST(date_diff('day',
@@ -1354,6 +1364,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_sliding": (R.events_sliding, SQL_EVENTS_SLIDING),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "customer_order_gaps": (R.customer_order_gaps, SQL_CUSTOMER_ORDER_GAPS),
+    "user_event_pivot": (R.user_event_pivot, SQL_USER_EVENT_PIVOT),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }
