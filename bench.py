@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "multimodal_frames",
     "user_event_pivot",
+    "user_day_activity",
+    "viewing_purchasers",
+    "chunk_documents",
 ]
 
 

@@ -267,3 +267,36 @@ def test_new_ops_on_empty_inputs(spark):
 
     assert curate(empty_docs).count() == 0
     assert doc_len_outliers(empty_docs).count() == 0
+
+
+def test_chunk_documents_properties(spark):
+    """Every token lands in >= 1 chunk, chunk_id 0 starts at 0, stride
+    spacing holds, chunks cap at the window size, overlap region repeats
+    the previous chunk's tail, and empty docs yield no chunks."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=128, stride=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/whitespace docs -> no chunks
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(d1) == 5  # ceil(300/64)
+    assert [r["start"] for r in d1] == [0, 64, 128, 192, 256]
+    assert [r["n_chunk_tokens"] for r in d1] == [128, 128, 128, 108, 44]
+    # full coverage: union of [start, start+n) covers 0..299
+    covered = set()
+    for r in d1:
+        covered |= set(range(r["start"], r["start"] + r["n_chunk_tokens"]))
+    assert covered == set(range(300))
+    # overlap: chunk k repeats the last (window-stride) tokens of chunk k-1
+    t0 = d1[0]["chunk_text"].split(" ")
+    t1 = d1[1]["chunk_text"].split(" ")
+    assert t0[64:] == t1[:64]
+    (d2,) = by_doc[2]
+    assert d2["n_chunk_tokens"] == 3 and d2["chunk_text"] == "only three tokens"

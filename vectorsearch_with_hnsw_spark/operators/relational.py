@@ -638,6 +638,51 @@ def wealthy_inactive_customers(
     )
 
 
+def user_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface: per (user, day), view totals next to
+    purchase totals, keeping days with only one side of activity. Both
+    sides pre-aggregate to one row per key, so the outer join shuffles
+    deduped keys only; Spark's USING-column join coalesces the keys."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts")).alias("day")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.col("value").cast(DEC)).alias("_vv"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(DEC)).alias("_pv"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    zdec = F.lit(0).cast(DEC)
+    return views.join(purchases, ["user_id", "day"], "full_outer").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_views"), zero).alias("n_views"),
+        F.coalesce(F.col("n_purchases"), zero).alias("n_purchases"),
+        F.coalesce(F.col("_vv"), zdec).cast("double").alias("views_value"),
+        F.coalesce(F.col("_pv"), zdec).cast("double").alias("purchases_value"),
+    )
+
+
+def viewing_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op surface: users who both viewed and purchased.
+    Spark plans INTERSECT as a distinct-aggregated semi join — both
+    inputs dedupe map-side before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -167,3 +167,39 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
         ratio("max_tf").alias("top_token_ratio"),
         ratio("n_distinct").alias("unique_ratio"),
     )
+
+
+def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 64) -> DataFrame:
+    """Context-window chunking: split each document into token windows of
+    ``window`` tokens every ``stride`` tokens (overlapping when
+    stride < window) — the pretraining-prep step that turns a curated
+    corpus into training sequences.
+
+    Pure Catalyst: tokenize once, generate the start offsets with
+    ``sequence``, then explode and slice — no Python in the path, and the
+    explode is map-side (no shuffle at all; at 100 TB this runs wholly
+    inside the scan stage). A document yields ceil(n/stride) chunks
+    (every token is in at least one chunk; the final chunks are short);
+    empty documents yield none."""
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size("toks")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("start"),
+            F.expr(f"slice(toks, start + 1, {window})").alias("chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            F.size("chunk_toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
+        )
+    )

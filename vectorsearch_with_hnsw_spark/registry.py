@@ -1149,6 +1149,50 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(load_table(spark, sf_dir, "documents"))
 
 
+SQL_USER_DAY_ACTIVITY = """
+WITH v AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_views,
+         SUM(CAST(value AS DECIMAL(18,2))) AS vv
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases,
+         SUM(CAST(value AS DECIMAL(18,2))) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+  COALESCE(v.day, p.day) AS day,
+  COALESCE(n_views, 0) AS n_views,
+  COALESCE(n_purchases, 0) AS n_purchases,
+  CAST(COALESCE(vv, 0) AS DOUBLE) AS views_value,
+  CAST(COALESCE(pv, 0) AS DOUBLE) AS purchases_value
+FROM v FULL JOIN p ON v.user_id = p.user_id AND v.day = p.day
+"""
+
+SQL_VIEWING_PURCHASERS = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, CAST(i AS INTEGER) AS chunk_id, CAST(i * 64 AS INTEGER) AS start
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, chunk_id, start,
+  CAST(len(toks[start + 1 : start + 128]) AS INTEGER) AS n_chunk_tokens,
+  array_to_string(toks[start + 1 : start + 128], ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), window=128, stride=64)
+
+
 SQL_USER_EVENT_PIVOT = """
 SELECT user_id,
   CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
@@ -1365,6 +1409,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "customer_order_gaps": (R.customer_order_gaps, SQL_CUSTOMER_ORDER_GAPS),
     "user_event_pivot": (R.user_event_pivot, SQL_USER_EVENT_PIVOT),
+    "user_day_activity": (R.user_day_activity, SQL_USER_DAY_ACTIVITY),
+    "viewing_purchasers": (R.viewing_purchasers, SQL_VIEWING_PURCHASERS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }
