@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "user_day_activity",
     "viewing_purchasers",
     "chunk_documents",
+    "viewers_never_purchasing",
+    "user_daily_timeline",
+    "event_sketch_stats",
 ]
 
 

@@ -122,3 +122,21 @@ def test_asof_join_semantics(spark):
     assert out[13] == (200, 20.0)
     assert out[14] == (None, None)
     assert out[15] == (150, 55.0)
+
+
+def test_event_sketch_stats_error_bounds(spark, sf_smoke):
+    """Sketches have no cross-engine oracle; the check is the error
+    contract itself: HLL++ distinct counts within 5% relative error of
+    exact (default rsd=0.05), approx median within the observed value
+    range and close to the exact median."""
+    from vectorsearch_with_hnsw_spark.operators.relational import event_sketch_stats
+
+    rows = event_sketch_stats(spark, sf_smoke).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["exact_users"] > 0
+        rel = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= 0.05, f"{r['event_type']}: HLL rel err {rel}"
+        assert abs(r["approx_p50_value"] - r["exact_p50_value"]) <= max(
+            0.1 * abs(r["exact_p50_value"]), 1e-9
+        )

@@ -146,3 +146,26 @@ def test_small_quantity_revenue_broadcasts_part_dim(spark, sf_smoke):
     df = small_quantity_revenue(spark, sf_smoke)
     assert uses_broadcast_join(df)
     assert df.count() > 0
+
+
+def test_chunk_documents_is_map_side_only(spark, sf_smoke):
+    """Context-window chunking must plan with ZERO exchanges — tokenize,
+    generate offsets, explode and slice all inside the scan stage."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import chunk_documents
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    df = chunk_documents(load_table(spark, sf_smoke, "documents"))
+    assert count_occurrences(df, "Exchange") == 0
+
+
+def test_pivot_single_shuffle(spark, sf_smoke):
+    """Explicit pivot values => one conditional-aggregation pass: a
+    single shuffle exchange, no distinct-values job, no extra agg."""
+    from vectorsearch_with_hnsw_spark.operators.relational import user_event_pivot
+
+    df = user_event_pivot(spark, sf_smoke)
+    # one Exchange for the groupBy + the orderBy's rangepartitioning;
+    # formatted explain lists each node twice (tree + detail) => <= 4.
+    # groupBy().pivot() would add a third (pre-agg) exchange pair.
+    assert count_occurrences(df, "Exchange") <= 4
+    assert count_occurrences(df, "pivotfirst") == 0

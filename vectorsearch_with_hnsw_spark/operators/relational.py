@@ -683,24 +683,102 @@ def viewing_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewers.intersect(buyers)
 
 
+def event_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-sketch aggregation surface: per event type, HLL++
+    distinct users (`approx_count_distinct`) and a GK-sketch median
+    (`approx_percentile`) next to their exact counterparts. Sketches are
+    THE 100 TB answer for distincts/quantiles — fixed memory per group,
+    one pass, mergeable across partitions — where exact distinct counts
+    shuffle every key and exact percentiles sort every group. No DuckDB
+    oracle (sketch internals are engine-specific by design — the driver
+    records a rows-only check); tests bound the relative error against
+    the exact values instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("approx_percentile(value, 0.5)").alias("approx_p50_value"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+                "exact_p50_value"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def viewers_never_purchasing(
+    spark: SparkSession, sf_dir: str, since: str = "2024-01-25"
+) -> DataFrame:
+    """EXCEPT set-op surface: users who viewed but never purchased
+    within the trailing window — the per-user complement of
+    ``viewing_purchasers`` (the anti-join variant
+    ``view_days_without_purchase`` is per-day). ``subtract`` is SQL
+    EXCEPT (set semantics — both sides deduped before the anti join);
+    the ts filter pushes into both scans."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit(since).cast("timestamp")
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(buyers)
+
+
+def user_daily_timeline(spark: SparkSession, sf_dir: str, user_cap: int = 50) -> DataFrame:
+    """Date-spine gap fill (time-series resample): one row per (user,
+    day) across each user's own active span, zero-filled on days with no
+    events. The spine is generated with ``sequence`` over the per-user
+    min/max day — map-side explode, no driver loop, no cross join with a
+    global calendar (at 100 TB a global spine would multiply every user
+    by the full date range; the per-user span generates only what the
+    user can actually own). Capped to the first ``user_cap`` users to
+    keep the demo output bounded."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < user_cap)
+    day = F.to_date(F.col("ts")).alias("day")
+    daily = ev.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("_dv"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    zero = F.lit(0).cast("long")
+    return spine.join(daily, ["user_id", "day"], "left_outer").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), zero).alias("n_events"),
+        F.coalesce(F.col("_dv"), F.lit(0).cast(DEC)).cast("double").alias("day_value"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: per-user event values spread into one column per
-    event type. The pivot values are EXPLICIT — with them Spark skips
-    the extra distinct-values job and plans a single conditional
-    aggregation pass (one shuffle on user_id), which is also the only
-    shape that has a stable schema at 100 TB."""
+    event type, lowered by hand to single-pass conditional aggregation.
+
+    ``groupBy().pivot(col, values)`` — even with explicit values — plans
+    TWO aggregation phases (pre-agg on (user, type), shuffle, pivotfirst
+    on user: 2 exchanges before the sort; verified via explain). The
+    conditional-sum form is the same result in ONE shuffle with map-side
+    partials, and explicit per-type columns are also the only shape with
+    a stable schema at 100 TB (a data-driven pivot needs a
+    distinct-values job first)."""
     ev = load_table(spark, sf_dir, "events")
-    pivoted = (
-        ev.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
-    )
-    return pivoted.select(
-        "user_id", *[F.col(t).alias(f"{t}_value") for t in EVENT_TYPES]
-    ).orderBy("user_id")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, F.col("value").cast(DEC)))
+        .cast("double")
+        .alias(f"{t}_value")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
 
 
 def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:

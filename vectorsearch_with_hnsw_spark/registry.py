@@ -1193,6 +1193,31 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"), window=128, stride=64)
 
 
+SQL_VIEWERS_NEVER_PURCHASING = """
+SELECT user_id FROM events
+WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-25'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-25'
+"""
+
+SQL_USER_DAILY_TIMELINE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS dv
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(d AS DATE) AS day
+  FROM spans, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)
+)
+SELECT spine.user_id, spine.day,
+  COALESCE(n_events, 0) AS n_events,
+  CAST(COALESCE(dv, 0) AS DOUBLE) AS day_value
+FROM spine LEFT JOIN daily ON spine.user_id = daily.user_id AND spine.day = daily.day
+"""
+
 SQL_USER_EVENT_PIVOT = """
 SELECT user_id,
   CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
@@ -1411,6 +1436,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "user_event_pivot": (R.user_event_pivot, SQL_USER_EVENT_PIVOT),
     "user_day_activity": (R.user_day_activity, SQL_USER_DAY_ACTIVITY),
     "viewing_purchasers": (R.viewing_purchasers, SQL_VIEWING_PURCHASERS),
+    "viewers_never_purchasing": (R.viewers_never_purchasing, SQL_VIEWERS_NEVER_PURCHASING),
+    "event_sketch_stats": (R.event_sketch_stats, None),  # sketches: rows-only check; error bounded in tests
+    "user_daily_timeline": (R.user_daily_timeline, SQL_USER_DAILY_TIMELINE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
