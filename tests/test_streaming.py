@@ -214,3 +214,62 @@ def test_streaming_knn_matches_batch(spark, sf_smoke, tmp_path):
     cols = ["query_id", "neighbor_id", "dist", "rnk"]
     assert _rows(got, cols) == _rows(want, cols)
     assert sink.batches_seen >= 1
+
+
+def test_enriched_stream_matches_batch(spark, sf_smoke):
+    """Stream-static dimension join: streaming purchase events enriched
+    with the customer dim must aggregate to the same per-nation totals
+    as the identical batch plan."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.events import events_enriched_stream
+
+    cust = load_table(spark, sf_smoke, "customer")
+    stream = events_enriched_stream(read_events_stream(spark, sf_smoke), cust)
+    got = run_stream_to_memory(stream, "enriched_test", mode="complete")
+    ev = load_table(spark, sf_smoke, "events")
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("purchase_value"),
+        )
+    )
+    cols = ["c_nationkey", "n_purchases", "purchase_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_attribution_stream_matches_batch_interval_join(spark, sf_smoke):
+    """Stream-stream interval join (watermarked both sides) must equal
+    the batch interval_join composition on the same bounded input."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.relational import interval_join
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.events import (
+        view_purchase_attribution_stream,
+    )
+
+    stream = view_purchase_attribution_stream(read_events_stream(spark, sf_smoke))
+    got = run_stream_to_memory(stream, "attribution_test", mode="append")
+    ev = load_table(spark, sf_smoke, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    want = interval_join(purchases, views, key="user_id", lookback_sec=3600).select(
+        "purchase_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts_left").alias("p_ts"),
+        F.col("ts_right").alias("v_ts"),
+        "view_value",
+    )
+    cols = ["purchase_id", "p_user", "p_ts", "v_ts", "view_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0

@@ -149,3 +149,60 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"
     )
     q.awaitTermination(120)
     return stream_df.sparkSession.table(name)
+
+
+def events_enriched_stream(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment join: each purchase event picks up its
+    customer's nation via a broadcast of the static dimension — the
+    standard streaming star-join. The static side re-resolves per
+    micro-batch (a dimension update is visible to the next batch);
+    aggregation state is keyed on the enriched (nation) key, so its
+    cardinality is bounded by the dimension, not the stream."""
+    enriched = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+    )
+    return enriched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("purchase_value"),
+    )
+
+
+def view_purchase_attribution_stream(
+    events: DataFrame, lookback_sec: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's views in the preceding hour. Both sides carry watermarks and
+    the join condition bounds event time on BOTH ends — that pair of
+    constraints is what lets Spark evict buffered state (an unbounded
+    stream-stream join would buffer forever). Equi-key on user_id, time
+    range as the join residual: the same shape as the batch
+    ``interval_join`` (operators/relational.py), incrementalized."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "p_user", "p_ts", "v_ts", "view_value")
