@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "viewers_never_purchasing",
     "user_daily_timeline",
     "event_sketch_stats",
+    "dedup_keep_best",
+    "corpus_report",
+    "pack_chunks",
 ]
 
 

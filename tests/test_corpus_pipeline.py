@@ -300,3 +300,38 @@ def test_chunk_documents_properties(spark):
     assert t0[64:] == t1[:64]
     (d2,) = by_doc[2]
     assert d2["n_chunk_tokens"] == 3 and d2["chunk_text"] == "only three tokens"
+
+
+def test_pack_chunks_budget_invariants(spark, sf_smoke):
+    """Greedy prefix packing: within a shard pack_ids are monotone over
+    (doc_id, chunk_id); every pack's token total stays below
+    budget + window (a chunk can straddle the boundary but never more);
+    and every pack except the shard's last holds >= budget - window + 1
+    tokens (no premature cut)."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import pack_chunks
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    budget, window = 512, 128
+    rows = pack_chunks(
+        load_table(spark, sf_smoke, "documents"),
+        window=window,
+        stride=64,
+        budget=budget,
+        n_shards=8,
+    ).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        packs = [r["pack_id"] for r in rs]
+        assert packs == sorted(packs), f"shard {shard}: pack_id not monotone"
+        totals = {}
+        for r in rs:
+            totals[r["pack_id"]] = totals.get(r["pack_id"], 0) + r["n_chunk_tokens"]
+        last = max(totals)
+        for pid, tot in totals.items():
+            assert tot < budget + window, f"pack {pid} overflowed: {tot}"
+            if pid != last:
+                assert tot >= budget - window + 1, f"pack {pid} underfilled: {tot}"

@@ -268,3 +268,38 @@ def embedding_neardup_pairs(
         .select("blk", "id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+def dedup_keep_best(docs: DataFrame) -> DataFrame:
+    """Quality-aware exact dedup (CCNet-style): within each
+    fingerprint group keep the highest-quality document, not the lowest
+    id — the policy a curation pipeline actually wants (the duplicate
+    kept decides which boilerplate variant survives). One shuffle on the
+    fingerprint; the quality score is computed map-side before it.
+
+    Keeper = max (quality_score, -doc_id) per group: highest score,
+    lowest doc_id on ties — a single max(struct) aggregation, no window,
+    no second pass."""
+    from .textpipe import SAMPLE_MIX  # noqa: F401  (shared constants live here)
+    from ..functions.text import quality_features
+
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        feats["quality_score"].alias("q"),
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        scored.groupBy("fp")
+        .agg(
+            best.alias("_b"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(
+            "fp",
+            (-F.col("_b.neg_id")).alias("keeper_doc_id"),
+            F.col("_b.q").alias("keeper_quality"),
+            "n_dups",
+        )
+    )

@@ -203,3 +203,41 @@ def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 64) -> Dat
             F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
         )
     )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    budget: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Token-budget sequence packing: assign chunks to training packs of
+    ~``budget`` tokens by greedy prefix-sum within a shard.
+
+    A GLOBAL greedy pack would need a single total order — one
+    partition, no parallelism. Sharding by hash(doc_id) first keeps the
+    window partitioned (parallel cumulative sums, one shuffle), at the
+    cost of at most one under-filled pack per shard — the standard
+    trade at 100 TB, where a pack boundary is worth nothing across
+    shards anyway. All arithmetic is integer (prefix sums of token
+    counts), so the assignment is engine-exact and reproducible."""
+    ch = chunk_documents(docs, window=window, stride=stride).withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0).cast("long"))
+    return ch.select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        (
+            F.col("shard").cast("long") * F.lit(1_000_000)
+            + F.floor(cum_before / F.lit(budget))
+        ).alias("pack_id"),
+    )

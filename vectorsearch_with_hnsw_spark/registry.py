@@ -1288,6 +1288,121 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per (source, lang) document counts, size, and
+    decimal-exact mean quality — the rollout summary a curation run
+    publishes. One shuffle on the tiny (source, lang) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))["quality_score"]
+    return (
+        docs.select("source", "lang", "n_chars", q.alias("q"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_quality"
+            ),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_high_quality"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import pack_chunks
+
+    return pack_chunks(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_CTE = """
+  SELECT doc_id, text, source, lang, n_chars,
+         CAST(len({toks_raw}) AS INTEGER) AS n_tok,
+         CAST(length(text) AS INTEGER) AS n_char,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS INTEGER) AS n_punct,
+         CAST(len(list_filter(list_transform({toks_raw}, x -> lower(x)),
+                              t2 -> list_contains([{stop}], t2))) AS INTEGER) AS n_stop
+  FROM documents
+"""
+
+_QSCORE = """
+    (((CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+     + CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+     + CASE WHEN sr >= 0.05 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+     + CASE WHEN pr <= 0.2 THEN CAST(0.1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+"""
+
+
+def _sql_quality_scored() -> str:
+    """CTE chain `qt -> qs` ending with (doc_id, source, lang, n_chars,
+    fp, q) — the shared prefix of the keep-best and report oracles."""
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+    return f"""
+qt AS ({_QUALITY_CTE.format(toks_raw=SQL_TOKS_RAW, stop=stop)}),
+qs AS (
+  SELECT doc_id, source, lang, n_chars, {_FP_SQL} AS fp,
+    {_QSCORE.format()} AS q
+  FROM (
+    SELECT *,
+      CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS mwl,
+      CASE WHEN n_char > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS pr,
+      CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS sr
+    FROM qt
+  )
+)
+"""
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH {_sql_quality_scored()},
+r AS (
+  SELECT fp, doc_id, q,
+         row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_dups
+  FROM qs
+)
+SELECT fp, doc_id AS keeper_doc_id, q AS keeper_quality, n_dups FROM r WHERE rn = 1
+"""
+
+
+def _sql_corpus_report() -> str:
+    return f"""
+WITH {_sql_quality_scored()}
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
+  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+FROM qs GROUP BY source, lang
+"""
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, CAST(i AS INTEGER) AS chunk_id, CAST(i * 64 AS INTEGER) AS start
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS u(i)
+), ch AS (
+  SELECT CAST(doc_id % 32 AS INTEGER) AS shard, doc_id, chunk_id,
+         CAST(len(toks[start + 1 : start + 128]) AS INTEGER) AS n_chunk_tokens
+  FROM s
+), packed AS (
+  SELECT shard, doc_id, chunk_id, n_chunk_tokens,
+    COALESCE(CAST(SUM(n_chunk_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id, chunk_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+  FROM ch
+)
+SELECT shard, doc_id, chunk_id, n_chunk_tokens,
+  CAST(shard AS BIGINT) * 1000000 + CAST(floor(cum_before / 2048) AS BIGINT) AS pack_id
+FROM packed
+"""
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1438,6 +1553,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "viewing_purchasers": (R.viewing_purchasers, SQL_VIEWING_PURCHASERS),
     "viewers_never_purchasing": (R.viewers_never_purchasing, SQL_VIEWERS_NEVER_PURCHASING),
     "event_sketch_stats": (R.event_sketch_stats, None),  # sketches: rows-only check; error bounded in tests
+    "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
+    "corpus_report": (q_corpus_report, _sql_corpus_report()),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "user_daily_timeline": (R.user_daily_timeline, SQL_USER_DAILY_TIMELINE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
