@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "corpus_report",
     "pack_chunks",
+    "pricing_cube",
+    "waiting_supplier_orders",
 ]
 
 

@@ -335,3 +335,22 @@ def test_pack_chunks_budget_invariants(spark, sf_smoke):
             assert tot < budget + window, f"pack {pid} overflowed: {tot}"
             if pid != last:
                 assert tot >= budget - window + 1, f"pack {pid} underfilled: {tot}"
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
+    """ORC sink/source round-trip preserves schema+values; predicate
+    pushdown reaches the ORC scan like Parquet."""
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.sources.formats import read_orc, write_orc
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path, "doc_id long, text string, lang string, source string, n_chars long")
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = sorted(r["doc_id"] for r in docs.filter("n_chars > 100").collect())
+    b = sorted(r["doc_id"] for r in back.filter("n_chars > 100").collect())
+    assert a == b
+    plan = back.filter("n_chars > 100")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan

@@ -683,6 +683,69 @@ def viewing_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewers.intersect(buyers)
 
 
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: totals for every subset of
+    (returnflag, linestatus) — both rollup paths plus the
+    linestatus-only marginal — from ONE shuffle (Spark expands grouping
+    sets map-side exactly like ROLLUP, just with more sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "count_order",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def waiting_supplier_orders(
+    spark: SparkSession, sf_dir: str, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q21-shaped compound correlated subquery: per supplier, the
+    (order, supplier) pairs where this supplier shipped late, the order
+    involved at least one OTHER supplier, and NO other supplier shipped
+    late — the classic "who alone held up a multi-supplier order".
+
+    The literal form is EXISTS + NOT EXISTS, both correlated — executed
+    naively, two more passes over lineitem per row. Reformulated here as
+    ONE order-level aggregate: n_suppliers = countDistinct(supp),
+    n_late_suppliers = countDistinct(supp | late); a late pair
+    qualifies iff n_suppliers > 1 AND n_late_suppliers = 1. One
+    orderkey shuffle for the aggregate, broadcast back to the late
+    pairs. The DuckDB oracle runs the LITERAL EXISTS/NOT EXISTS
+    formulation — passing it proves the rewrite is semantics-preserving,
+    not just fast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    late_pairs = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late_pairs.join(per_order, late_pairs.l_orderkey == F.col("agg_okey"))
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        .select("l_orderkey", "l_suppkey", "n_suppliers")
+        .orderBy("l_orderkey", "l_suppkey")
+    )
+
+
 def event_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-sketch aggregation surface: per event type, HLL++
     distinct users (`approx_count_distinct`) and a GK-sketch median

@@ -1193,6 +1193,38 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"), window=128, stride=64)
 
 
+SQL_PRICING_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+SQL_WAITING_SUPPLIER_ORDERS = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+), ns AS (
+  SELECT l_orderkey AS nok, COUNT(DISTINCT l_suppkey) AS n_suppliers
+  FROM lineitem GROUP BY 1
+)
+SELECT l1.l_orderkey, l1.l_suppkey, ns.n_suppliers
+FROM l1 JOIN ns ON l1.l_orderkey = ns.nok
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+"""
+
 SQL_VIEWERS_NEVER_PURCHASING = """
 SELECT user_id FROM events
 WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-25'
@@ -1556,6 +1588,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "corpus_report": (q_corpus_report, _sql_corpus_report()),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
+    "waiting_supplier_orders": (R.waiting_supplier_orders, SQL_WAITING_SUPPLIER_ORDERS),
     "user_daily_timeline": (R.user_daily_timeline, SQL_USER_DAILY_TIMELINE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),

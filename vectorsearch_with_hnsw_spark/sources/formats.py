@@ -63,3 +63,17 @@ def write_parquet_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib default): the other columnar at-rest format a
+    lakehouse ingests; same pushdown/pruning properties as Parquet in
+    Spark's native reader."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC source. Schema optional — ORC embeds it — but passing one
+    pins the contract exactly like the CSV/JSONL readers."""
+    r = spark.read.schema(schema) if schema else spark.read
+    return r.orc(path)
