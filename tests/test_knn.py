@@ -52,3 +52,29 @@ def test_unknown_metric_raises(emb, queries):
         knn_exact(emb, queries, k=3, metric="hamming")
     with pytest.raises(ValueError):
         knn_exact_fast(emb, queries, k=3, metric="hamming")
+
+
+def test_similarity_search_unified_api(spark, sf_smoke):
+    """Every method answers through the one entry point with the same
+    (query_id, neighbor_id, rnk) contract; an indexed query vector
+    self-matches at rank 1 in every family; unknown method raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.search import METHODS, similarity_search
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for method in METHODS:
+        res = similarity_search(
+            emb, q, method=method, k=5, metric="cosine", dim=64, num_partitions=2
+        )
+        cols = set(res.columns)
+        assert {"query_id", "neighbor_id", "rnk"} <= cols, f"{method}: {cols}"
+        top = res.filter(F.col("rnk") == 1).collect()
+        assert len(top) == 1 and top[0]["neighbor_id"] == 3, f"{method} self-match"
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity_search(emb, q, method="faiss")

@@ -9,6 +9,7 @@ from .dedup import (
     simhash_signatures,
 )
 from .ivf import ivf_knn_cosine
+from .search import similarity_search
 from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
 from .synth import synthetic_vectors
 
@@ -26,6 +27,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "simhash_signatures",
+    "similarity_search",
     "synthetic_vectors",
     "topk_per_group",
 ]

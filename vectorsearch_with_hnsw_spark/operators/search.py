@@ -1,0 +1,92 @@
+"""Unified similarity-search API (SURVEY.md §7 P5).
+
+One entry point over every ANN/exact family the engine implements, so a
+caller picks a recall/cost point by name instead of learning seven
+operator signatures:
+
+| method       | recall profile        | cost profile                   |
+|--------------|-----------------------|--------------------------------|
+| exact        | 1.0 (definition)      | O(N·Q) declarative plan        |
+| exact_fast   | 1.0 (bit-identical)   | O(N·Q) BLAS partial top-k      |
+| hnsw         | ~1.0 at defaults      | O(ef·Q) probes after build     |
+| sq8          | high                  | full scan, 4x smaller codes    |
+| ivf_sq8      | medium                | cell-pruned quantized scan     |
+| ivf          | medium                | cell-pruned full vectors       |
+| lsh          | low (tunable probes)  | bucket-join only               |
+
+Every method takes the same (base, queries) relations — base
+``(vec_id, embedding)``-shaped, queries ``(query_id, query_vec)`` — and
+returns at least ``(query_id, neighbor_id, rnk)`` with a
+family-specific score column. Measured recalls on the synthetic
+testdata are published by bench.py (``extra.recall_*``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "sq8", "ivf_sq8")
+
+
+def similarity_search(
+    base: DataFrame,
+    queries: DataFrame,
+    method: str = "exact",
+    k: int = 10,
+    metric: str = "l2",
+    dim: int | None = None,
+    n_probe: int = 2,
+    index=None,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Dispatch to one similarity-search family by name.
+
+    ``dim`` is required for the hyperplane/centroid methods (lsh, ivf,
+    ivf_sq8, hnsw without a prebuilt index); pass ``index`` (an
+    ``HnswIndex``) to probe an existing HNSW artifact instead of
+    building one per call. Unknown methods raise ValueError, mirroring
+    the reference's unknown-metric error (hsnw_trial.py:88-89)."""
+    if method not in METHODS:
+        raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+    if method == "exact":
+        from .knn import knn_exact
+
+        return knn_exact(base, queries, k=k, metric=metric)
+    if method == "exact_fast":
+        from .knn import knn_exact_fast
+
+        return knn_exact_fast(base, queries, k=k, metric=metric)
+    if method == "lsh":
+        from .ann import lsh_knn_cosine
+
+        return lsh_knn_cosine(base, queries, dim=_dim(dim, method), k=k)
+    if method == "ivf":
+        from .ivf import ivf_knn_cosine
+
+        return ivf_knn_cosine(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
+    if method == "sq8":
+        from .quantize import sq8_knn
+
+        return sq8_knn(base, queries, k=k)
+    if method == "ivf_sq8":
+        from .quantize import ivf_sq8_knn
+
+        return ivf_sq8_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
+    # hnsw
+    from ..index.build import HnswParams, hnsw_build
+    from ..index.query import knn_hnsw
+
+    if index is None:
+        index = hnsw_build(
+            base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+            HnswParams(dim=_dim(dim, method), metric=metric),
+            num_partitions=num_partitions,
+        )
+    return knn_hnsw(index, queries, k=k)
+
+
+def _dim(dim: int | None, method: str) -> int:
+    if dim is None:
+        raise ValueError(f"method {method!r} requires dim=")
+    return dim
