@@ -43,3 +43,20 @@ def test_cli_curate_and_clusters(spark, tmp_path, capsys):
     back = spark.read.parquet(cur)
     assert back.count() > 0 and "lang_pred" in back.columns
     assert spark.read.parquet(cl).count() > 0
+
+
+def test_cli_chunk_pack(spark, tmp_path, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    out = str(tmp_path / "chunks")
+    cli.main(["chunk", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+              "--budget", "512", "--shards", "8"])
+    captured = capsys.readouterr()
+    assert "packed " in captured.out
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert {"shard", "pack_id", "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"} <= set(back.columns)
+    # partitioned by shard => partition pruning prunes to one directory
+    one = back.filter("shard = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan

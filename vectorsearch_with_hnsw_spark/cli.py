@@ -64,6 +64,17 @@ def main(argv: list[str] | None = None) -> None:
     cl.add_argument("--sf-dir", required=True)
     cl.add_argument("--out", required=True)
 
+    ck = sub.add_parser(
+        "chunk",
+        help="context-window chunking + token-budget packing -> parquet",
+    )
+    ck.add_argument("--sf-dir", required=True)
+    ck.add_argument("--out", required=True)
+    ck.add_argument("--window", type=int, default=128)
+    ck.add_argument("--stride", type=int, default=64)
+    ck.add_argument("--budget", type=int, default=2048)
+    ck.add_argument("--shards", type=int, default=32)
+
     args = ap.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -113,6 +124,24 @@ def main(argv: list[str] | None = None) -> None:
             cc = dedup_clusters(D.minhash_lsh_pairs(docs))
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
+        elif args.cmd == "chunk":
+            from .operators.textpipe import chunk_documents, pack_chunks
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            packed = pack_chunks(
+                docs,
+                window=args.window,
+                stride=args.stride,
+                budget=args.budget,
+                n_shards=args.shards,
+            )
+            chunks = chunk_documents(docs, window=args.window, stride=args.stride)
+            packed = packed.select("doc_id", "chunk_id", "shard", "pack_id")
+            out = chunks.join(packed, ["doc_id", "chunk_id"]).select(
+                "shard", "pack_id", "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"
+            )
+            out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+            print(f"packed {out.count()} chunks -> {args.out}")
     finally:
         if owns_session:
             spark.stop()

@@ -730,7 +730,8 @@ def waiting_supplier_orders(
     )
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
-    )
+    ).persist()
+    lo.count()  # eager: two consumers (aggregate + late-pair filter) share one join pass
     per_order = lo.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
