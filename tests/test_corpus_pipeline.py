@@ -354,3 +354,26 @@ def test_orc_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
     assert a == b
     plan = back.filter("n_chars > 100")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "n_chars" in plan
+
+
+def test_session_new_ops_on_empty_inputs(spark):
+    """Empty-input totality for the newest operators: chunking, packing,
+    repetition, keep-best dedup — empty in, empty (right-schema) out."""
+    from vectorsearch_with_hnsw_spark.operators.dedup import dedup_keep_best
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        chunk_documents,
+        doc_repetition,
+        pack_chunks,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert chunk_documents(empty_docs).count() == 0
+    packed = pack_chunks(empty_docs)
+    assert packed.count() == 0
+    assert packed.columns == ["shard", "doc_id", "chunk_id", "n_chunk_tokens", "pack_id"]
+    assert doc_repetition(empty_docs).count() == 0
+    kb = dedup_keep_best(empty_docs)
+    assert kb.count() == 0
+    assert kb.columns == ["fp", "keeper_doc_id", "keeper_quality", "n_dups"]

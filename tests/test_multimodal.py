@@ -39,3 +39,27 @@ def test_frame_sample_plumbing(spark, sf_smoke):
         "struct<vid_id:bigint,frame_no:int,frame_payload:binary>"
     )
     assert frames.count() >= 10
+
+
+def test_resize_stub_schema_and_bounds(spark):
+    """Resize plumbing: stable schema, output payload bounded by target,
+    deterministic across runs, empty input -> empty output."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.multimodal.binary import resize_image
+
+    blobs = spark.range(20).select(
+        F.col("id").alias("img_id"),
+        F.encode(F.concat(F.lit("pixels" * 100), F.col("id").cast("string")), "utf-8").alias("payload"),
+    )
+    out = resize_image(blobs, target=64)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.schema.simpleString() == "struct<img_id:bigint,width:int,height:int,resized_payload:binary>"
+    for r in rows:
+        assert 1 <= len(r["resized_payload"]) <= 64
+        assert r["width"] >= 1 and r["width"] == r["height"]
+    again = {r["img_id"]: bytes(r["resized_payload"]) for r in resize_image(blobs, target=64).collect()}
+    assert {r["img_id"]: bytes(r["resized_payload"]) for r in rows} == again
+    empty = resize_image(blobs.filter("img_id < 0"), target=64)
+    assert empty.count() == 0

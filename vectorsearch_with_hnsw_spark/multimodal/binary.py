@@ -115,3 +115,33 @@ def frame_sample(blobs: DataFrame, id_col: str = "vid_id", payload_col: str = "p
 
     schema = f"{id_col} long, frame_no int, frame_payload binary"
     return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def resize_image(blobs: DataFrame, id_col: str = "img_id", payload_col: str = "payload", target: int = 224) -> DataFrame:
+    """STUB plumbing for image resize (the reference's Resize(256) ->
+    CenterCrop(224) preprocessing, CIFAR notebook cell 2): emits
+    (id, width, height, resized_payload) rows through an Arrow-batched
+    kernel. The resizer is a deterministic fake — a byte downsample to
+    ``target`` bytes standing in for pixel interpolation; the real
+    Pillow `Image.resize` drops into the same kernel with the same
+    schema, so the distributed plumbing (batching, binary columns,
+    bounded output size) is fully exercised now."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for _id, p in zip(pdf[id_col], pdf[payload_col]):
+                n = len(p)
+                # fake decode: pretend square image of side floor(sqrt(n))
+                side = max(1, int(n ** 0.5))
+                step = max(1, n // target)
+                outs.append(bytes(p[::step][:target]))
+                ids.append(_id)
+                ws.append(side)
+                hs.append(side)
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "resized_payload": outs}
+            )
+
+    schema = f"{id_col} long, width int, height int, resized_payload binary"
+    return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)
