@@ -60,3 +60,65 @@ def test_cli_chunk_pack(spark, tmp_path, capsys):
     one = back.filter("shard = 3")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan
+
+
+def test_synthetic_datasource_batch_matches_operator(spark):
+    """The registered Python DataSource must produce bit-identical rows
+    to synthetic_vectors() — same generator, any partitioning."""
+    from vectorsearch_with_hnsw_spark.operators.synth import synthetic_vectors
+    from vectorsearch_with_hnsw_spark.sources.synthetic_source import (
+        SyntheticVectorsSource,
+    )
+
+    spark.dataSource.register(SyntheticVectorsSource)
+    df = (
+        spark.read.format("synthetic_vectors")
+        .option("n", 100).option("dim", 16).option("seed", 7)
+        .option("numPartitions", 5)
+        .load()
+    )
+    got = {r["id"]: list(r["vec"]) for r in df.collect()}
+    want = {r["id"]: list(r["vec"]) for r in synthetic_vectors(spark, 100, 16, seed=7).collect()}
+    assert got == want
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_synthetic_datasource_stream(spark):
+    """Streaming reader: micro-batches advance the id offset; total rows
+    = maxRows; ids are dense and vectors identical to the batch read."""
+    import time
+
+    from vectorsearch_with_hnsw_spark.sources.synthetic_source import (
+        SyntheticVectorsSource,
+    )
+
+    spark.dataSource.register(SyntheticVectorsSource)
+    stream = (
+        spark.readStream.format("synthetic_vectors")
+        .option("dim", 8).option("rowsPerBatch", 40).option("maxRows", 120)
+        .load()
+    )
+    # the Python microbatch reader has no availableNow support: run on a
+    # processing-time trigger and stop once the offset cap is drained
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        for _ in range(120):
+            if spark.table("synth_stream_test").count() >= 120:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table("synth_stream_test").collect()
+    assert sorted(r["id"] for r in rows) == list(range(120))
+    batch = {
+        r["id"]: list(r["vec"])
+        for r in spark.read.format("synthetic_vectors")
+        .option("n", 120).option("dim", 8).load().collect()
+    }
+    assert {r["id"]: list(r["vec"]) for r in rows} == batch

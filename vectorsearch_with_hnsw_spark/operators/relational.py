@@ -504,12 +504,16 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NULLs an unmatched customer produces). Two shuffles — custkey for
     the join+count, then the tiny count-of-counts re-agg."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # aggregate orders BEFORE the outer join: the custkey shuffle then
+    # carries one (custkey, count) row per customer after map-side
+    # combine, not every raw order row
+    per_cust_orders = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
+    per_cust = cust.join(
+        per_cust_orders, cust.c_custkey == per_cust_orders.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("n_customers"))
