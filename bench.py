@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "pack_chunks",
     "pricing_cube",
     "waiting_supplier_orders",
+    "events_time_breakdown",
+    "doc_slugs",
 ]
 
 

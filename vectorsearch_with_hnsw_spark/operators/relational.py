@@ -751,6 +751,31 @@ def waiting_supplier_orders(
     )
 
 
+def events_time_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: calendar decomposition (year, month,
+    day-of-week, hour) + truncation, aggregated. All JVM-side datetime
+    intrinsics — the session pins UTC so extraction is engine-stable.
+    Day-of-week is normalized to 0=Sunday (Spark's dayofweek is 1-based,
+    DuckDB's 0-based)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+            F.date_trunc("week", F.col("ts")).alias("week_start"),
+            "value",
+        )
+        .groupBy("y", "m", "dow", "hod", "week_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("y", "m", "dow", "hod", "week_start")
+    )
+
+
 def event_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-sketch aggregation surface: per event type, HLL++
     distinct users (`approx_count_distinct`) and a GK-sketch median

@@ -1250,6 +1250,46 @@ SELECT spine.user_id, spine.day,
 FROM spine LEFT JOIN daily ON spine.user_id = daily.user_id AND spine.day = daily.day
 """
 
+SQL_EVENTS_TIME_BREAKDOWN = """
+SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+  CAST(dayofweek(ts) AS INTEGER) AS dow, CAST(hour(ts) AS INTEGER) AS hod,
+  date_trunc('week', ts) AS week_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+SQL_DOC_SLUGS = r"""
+SELECT doc_id,
+  substring(regexp_replace(trim(lower(source)), '[^a-z0-9]+', '-', 'g'), 1, 12) AS source_slug,
+  upper(lang) AS lang_code,
+  CAST(length(trim(text)) AS INTEGER) AS trimmed_chars,
+  substring(text, 1, 20) AS head,
+  CAST(position('the' IN lower(text)) AS INTEGER) AS first_the,
+  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id
+FROM documents
+"""
+
+
+def q_doc_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: normalization (lower/trim), regexp
+    slugify, substring, position, padding — all JVM intrinsics, one
+    map-only pass (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.trim(F.lower(F.col("source"))), "[^a-z0-9]+", "-"), 1, 12
+        ).alias("source_slug"),
+        F.upper("lang").alias("lang_code"),
+        F.length(F.trim(F.col("text"))).alias("trimmed_chars"),
+        F.substring("text", 1, 20).alias("head"),
+        F.instr(F.lower(F.col("text")), "the").alias("first_the"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+    )
+
+
 SQL_USER_EVENT_PIVOT = """
 SELECT user_id,
   CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
@@ -1589,6 +1629,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_report": (q_corpus_report, _sql_corpus_report()),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
+    "events_time_breakdown": (R.events_time_breakdown, SQL_EVENTS_TIME_BREAKDOWN),
+    "doc_slugs": (q_doc_slugs, SQL_DOC_SLUGS),
     "waiting_supplier_orders": (R.waiting_supplier_orders, SQL_WAITING_SUPPLIER_ORDERS),
     "user_daily_timeline": (R.user_daily_timeline, SQL_USER_DAILY_TIMELINE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
