@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "waiting_supplier_orders",
     "events_time_breakdown",
     "doc_slugs",
+    "lang_exemplars",
 ]
 
 

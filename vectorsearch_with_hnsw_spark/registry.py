@@ -1290,6 +1290,34 @@ def q_doc_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_LANG_EXEMPLARS = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, CAST(rn AS INTEGER) AS rnk, doc_id, n_chars
+FROM r WHERE rn <= 3
+"""
+
+
+def q_lang_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group exemplar sampling: the N longest
+    documents per language (group-limit via ranking window) — how a
+    curation run pulls review samples per stratum. One shuffle on the
+    stratum key; Spark 4 pushes the rank<=N filter into the window sort
+    (WindowGroupLimit), so each group materializes only N rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
 SQL_USER_EVENT_PIVOT = """
 SELECT user_id,
   CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
@@ -1631,6 +1659,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
     "events_time_breakdown": (R.events_time_breakdown, SQL_EVENTS_TIME_BREAKDOWN),
     "doc_slugs": (q_doc_slugs, SQL_DOC_SLUGS),
+    "lang_exemplars": (q_lang_exemplars, SQL_LANG_EXEMPLARS),
     "waiting_supplier_orders": (R.waiting_supplier_orders, SQL_WAITING_SUPPLIER_ORDERS),
     "user_daily_timeline": (R.user_daily_timeline, SQL_USER_DAILY_TIMELINE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
