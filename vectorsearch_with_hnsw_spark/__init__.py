@@ -14,3 +14,27 @@ the graph algorithms Spark genuinely cannot express.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: the common entry points without forcing the
+    whole operator tree (and a SparkSession) on import."""
+    lazy = {
+        "similarity_search": ("operators.search", "similarity_search"),
+        "knn_exact": ("operators.knn", "knn_exact"),
+        "knn_exact_fast": ("operators.knn", "knn_exact_fast"),
+        "hnsw_build": ("index.build", "hnsw_build"),
+        "HnswParams": ("index.build", "HnswParams"),
+        "HnswIndex": ("index.build", "HnswIndex"),
+        "knn_hnsw": ("index.query", "knn_hnsw"),
+        "load_table": ("sources", "load_table"),
+        "get_spark": ("session", "get_spark"),
+        "queries": ("registry", "queries"),
+        "oracle_sql": ("registry", "oracle_sql"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
