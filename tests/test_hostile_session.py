@@ -1,0 +1,39 @@
+"""Driver-session resilience: the driver invokes queries() with its OWN
+SparkSession — no engine builder confs, possibly a non-UTC timezone and
+explicit ANSI mode. load_table() pins the session contract at every
+load; these tests prove representative oracle queries still match DuckDB
+bit-for-bit from a deliberately hostile session state."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_oracle_parity import _duck, _normalize
+from vectorsearch_with_hnsw_spark.registry import REGISTRY
+
+HOSTILE_QUERIES = [
+    "events_tumbling",        # TIMESTAMP_LTZ windowing — tz-sensitive
+    "events_sessionize",      # epoch arithmetic over timestamps
+    "customer_order_gaps",    # date extraction + datediff
+    "pricing_summary",        # decimal aggregation under ANSI
+    "events_time_breakdown",  # calendar extraction — tz-sensitive
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_QUERIES)
+def test_oracle_parity_under_hostile_session(spark, sf_oracle, name):
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        fn, sql = REGISTRY[name]
+        got = _normalize(fn(spark, sf_oracle).toPandas())
+        want = _normalize(_duck(sf_oracle, sql))
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want)
+        for c in got.columns:
+            assert list(got[c].astype(str)) == list(want[c].astype(str)), c
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
