@@ -1345,7 +1345,8 @@ WITH x AS (
   FROM embeddings
 )
 SELECT pos, COUNT(*) AS n, MIN(v) AS dim_min, MAX(v) AS dim_max,
-  CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS dim_mean
+  CAST(SUM(CAST(floor(v * 10000000.0) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) / 10000000.0 AS dim_mean
 FROM x GROUP BY pos
 """
 
@@ -1361,16 +1362,23 @@ FROM d, unnest(range(0, CAST(ceil(olen / 640.0) AS BIGINT))) AS t(i)
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension corpus statistics over the embedding array column —
     the array-analytics shape (posexplode -> groupBy position) that also
-    trains the SQ8 quantizer ranges. Decimal-exact mean."""
+    trains the SQ8 quantizer ranges.
+
+    Mean is FIXED-POINT at 1e-7 resolution: floor(v*1e7) integer sums.
+    Exact-integer accumulation keeps the result order-independent AND
+    engine-identical — the earlier double->DECIMAL cast diverged from
+    DuckDB by 1 unit on a rounding tie at sf0.01 (half-up vs half-even),
+    while floor() ties never exist. Still map-side aggregable, so the
+    plan survives 100 TB (a sequential fold would not)."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(F.posexplode(to_vec("embedding")).alias("pos", "v"))
+    fx = F.floor(F.col("v") * F.lit(10000000.0)).cast("long")
+    n_d = F.count(F.lit(1)).cast("double")
     return x.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("dim_min"),
         F.max("v").alias("dim_max"),
-        (F.sum(F.col("v").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias(
-            "dim_mean"
-        ),
+        (F.sum(fx).cast("double") / n_d / F.lit(10000000.0)).alias("dim_mean"),
     )
 
 
