@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_time_breakdown",
     "doc_slugs",
     "lang_exemplars",
+    "promo_revenue_ratio",
 ]
 
 

@@ -687,6 +687,46 @@ def viewing_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewers.intersect(buyers)
 
 
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped LIKE + conditional ratio: per order-month, the
+    share of revenue from promo-branded parts. The LIKE 'PROMO%' prefix
+    compiles to a StartsWith pushed filter on the (broadcast) part dim;
+    numerator and denominator come from ONE conditional aggregation
+    pass, and both are decimal-exact so the final single division is
+    engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+        )
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(month)
+        .agg(
+            F.sum(F.when(F.col("is_promo"), disc_price).otherwise(F.lit(0).cast(DEC)))
+            .alias("_promo"),
+            F.sum(disc_price).alias("_total"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    return agg.select(
+        "order_month",
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (F.col("_promo").cast("double") / F.col("_total").cast("double")).alias(
+            "promo_ratio"
+        ),
+        "n_lineitems",
+    ).orderBy("order_month")
+
+
 def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: totals for every subset of
     (returnflag, linestatus) — both rollup paths plus the

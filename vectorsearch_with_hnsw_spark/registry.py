@@ -1193,6 +1193,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"), window=128, stride=64)
 
 
+SQL_PROMO_REVENUE_RATIO = f"""
+SELECT date_trunc('month', o_orderdate) AS order_month,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {MONEY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM({MONEY}) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {MONEY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM({MONEY}) AS DOUBLE) AS promo_ratio,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
 SQL_PRICING_CUBE = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
   COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -1665,6 +1678,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_report": (q_corpus_report, _sql_corpus_report()),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
+    "promo_revenue_ratio": (R.promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
     "events_time_breakdown": (R.events_time_breakdown, SQL_EVENTS_TIME_BREAKDOWN),
     "doc_slugs": (q_doc_slugs, SQL_DOC_SLUGS),
     "lang_exemplars": (q_lang_exemplars, SQL_LANG_EXEMPLARS),
