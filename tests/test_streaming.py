@@ -273,3 +273,52 @@ def test_attribution_stream_matches_batch_interval_join(spark, sf_smoke):
     cols = ["purchase_id", "p_user", "p_ts", "v_ts", "view_value"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_streaming_dedup_checkpoint_resume(spark, sf_smoke, tmp_path):
+    """Exactly-once over restart: a checkpointed dedup stream stopped
+    and restarted against the same source must not re-emit rows the
+    first run already committed — the property that makes foreachBatch
+    ingest safe to rerun after a crash."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        events_dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, sf_smoke, "events").limit(200)
+    # write the source as raw long-nanos parquet (what the file stream expects)
+    raw = ev.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+    raw.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        raw_stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .load(src + "/*.parquet")
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = events_dedup_stream(raw_stream)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == ev.select("event_id").distinct().count()
+    run_once()  # restart against unchanged source: offsets committed -> no new rows
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1, f"restart re-emitted rows: {n1} -> {n2}"
+    shutil.rmtree(ckpt)
