@@ -169,3 +169,13 @@ def test_pivot_single_shuffle(spark, sf_smoke):
     # groupBy().pivot() would add a third (pre-agg) exchange pair.
     assert count_occurrences(df, "Exchange") <= 4
     assert count_occurrences(df, "pivotfirst") == 0
+
+
+def test_promo_ratio_pushes_prefix_filter(spark, sf_smoke):
+    """Q14 shape: LIKE 'PROMO%' compiles to a StartsWith filter; the
+    part-dim join stays broadcast."""
+    from vectorsearch_with_hnsw_spark.operators.relational import promo_revenue_ratio
+
+    df = promo_revenue_ratio(spark, sf_smoke)
+    assert uses_broadcast_join(df)
+    assert df.count() > 0
