@@ -100,8 +100,6 @@ def frame_sample(blobs: DataFrame, id_col: str = "vid_id", payload_col: str = "p
     frame_payload) rows. The splitter is a deterministic fake (fixed-size
     byte windows standing in for decoded frames); the real ffmpeg-backed
     splitter drops into the same kernel."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, payloads = [], [], []

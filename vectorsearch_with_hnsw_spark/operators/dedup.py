@@ -280,7 +280,6 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     Keeper = max (quality_score, -doc_id) per group: highest score,
     lowest doc_id on ties — a single max(struct) aggregation, no window,
     no second pass."""
-    from .textpipe import SAMPLE_MIX  # noqa: F401  (shared constants live here)
     from ..functions.text import quality_features
 
     feats = quality_features(F.col("text"))
