@@ -63,3 +63,37 @@ def test_resize_stub_schema_and_bounds(spark):
     assert {r["img_id"]: bytes(r["resized_payload"]) for r in rows} == again
     empty = resize_image(blobs.filter("img_id < 0"), target=64)
     assert empty.count() == 0
+
+
+def test_embed_build_query_pipeline_end_to_end(spark, sf_smoke):
+    """SURVEY §2A row 30 composed: binary payload -> batched feature
+    extraction -> validity filter -> HNSW build -> kNN query -> label
+    join (the CIFAR notebook cell 3-4 pipeline, Spark-shaped). The
+    4-dim fake embedding stands in for the stubbed model; every other
+    stage is the real operator."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.index.build import HnswParams, hnsw_build
+    from vectorsearch_with_hnsw_spark.index.query import knn_hnsw
+    from vectorsearch_with_hnsw_spark.multimodal.binary import N_FEATURES, extract_features
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(300)
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    feats = extract_features(blobs)
+    vec = F.array(*[F.col(f"f{i}") for i in range(N_FEATURES)]).cast("array<float>")
+    embedded = feats.select(F.col("doc_id").alias("id"), vec.alias("vec"))
+    valid = embedded.filter(F.size("vec") == N_FEATURES)  # validity gate (cell 3)
+    idx = hnsw_build(valid, HnswParams(dim=N_FEATURES, metric="cosine"), num_partitions=2)
+    q = valid.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    res = knn_hnsw(idx, q, k=5).join(
+        docs.select(F.col("doc_id").alias("neighbor_id"), "lang"), "neighbor_id"
+    )
+    rows = res.collect()
+    assert len(rows) == 3 * 5
+    for r in rows:
+        assert r["lang"] is not None  # label joined for every hit
+        if r["rnk"] == 1:
+            assert r["neighbor_id"] == r["query_id"] and abs(r["dist"]) < 1e-6
