@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "doc_slugs",
     "lang_exemplars",
     "promo_revenue_ratio",
+    "redact_pii",
+    "decontaminate",
+    "special_revenue",
 ]
 
 

@@ -169,3 +169,27 @@ def quality_features(text: Column) -> dict[str, Column]:
         "stopword_ratio": stop_ratio,
         "quality_score": score,
     }
+
+
+# PII patterns — deliberately simple, deterministic, and identical to the
+# oracle's: the point is the REDACTION OPERATOR SHAPE (map-only regexp
+# pass over 100 TB), not regex completeness. Tighten per deployment.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Counts + redacted text for the three PII classes. Columns only —
+    composes into any projection; zero UDFs."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IP)),
+    }
+    clean = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    clean = F.regexp_replace(clean, PII_IP, "<IP>")
+    return {**counts, "clean_text": clean}

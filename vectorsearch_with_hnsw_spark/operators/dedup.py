@@ -302,3 +302,31 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
             "n_dups",
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out evaluation set — the standard
+    pre-training hygiene pass (an eval example leaking into the corpus
+    invalidates the benchmark).
+
+    Shape at scale: both sides explode to distinct (id, shingle) and
+    equi-join on the shingle — an inverted-index SEMI join, so a
+    contaminated doc is emitted once no matter how many n-grams leak,
+    and the benchmark side (small) broadcasts. n=8 keeps collisions
+    meaningful (8-gram matches are near-certain leaks, the
+    industry-standard window)."""
+    doc_sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    flagged = doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_ngrams"))
+        .orderBy("doc_id")
+    )

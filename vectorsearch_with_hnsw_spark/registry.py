@@ -1524,6 +1524,135 @@ SELECT shard, doc_id, chunk_id, n_chunk_tokens,
 FROM packed
 """
 
+PII_SUFFIX_CASE = (
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com 555-123-4567 10.0.0.1' ELSE '' END"
+)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents (emails/phones/IPs -> placeholders,
+    with per-class counts). The corpus is synthetic, so deterministic
+    PII is injected into every 7th document first — the injection is
+    part of the query on BOTH sides, so the oracle checks real
+    replacements, not a no-op. Map-only: regexp passes fuse into the
+    scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 555-123-4567 10.0.0.1"),
+        ),
+    ).otherwise(F.lit(""))
+    seeded = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    red = T.redact_pii(F.col("text"))
+    seeded = seeded.withColumn("clean_text", red["clean_text"])
+    return seeded.select(
+        "doc_id",
+        red["n_emails"].alias("n_emails"),
+        red["n_phones"].alias("n_phones"),
+        red["n_ips"].alias("n_ips"),
+        F.length(red["clean_text"]).alias("clean_chars"),
+        F.expr(
+            "substring(clean_text, greatest(length(clean_text) - 39, 1), 40)"
+        ).alias("clean_tail"),
+    )
+
+
+def _sql_redact_pii() -> str:
+    email, phone, ip = T.PII_EMAIL, T.PII_PHONE, T.PII_IP
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'), "
+        f"'{phone}', '<PHONE>', 'g'), '{ip}', '<IP>', 'g')"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, text || {PII_SUFFIX_CASE} AS text FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS n_ips,
+  CAST(length({clean}) AS INTEGER) AS clean_chars,
+  substring({clean}, greatest(length({clean}) - 39, 1), 40) AS clean_tail
+FROM seeded
+"""
+
+
+SQL_SHINGLES8 = (
+    "CASE WHEN len(toks) >= 8 THEN "
+    "list_transform(range(0, len(toks) - 7), i -> array_to_string(toks[i+1:i+8], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+doc_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({SQL_SHINGLES8}) AS shingle FROM d
+  )
+),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest({SQL_SHINGLES8}) AS shingle FROM d WHERE doc_id % 97 = 0
+  )
+)
+SELECT doc_id, COUNT(*) AS n_leaked_ngrams
+FROM doc_sh SEMI JOIN bench_sh USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination vs a fake held-out set (every 97th document
+    plays the benchmark): flag training docs sharing any 8-gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.decontaminate(docs, bench, n=8)
+
+
+SQL_SPECIAL_REVENUE = f"""
+SELECT COUNT(*) AS n_lineitems, CAST(SUM({MONEY}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type IN ('PROMO', 'ECONOMY') AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+def q_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate: revenue from line items
+    matching ANY of three (brand, size, quantity) conjunct bundles. The
+    OR-of-ANDs stays ONE join with a composite residual — the naive
+    translation (three joins unioned) would scan lineitem three times.
+    Catalyst extracts the common sub-predicates it can push (quantity
+    bounds to the lineitem scan, brand/size/type to the broadcast part
+    scan) and evaluates the rest post-join."""
+    from .operators.relational import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 30))
+        | (F.col("p_type").isin("PROMO", "ECONOMY") & qty.between(25, 50))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+    )
+
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1679,6 +1808,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
     "promo_revenue_ratio": (R.promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
+    "redact_pii": (q_redact_pii, _sql_redact_pii()),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
     "events_time_breakdown": (R.events_time_breakdown, SQL_EVENTS_TIME_BREAKDOWN),
     "doc_slugs": (q_doc_slugs, SQL_DOC_SLUGS),
     "lang_exemplars": (q_lang_exemplars, SQL_LANG_EXEMPLARS),
