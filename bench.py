@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "redact_pii",
     "decontaminate",
     "special_revenue",
+    "length_token_correlation",
+    "doc_length_histogram",
 ]
 
 

@@ -1653,6 +1653,80 @@ def q_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_LENGTH_TOKEN_CORRELATION = f"""
+WITH x AS (
+  SELECT n_chars AS a, CAST(len({SQL_TOKS_RAW}) AS BIGINT) AS b FROM documents
+), m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+    CAST(SUM(a * b) AS BIGINT) AS sab,
+    CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM x
+)
+SELECT n, sa, sb,
+  (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+    AS corr_chars_tokens
+FROM m
+"""
+
+
+def q_length_token_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics: Pearson correlation between document length
+    and token count, computed from EXACT integer moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) so the one final float expression is engine-identical
+    — Spark's built-in corr() is Welford-streaming and cannot be
+    mirrored bit-for-bit. One map-side-combined aggregation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        F.col("n_chars").alias("a"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("b"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sab") - d("sa") * d("sb")) / (
+        F.sqrt(d("n") * d("saa") - d("sa") * d("sa"))
+        * F.sqrt(d("n") * d("sbb") - d("sb") * d("sb"))
+    )
+    return m.select("n", "sa", "sb", corr.alias("corr_chars_tokens"))
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+  COUNT(*) AS n_docs,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (100-char bins) — the
+    binning aggregation every corpus report needs; integer bucket math,
+    one shuffle on the tiny bucket key."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 100)
+    return (
+        docs.groupBy(
+            bucket.alias("bucket"), (bucket * 100).alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 CURATE_RATES = {"de": 60, "en": 40}  # sample %, default 20
 CURATE_MIN_QUALITY = 0.5
 
@@ -1811,6 +1885,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
+    "length_token_correlation": (q_length_token_correlation, SQL_LENGTH_TOKEN_CORRELATION),
+    "doc_length_histogram": (q_doc_length_histogram, SQL_DOC_LENGTH_HISTOGRAM),
     "events_time_breakdown": (R.events_time_breakdown, SQL_EVENTS_TIME_BREAKDOWN),
     "doc_slugs": (q_doc_slugs, SQL_DOC_SLUGS),
     "lang_exemplars": (q_lang_exemplars, SQL_LANG_EXEMPLARS),
