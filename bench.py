@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "special_revenue",
     "length_token_correlation",
     "doc_length_histogram",
+    "local_supplier_volume",
 ]
 
 

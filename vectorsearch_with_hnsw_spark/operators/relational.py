@@ -687,6 +687,36 @@ def viewing_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewers.intersect(buyers)
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped chain with a CROSS-dimension equality: revenue
+    where the supplier and the ordering customer share a nation, per
+    nation. The c_nationkey = s_nationkey constraint is a residual on
+    dimensions joined from OPPOSITE sides of the fact chain — the shape
+    that punishes bad join orders. Both dims broadcast; the one big
+    shuffle stays lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped LIKE + conditional ratio: per order-month, the
     share of revenue from promo-branded parts. The LIKE 'PROMO%' prefix

@@ -1193,6 +1193,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"), window=128, stride=64)
 
 
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, CAST(SUM({MONEY}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
 SQL_PROMO_REVENUE_RATIO = f"""
 SELECT date_trunc('month', o_orderdate) AS order_month,
   CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {MONEY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
@@ -1882,6 +1893,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
     "promo_revenue_ratio": (R.promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
+    "local_supplier_volume": (R.local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
