@@ -111,3 +111,25 @@ def test_ef_clamped_to_k(data):
     idx.add_batch(np.arange(len(data)), data)
     res = idx.search(data[0].astype(np.float64), k=10)
     assert len(res) == 10  # ef raised to k even though ef_search=2
+
+
+def test_recall_monotone_in_ef(data):
+    """The ef_search knob trades cost for recall: measured recall@10
+    must not degrade when ef rises, and at ef=200 it must be
+    near-exact — the contract that makes ef a tunable (reference
+    exposes it per query, hsnw_trial.py:267-274)."""
+    idx = LocalHNSW(HnswParams(dim=32, metric="l2", seed=42))
+    idx.add_batch(np.arange(len(data), dtype=np.int64), data)
+    rng = np.random.default_rng(11)
+    qs = rng.standard_normal((20, 32)).astype(np.float32)
+    recalls = {}
+    for ef in (10, 50, 200):
+        hits = 0
+        for q in qs:
+            want, _ = brute_topk(data, q, 10, "l2")
+            got = {i for i, _ in idx.search(q, k=10, ef=ef)}
+            hits += len(got & set(want.tolist()))
+        recalls[ef] = hits / (len(qs) * 10)
+    assert recalls[10] <= recalls[50] + 0.05  # allow tiny non-monotonic noise
+    assert recalls[50] <= recalls[200] + 0.05
+    assert recalls[200] >= 0.95, recalls
