@@ -179,3 +179,39 @@ def test_promo_ratio_pushes_prefix_filter(spark, sf_smoke):
     df = promo_revenue_ratio(spark, sf_smoke)
     assert uses_broadcast_join(df)
     assert df.count() > 0
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_smoke):
+    """Q6 shape: every predicate (shipdate range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter, and the
+    scan reads only the four referenced columns — at 100 TB this is the
+    difference between a stats-pruned scan and reading the table."""
+    from vectorsearch_with_hnsw_spark.operators.relational import forecast_revenue_change
+
+    df = forecast_revenue_change(spark, sf_smoke)
+    plan = formatted_plan(df)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}"
+    schemas = read_schema_columns(df)
+    assert schemas and all(
+        set(s) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+        for s in schemas
+    )
+
+
+def test_nation_market_share_broadcasts_all_dims(spark, sf_smoke):
+    """Q8 shape: part (type-filtered), customer, supplier, both nation
+    roles, and region all broadcast — six BroadcastHashJoins; the only
+    big shuffle left is lineitem⋈orders plus the per-year agg."""
+    from vectorsearch_with_hnsw_spark.operators.relational import nation_market_share
+
+    df = nation_market_share(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert df.count() > 0

@@ -1022,3 +1022,152 @@ def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING
         .filter(F.col("rnk") <= topn)
         .select("rnk", "l_orderkey", "o_orderdate", "revenue")
     )
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str,
+                            year: int = 1996) -> DataFrame:
+    """TPC-H Q6-shaped forecast: revenue delta if low-discount small
+    orders had shipped free. The whole query is filter + global agg —
+    every predicate (shipdate year range, discount band, quantity cap)
+    is pushable to the parquet scan, so at 100 TB this reads only the
+    row groups whose min/max stats overlap; one map-side partial sum,
+    a single-row exchange, no join. The discount band compares the
+    stored doubles directly (same parquet bits on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit(f"{year}-01-01").cast("timestamp")
+    hi = F.lit(f"{year + 1}-01-01").cast("timestamp")
+    revenue = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str,
+                            start: str = "1996-10-01",
+                            topn: int = 20) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: customers who returned
+    the most revenue in one quarter. The only big shuffle is
+    lineitem('R' rows only — pushed) ⋈ orders(date-pruned) on orderkey;
+    customer and nation broadcast onto the aggregated result, and the
+    top-N ranks over the (small) per-customer aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    lo = F.lit(start).cast("timestamp")
+    hi = F.lit(start).cast("timestamp") + F.expr("INTERVAL 3 MONTH")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        agg.join(cust, agg.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topn)
+        .select("rnk", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str,
+                        supplier_nation: str = "CHINA",
+                        market_region: str = "ASIA",
+                        part_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q8-shaped market share: per order year, the fraction of a
+    region's revenue (for one part type) supplied by one nation. The
+    nation dim plays TWO roles — customer side gates the market via
+    region, supplier side feeds the CASE numerator — so it is broadcast
+    twice under different aliases. Numerator and denominator come from
+    one conditional aggregation pass (decimal-exact), leaving a single
+    engine-identical division per year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == part_type)
+        .select("p_partkey")
+    )
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    cnat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    snat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == market_region)
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    zero = F.lit(0).cast(DEC)
+    national = F.when(F.col("sn_name") == supplier_nation, disc_price).otherwise(zero)
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cnat, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(snat, supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(national).cast("double").alias("nation_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+        .withColumn("mkt_share", F.col("nation_revenue") / F.col("total_revenue"))
+        .orderBy("o_year")
+    )
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str,
+                         start: str = "1996-01-01") -> DataFrame:
+    """TPC-H Q15-shaped top supplier: suppliers whose quarterly revenue
+    equals the maximum. The per-supplier aggregate (the Q15 view) is
+    computed once with one shuffle; the scalar MAX is re-aggregated from
+    that already-small frame and broadcast back — the two consumers
+    share the plan via a persist barrier, so lineitem is scanned once,
+    and no window funnels all rows to one partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit(start).cast("timestamp")
+    hi = F.lit(start).cast("timestamp") + F.expr("INTERVAL 3 MONTH")
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    revenue = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    best = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    out = (
+        revenue.join(best, revenue.total_revenue == best.max_revenue)
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+    return out

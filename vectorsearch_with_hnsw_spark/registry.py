@@ -1810,6 +1810,65 @@ WHERE rn = 1
 """
 
 
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+WITH agg AS (
+  SELECT o_custkey, CAST(SUM({MONEY}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1996-10-01' + INTERVAL 3 MONTH
+  GROUP BY 1
+), ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rnk,
+    c_custkey, c_name, revenue, c_acctbal, n_name
+  FROM agg
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT * FROM ranked WHERE rnk <= 20
+"""
+
+SQL_NATION_MARKET_SHARE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'CHINA' THEN {MONEY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+  CAST(SUM({MONEY}) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CASE WHEN n2.n_name = 'CHINA' THEN {MONEY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM({MONEY}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(SUM({MONEY}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01' + INTERVAL 3 MONTH
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1894,6 +1953,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_cube": (R.pricing_cube, SQL_PRICING_CUBE),
     "promo_revenue_ratio": (R.promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
     "local_supplier_volume": (R.local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
+    "forecast_revenue_change": (R.forecast_revenue_change, SQL_FORECAST_REVENUE_CHANGE),
+    "returned_item_customers": (R.returned_item_customers, SQL_RETURNED_ITEM_CUSTOMERS),
+    "nation_market_share": (R.nation_market_share, SQL_NATION_MARKET_SHARE),
+    "top_revenue_supplier": (R.top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
