@@ -1171,3 +1171,47 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str,
         .orderBy("s_suppkey")
     )
     return out
+
+
+def customer_trailing_revenue(spark: SparkSession, sf_dir: str,
+                              days: int = 30) -> DataFrame:
+    """Value-based (RANGE) window frame: for every order, the customer's
+    total order value over the trailing N days INCLUDING same-date ties
+    — a frame defined by the orderdate VALUE, not by row position, so
+    the result is insensitive to how ties are ordered (row frames are
+    not). One shuffle on custkey; the frame sum is decimal-exact so the
+    running totals match the oracle bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_revenue"),
+            F.count(F.lit(1)).over(w).alias("n_orders_window"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE: each user's most frequent event type (majority
+    label — the aggregation shape used to pick a canonical label/source
+    per group in corpus curation). Counts reduce map-side in the first
+    groupBy; the winner is picked by rank over the already-small
+    (user, type) aggregate with a deterministic tie-break (higher count,
+    then lexicographically first type)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), F.col("n").alias("n_events"))
+        .orderBy("user_id")
+    )

@@ -1810,6 +1810,28 @@ WHERE rn = 1
 """
 
 
+SQL_CUSTOMER_TRAILING_REVENUE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_revenue,
+  COUNT(*) OVER w AS n_orders_window
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate
+  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+)
+"""
+
+SQL_USER_TOP_EVENT = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rnk
+  FROM counts
+)
+SELECT user_id, event_type AS top_event, n AS n_events FROM ranked WHERE rnk = 1
+"""
+
 SQL_FORECAST_REVENUE_CHANGE = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_lineitems
@@ -1957,6 +1979,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "returned_item_customers": (R.returned_item_customers, SQL_RETURNED_ITEM_CUSTOMERS),
     "nation_market_share": (R.nation_market_share, SQL_NATION_MARKET_SHARE),
     "top_revenue_supplier": (R.top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
+    "customer_trailing_revenue": (R.customer_trailing_revenue, SQL_CUSTOMER_TRAILING_REVENUE),
+    "user_top_event": (R.user_top_event, SQL_USER_TOP_EVENT),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
