@@ -10,6 +10,7 @@ from vectorsearch_with_hnsw_spark.functions.vector import (
     dot,
     l2_distance,
     l2_norm,
+    l2_normalize,
     metric_expr,
     normalize_pixels,
     to_vec,
@@ -74,3 +75,16 @@ def test_distances_stay_native(pairs):
     df = pairs.select(l2_distance(to_vec("a"), to_vec("b")).alias("d"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_l2_normalize_unit_and_zero_guard(pairs):
+    out = pairs.select(
+        "id",
+        l2_norm(l2_normalize(F.col("a"))).alias("n"),
+        F.element_at(l2_normalize(F.col("a")), 1).alias("h"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[2]["n"] == pytest.approx(1.0)
+    assert by_id[2]["h"] == pytest.approx(1.0 / math.sqrt(14.0))
+    assert by_id[3]["n"] == 0.0  # zero vector passes through, no NaN
+    assert by_id[4]["h"] == pytest.approx(1.0)

@@ -66,6 +66,15 @@ def cosine_distance(a: Column, b: Column) -> Column:
     )
 
 
+def l2_normalize(a: Column) -> Column:
+    """Project a vector onto the unit sphere; zero vectors pass through
+    unchanged rather than producing NaNs (the same zero-norm guard the
+    reference's cosine uses, hsnw_trial.py:51-52). Pure higher-order
+    expression — stays in whole-stage codegen, no UDF."""
+    n = l2_norm(a)
+    return F.when(n == F.lit(0.0), a).otherwise(F.transform(a, lambda x: x / n))
+
+
 METRICS: dict[str, Callable[[Column, Column], Column]] = {
     "l2": l2_distance,
     "cosine": cosine_distance,

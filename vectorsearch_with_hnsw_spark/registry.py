@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .functions.vector import cosine_distance, l2_distance, l2_norm, normalize_pixels, to_vec
+from .functions.vector import (
+    cosine_distance,
+    l2_distance,
+    l2_norm,
+    l2_normalize,
+    normalize_pixels,
+    to_vec,
+)
 from .operators import dedup as D
 from .operators.ann import lsh_knn_cosine
 from .operators.knn import knn_exact, knn_with_labels
@@ -184,6 +191,40 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(v).alias("norm"),
         (F.size("embedding") == DIM).alias("dim_ok"),
         F.element_at(normalize_pixels(F.col("embedding")), 1).alias("head_norm"),
+    )
+
+
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-sphere normalization (the standard prep before cosine ANN /
+    embedding dedup) verified through scalar projections: the post-
+    normalization norm and head element are engine-identical double
+    folds, avoiding array-stringification compare ambiguity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = l2_normalize(to_vec("embedding"))
+    return emb.select(
+        "vec_id",
+        l2_norm(nv).alias("unit_norm"),
+        F.element_at(nv, 1).alias("head0"),
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling rollup over orders: row/non-null counts,
+    exact distinct cardinalities, value ranges — the data-quality gate a
+    training pipeline runs before ingesting a new source. All aggregates
+    reduce map-side except the two exact DISTINCTs (which Spark plans as
+    expand + two-stage agg; the approx sketch variant for 100 TB is
+    event_sketch_stats)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey_nonnull"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
     )
 
 
@@ -1810,6 +1851,35 @@ WHERE rn = 1
 """
 
 
+SQL_NORMALIZE_EMBEDDINGS = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), normed AS (
+  SELECT vec_id,
+    CASE WHEN sqrt(list_reduce(list_transform(v, (x, i) -> x * x), (s, u) -> s + u)) = 0
+         THEN v
+         ELSE list_transform(v, (x, i) -> x / sqrt(list_reduce(list_transform(v, (y, j) -> y * y), (s, u) -> s + u)))
+    END AS nv
+  FROM base
+)
+SELECT vec_id,
+  sqrt(list_reduce(list_transform(nv, (x, i) -> x * x), (s, u) -> s + u)) AS unit_norm,
+  nv[1] AS head0
+FROM normed
+"""
+
+SQL_TABLE_PROFILE = """
+SELECT COUNT(*) AS n_rows,
+  COUNT(o_custkey) AS n_custkey_nonnull,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  MIN(o_orderdate) AS min_orderdate,
+  MAX(o_orderdate) AS max_orderdate,
+  MIN(o_totalprice) AS min_totalprice,
+  MAX(o_totalprice) AS max_totalprice
+FROM orders
+"""
+
 SQL_CUSTOMER_TRAILING_REVENUE = """
 SELECT o_orderkey, o_custkey, o_orderdate,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_revenue,
@@ -1981,6 +2051,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_revenue_supplier": (R.top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
     "customer_trailing_revenue": (R.customer_trailing_revenue, SQL_CUSTOMER_TRAILING_REVENUE),
     "user_top_event": (R.user_top_event, SQL_USER_TOP_EVENT),
+    "normalize_embeddings": (q_normalize_embeddings, SQL_NORMALIZE_EMBEDDINGS),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
