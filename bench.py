@@ -101,6 +101,14 @@ BENCH_QUERIES = [
     "length_token_correlation",
     "doc_length_histogram",
     "local_supplier_volume",
+    "forecast_revenue_change",
+    "returned_item_customers",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "customer_trailing_revenue",
+    "user_top_event",
+    "normalize_embeddings",
+    "table_profile",
 ]
 
 
