@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "user_top_event",
     "normalize_embeddings",
     "table_profile",
+    "dataset_split",
+    "training_shuffle",
 ]
 
 

@@ -71,6 +71,36 @@ def test_vocab_and_tfidf_semantics(spark):
     assert by_doc[3] == "epsilon"
 
 
+def test_dataset_split_partitions_all_rows_map_only(spark, sf_smoke):
+    from vectorsearch_with_hnsw_spark.operators.textpipe import dataset_split
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = dataset_split(docs)
+    assert out.count() == docs.count()  # every row gets exactly one split
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side assignment
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in dataset_split(docs).collect())
+    assert a == b
+
+
+def test_training_shuffle_is_a_permutation(spark, sf_smoke):
+    from vectorsearch_with_hnsw_spark.operators.textpipe import training_shuffle
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = training_shuffle(docs, n_shards=4).collect()
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)  # each doc once
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():  # contiguous 1..n within each shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
 def test_stratified_sample_deterministic_and_pushed_down(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     rates = {"en": 50}

@@ -241,3 +241,38 @@ def pack_chunks(
             + F.floor(cum_before / F.lit(budget))
         ).alias("pack_id"),
     )
+
+
+def dataset_split(docs: DataFrame, val_pct: int = 5, test_pct: int = 5,
+                  salt: int = 9176) -> DataFrame:
+    """Deterministic train/val/test assignment: the split is a pure
+    function of doc_id (salted multiplicative hash), so it is identical
+    on every run, any cluster, any partitioning, and survives re-ingest
+    of the same ids — the property rand()-based splits lack. Map-only;
+    no shuffle, no state."""
+    mix = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD) % 100
+    split = (
+        F.when(mix < val_pct, F.lit("val"))
+        .when(mix < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def training_shuffle(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Reproducible global permutation for training order: shard by one
+    doc_id hash, order within the shard by a second (salted) hash. One
+    shuffle (the per-shard sort), restart-stable and engine-independent
+    — unlike orderBy(rand()), which is neither, and unlike a single
+    global sort, which funnels everything through one ordering. Shards
+    are balanced in expectation and each sorts independently, so the
+    permutation scales out with the shard count."""
+    h = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    h2 = ((F.col("doc_id") + F.lit(40503)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    shard = (h % F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("ord"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", shard.alias("shard"), h2.alias("ord"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )

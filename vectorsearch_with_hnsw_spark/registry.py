@@ -228,6 +228,22 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over documents (map-only,
+    restart-stable; operators/textpipe.py::dataset_split)."""
+    from .operators.textpipe import dataset_split
+
+    return dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sharded training permutation
+    (operators/textpipe.py::training_shuffle)."""
+    from .operators.textpipe import training_shuffle
+
+    return training_shuffle(load_table(spark, sf_dir, "documents"))
+
+
 def q_lsh_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_knn_cosine(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10)
@@ -1851,6 +1867,26 @@ WHERE rn = 1
 """
 
 
+SQL_DATASET_SPLIT = """
+SELECT doc_id, lang,
+  CASE WHEN ((doc_id + 9176) * 2654435761) % 2147483647 % 100 < 5 THEN 'val'
+       WHEN ((doc_id + 9176) * 2654435761) % 2147483647 % 100 < 10 THEN 'test'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
+SQL_TRAINING_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id,
+    CAST((doc_id * 2654435761) % 2147483647 % 8 AS INTEGER) AS shard,
+    ((doc_id + 40503) * 2654435761) % 2147483647 AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS INTEGER) AS pos
+FROM keyed
+"""
+
 SQL_NORMALIZE_EMBEDDINGS = """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2053,6 +2089,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "user_top_event": (R.user_top_event, SQL_USER_TOP_EVENT),
     "normalize_embeddings": (q_normalize_embeddings, SQL_NORMALIZE_EMBEDDINGS),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "training_shuffle": (q_training_shuffle, SQL_TRAINING_SHUFFLE),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "special_revenue": (q_special_revenue, SQL_SPECIAL_REVENUE),
