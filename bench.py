@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "knn_exact_l2_fast",
     "knn_exact_cosine",
     "knn_label_lookup",
+    "knn_filtered",
     "lsh_ann_cosine",
     "ivf_ann_cosine",
     "dedup_exact",

@@ -108,3 +108,29 @@ def test_delete_and_rebuild(spark, emb, queries, index):
     res2 = knn_hnsw(rebuilt, queries, k=10)
     got2 = {r["neighbor_id"] for r in res2.collect()}
     assert not (got2 & deleted_ids)
+
+
+def test_filtered_probe_post_filter_recall(spark, emb, queries, index):
+    """Filtered ANN, post-filter strategy on the HNSW path: probe with a
+    boosted ef and k, drop neighbors failing the metadata predicate,
+    re-rank, truncate. Checked against the PRE-filtered exact oracle
+    (the knn_filtered registry query's plan shape). With ~half the
+    corpus passing the filter, ef/k boosted 4x keeps recall high."""
+    from pyspark.sql.window import Window
+
+    labels = F.broadcast(emb.select(F.col("vec_id").alias("neighbor_id"), "label"))
+    probed = (
+        knn_hnsw(index, queries, k=40, ef=200)
+        .join(labels, "neighbor_id")
+        .filter(F.col("label") < 5)
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    ann = (
+        probed.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    exact = knn_exact(
+        emb.filter(F.col("label") < 5), queries, k=10, metric="cosine"
+    )
+    assert _recall(ann, exact) >= 0.85

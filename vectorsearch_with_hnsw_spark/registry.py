@@ -148,6 +148,18 @@ def q_knn_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(alive, _emb_queries(spark, sf_dir), k=10, metric="l2")
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k restricted by a metadata predicate
+    (label < 5) — the pre-filter strategy: the predicate pushes into the
+    parquet scan BEFORE any distance math, so cost scales with the
+    selectivity, not the corpus. (The post-filter alternative — probe
+    the full index with a larger ef, then filter — is the HNSW-path
+    variant; tombstone skipping, hsnw_trial.py:178-179, is the same
+    mechanism with deleted-ness as the predicate.)"""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") < 5)
+    return knn_exact(emb, _emb_queries(spark, sf_dir), k=10, metric="cosine")
+
+
 def q_knn_label_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CIFAR-style kNN report: cosine top-5 + neighbor label + '<- QUERY'
     self-marker (CIFAR notebook cell 4)."""
@@ -2021,6 +2033,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_exact_l2_fast": (q_knn_exact_l2_fast, _knn_sql("l2", 10)),
     "knn_exact_cosine": (q_knn_exact_cosine, _knn_sql("cosine", 10)),
     "knn_tombstone": (q_knn_tombstone, _knn_sql("l2", 10, "WHERE vec_id % 7 != 0")),
+    "knn_filtered": (q_knn_filtered, _knn_sql("cosine", 10, "WHERE label < 5")),
     "knn_label_lookup": (q_knn_label_lookup, SQL_KNN_LABEL),
     "pair_distances": (q_pair_distances, SQL_PAIR_DISTANCES),
     "vector_norms": (q_vector_norms, SQL_VECTOR_NORMS),
