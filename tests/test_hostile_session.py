@@ -17,6 +17,7 @@ HOSTILE_QUERIES = [
     "customer_order_gaps",    # date extraction + datediff
     "pricing_summary",        # decimal aggregation under ANSI
     "events_time_breakdown",  # calendar extraction — tz-sensitive
+    "customer_trailing_revenue",  # RANGE frame over epoch-cast timestamps — DST-sensitive without the UTC pin
 ]
 
 
