@@ -215,3 +215,52 @@ def test_nation_market_share_broadcasts_all_dims(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 6
     assert df.count() > 0
+
+
+def test_nation_profit_broadcasts_dims(spark, sf_smoke):
+    """Q9 shape: part (name-filtered), supplier, nation all broadcast;
+    the only fact-fact join is lineitem⋈orders."""
+    from vectorsearch_with_hnsw_spark.operators.relational import nation_profit
+
+    df = nation_profit(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert df.count() > 0
+
+
+def test_min_cost_supplier_decorrelated_broadcasts(spark, sf_smoke):
+    """Q2 shape: the correlated per-part MIN is decorrelated into a
+    re-aggregation of the persisted offer frame, joined back broadcast —
+    part/supplier dims broadcast too, so the only big shuffle is the
+    (part, supp) offer aggregation."""
+    from vectorsearch_with_hnsw_spark.operators.relational import min_cost_supplier
+
+    df = min_cost_supplier(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert df.count() > 0
+
+
+def test_important_parts_scalar_broadcast_single_scan(spark, sf_smoke):
+    """Q11 shape: the global total re-aggregates from the persisted
+    per-part frame (InMemoryTableScan), so lineitem is scanned once and
+    the scalar comes back as a broadcast, not a single-partition window."""
+    from vectorsearch_with_hnsw_spark.operators.relational import important_parts
+
+    df = important_parts(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert df.count() > 0
+
+
+def test_dominant_suppliers_semi_join(spark, sf_smoke):
+    """Q20 shape: the nested IN plans as a LeftSemi join into supplier;
+    the correlated per-part total joins back broadcast from the persisted
+    pair frame."""
+    from vectorsearch_with_hnsw_spark.operators.relational import dominant_suppliers
+
+    df = dominant_suppliers(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert df.count() > 0

@@ -1215,3 +1215,168 @@ def user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("top_event"), F.col("n").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str,
+                      region: str = "ASIA",
+                      part_type: str = "STANDARD",
+                      max_size: int = 25,
+                      n: int = 100) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    the regional supplier(s) offering it cheapest. The testdata has no
+    partsupp table, so the part<->supplier offer book is derived from
+    lineitem (MIN extendedprice per pair — exact, order-independent).
+    The correlated MIN subquery is decorrelated: the per-part regional
+    minimum is re-aggregated from the already-small offer frame behind a
+    persist barrier and joined back by exact equality — one big shuffle
+    on (part, supp); every dimension broadcasts. The ORDER BY ends in
+    the unique (p_partkey, s_suppkey) pair so LIMIT is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= max_size) & (F.col("p_type") == part_type))
+        .select("p_partkey", "p_name")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == region))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(reg, nation.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .persist()
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp_key")).agg(
+        F.min("supply_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.p_partkey == F.col("bp_key"))
+            & (offers.supply_cost == F.col("best_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(n)
+    )
+
+
+def nation_profit(spark: SparkSession, sf_dir: str,
+                  name_fragment: str = "widget") -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by nation and year. With no
+    partsupp, the unit cost is the part's retail price (a column, not a
+    join beyond part itself): profit = disc price - retailprice*qty, all
+    decimal-exact. part/supplier/nation broadcast; the only big shuffle
+    is lineitem><orders on orderkey, then one small agg shuffle on
+    (nation, year). The %fragment% filter cannot push to the scan as a
+    range, but prunes inside the broadcast dim before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(name_fragment))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    amount = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        - F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str,
+                    nation: str = "NATION_3",
+                    fraction: str = "0.001") -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose shipped value from
+    one nation's suppliers exceeds FRACTION of that nation's total — a
+    per-group HAVING against a global scalar. The per-part aggregate is
+    computed once (one shuffle) behind a persist barrier; the scalar
+    total is re-aggregated from it and broadcast back, so lineitem is
+    scanned once and nothing funnels through a single partition. Both
+    sides of the threshold compare are exact decimals, so the boundary
+    is bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("part_value"))
+        .persist()
+    )
+    total = F.broadcast(
+        per_part.agg(F.sum("part_value").cast(DEC).alias("total_value"))
+    )
+    threshold = F.col("total_value") * F.lit(fraction).cast("decimal(8,6)")
+    return (
+        per_part.crossJoin(total)
+        .filter(F.col("part_value") > threshold)
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str,
+                       name_prefix: str = "large",
+                       start: str = "1996-01-01",
+                       fraction: str = "0.3") -> DataFrame:
+    """TPC-H Q20-shaped nested-IN supplier screen: suppliers who shipped
+    more than FRACTION of a part's one-year volume (for a name-prefixed
+    part family) — the availqty>half-demand screen re-expressed on the
+    offer book. Inner query: qty per (part, supplier) vs qty per part
+    (the correlated scalar), decorrelated into one agg + a broadcast
+    join back; the distinct qualifying suppliers semi-join into the
+    supplier dim. Quantity sums are decimal-exact so the fraction
+    boundary is bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(name_prefix))
+        .select("p_partkey")
+    )
+    lo = F.lit(start).cast("timestamp")
+    hi = lo + F.expr("INTERVAL 1 YEAR")
+    pair_qty = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("pair_qty"))
+        .persist()
+    )
+    part_total = pair_qty.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        F.sum("pair_qty").cast(DEC).alias("part_qty")
+    )
+    qualifying = (
+        pair_qty.join(F.broadcast(part_total), pair_qty.l_partkey == F.col("tp_key"))
+        .filter(F.col("pair_qty") > F.col("part_qty") * F.lit(fraction).cast("decimal(2,1)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

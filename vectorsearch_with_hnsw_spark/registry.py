@@ -2008,6 +2008,91 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
+# Q2 shape: the correlated MIN stays LITERAL here (per-part regional
+# minimum as a correlated scalar subquery); the Spark side decorrelates
+# it manually — the oracle proves the rewrite.
+SQL_MIN_COST_SUPPLIER = """
+WITH offers AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+regional AS (
+  SELECT pk, sk, supply_cost, s_name, s_acctbal, n_name
+  FROM offers
+  JOIN supplier ON sk = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM part JOIN regional ON p_partkey = pk
+WHERE p_size <= 25 AND p_type = 'STANDARD'
+  AND supply_cost = (
+    SELECT MIN(r2.supply_cost) FROM regional r2 WHERE r2.pk = p_partkey
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+SQL_NATION_PROFIT = """
+SELECT
+  n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+  ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+# Q11 shape: the global scalar stays a LITERAL scalar subquery here.
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(SUM(part_value) AS DECIMAL(18,2)) FROM per_part)
+                   * CAST('0.001' AS DECIMAL(8,6))
+ORDER BY part_value DESC, l_partkey
+"""
+
+# Q20 shape: LITERAL nested IN with a correlated per-part scalar.
+SQL_DOMINANT_SUPPLIERS = """
+WITH pair AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01' + INTERVAL 1 YEAR
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sk FROM pair p1
+  WHERE pair_qty > (SELECT CAST(SUM(p2.pair_qty) AS DECIMAL(18,2))
+                    FROM pair p2 WHERE p2.pk = p1.pk)
+                   * CAST('0.3' AS DECIMAL(2,1))
+)
+ORDER BY s_suppkey
+"""
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -2117,6 +2202,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "min_cost_supplier": (R.min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+    "nation_profit": (R.nation_profit, SQL_NATION_PROFIT),
+    "important_parts": (R.important_parts, SQL_IMPORTANT_PARTS),
+    "dominant_suppliers": (R.dominant_suppliers, SQL_DOMINANT_SUPPLIERS),
 }
 
 
