@@ -294,16 +294,16 @@ def test_streaming_dedup_checkpoint_resume(spark, sf_smoke, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
     ev = load_table(spark, sf_smoke, "events").limit(200)
-    # write the source as raw long-nanos parquet (what the file stream expects)
-    raw = ev.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
-    raw.coalesce(1).write.mode("overwrite").parquet(src)
+    # source written with the normalized TIMESTAMP_LTZ ts — EVENTS_SCHEMA
+    # matches it directly
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
 
     def run_once():
         raw_stream = (
             spark.readStream.schema(EVENTS_SCHEMA)
             .format("parquet")
             .load(src + "/*.parquet")
-        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
         stream = events_dedup_stream(raw_stream)
         q = (
             stream.writeStream.format("parquet")

@@ -30,9 +30,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read as long and convert in the loader (lossless: the
-        # data has no sub-microsecond components)
+        # some testdata generations encode events.ts as TIMESTAMP(NANOS),
+        # which Spark cannot read natively; tolerate by reading as long —
+        # the loader normalizes every encoding to TIMESTAMP_LTZ micros
+        # (lossless: the data has no sub-microsecond components)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local-mode driver == executor: size the heap for 32 concurrent

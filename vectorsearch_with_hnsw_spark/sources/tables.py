@@ -32,12 +32,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     the driver calls queries() with its OWN SparkSession, which won't
     have our builder confs. Both are runtime-settable (verified).
 
-    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
-      by Spark otherwise.
-    - UTC session timezone: TIMESTAMP_LTZ values (timestamp_micros)
-      convert to pandas/strings through the session zone; a non-UTC
-      driver session would shift event buckets/session bounds relative
-      to DuckDB's naive reading.
+    - nanosAsLong: tolerated for events.parquet generations that carried
+      TIMESTAMP(NANOS) (unreadable by Spark otherwise).
+    - UTC session timezone: TIMESTAMP_LTZ values convert to
+      pandas/strings through the session zone; a non-UTC driver session
+      would shift event buckets/session bounds relative to DuckDB's
+      naive reading. It also makes the NTZ->LTZ normalization below a
+      pure reinterpretation (no wall-clock shift).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -49,15 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # TIMESTAMP(NANOS) parquet arrives as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
-        # timestamp (lossless here — verified no sub-micro components,
-        # and DuckDB coerces the same column to micro TIMESTAMP too).
+        # Normalize `ts` to TIMESTAMP_LTZ (micros) regardless of how the
+        # generator encoded it: long nanos (via nanosAsLong), micros
+        # TIMESTAMP_NTZ (Spark 4 infers NTZ for isAdjustedToUTC=false),
+        # or already-LTZ micros. Under the forced-UTC session the
+        # NTZ->LTZ cast is a bit-for-bit reinterpretation, and DuckDB
+        # reads the same column as the identical naive value — so every
+        # downstream plan (unix_micros arithmetic, window(), date_trunc)
+        # sees one canonical type.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -30,16 +30,28 @@ EVENTS_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = bounded
     backfill; on a cluster this is a kafka/kinesis source with the same
-    downstream plan). The parquet stores TIMESTAMP(NANOS) — read as long
-    under the nanosAsLong conf and convert (see sources/tables.py)."""
+    downstream plan). The generator's timestamp encoding has varied
+    (long nanos / micros NTZ / micros LTZ), so sniff the batch-read
+    schema for this directory and normalize `ts` to TIMESTAMP_LTZ the
+    same way sources/tables.py does."""
+    from ..sources.tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+    schema = EVENTS_SCHEMA.replace("ts timestamp", f"ts {raw_type}")
     # glob (not a literal file path): FileStreamSource requires a
     # directory or pattern
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(f"{sf_dir}/events.parqu*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def events_tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
