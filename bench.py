@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "table_profile",
     "dataset_split",
     "training_shuffle",
+    "range_search",
+    "knn_graph",
+    "bm25_doc_rank",
+    "hybrid_search_rrf",
+    "mmr_diversify",
 ]
 
 

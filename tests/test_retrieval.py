@@ -1,0 +1,165 @@
+"""Property tests for the retrieval surface (operators/retrieval.py):
+radius search, kNN graph, BM25 keyword ranking, reciprocal-rank fusion,
+and MMR diversification. Cross-engine parity is covered by
+test_oracle_parity.py; these tests check the semantic contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.operators.retrieval import (
+    bm25_rank,
+    knn_graph,
+    mmr_rerank,
+    range_search,
+    rrf_fuse,
+)
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+def _queries(spark, sf_dir, n=5):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_range_search_contract(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = range_search(emb, _queries(spark, sf_smoke), radius=1.3, metric="l2").collect()
+    assert got, "radius 1.3 should catch some neighbors on this data"
+    by_query = {}
+    for r in got:
+        assert r.dist <= 1.3
+        by_query.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # an indexed query vector is within any radius of itself (dist 0)
+    for qid, ids in by_query.items():
+        assert qid in ids
+
+
+def test_range_search_zero_radius_is_self_only(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = range_search(emb, _queries(spark, sf_smoke), radius=0.0, metric="l2").collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {(q, q) for q in range(5)}
+
+
+def test_knn_graph_contract(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings").limit(60)
+    g = knn_graph(emb, k=4, metric="l2").collect()
+    assert all(r.src_id != r.dst_id for r in g), "no self edges"
+    from collections import Counter
+
+    deg = Counter(r.src_id for r in g)
+    assert set(deg.values()) == {4}, "every node has exactly k out-edges"
+    assert len(deg) == 60
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_tf_monotone_and_exclusion(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta beta"),
+            (1, "alpha alpha alpha beta"),
+            (2, "gamma delta"),
+            (3, "alpha"),
+        ],
+    )
+    out = bm25_rank(docs, ["alpha"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 2 not in ids, "doc without any query term is excluded"
+    # same doc-frequency for all, so more occurrences => higher score,
+    # with saturation keeping order strict here
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[0] > 0
+    assert all(r.n_terms_hit == 1 for r in out)
+
+
+def test_bm25_rank_is_dense_and_bounded(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = bm25_rank(docs, ["spark", "hash"], k=7).orderBy("rnk").collect()
+    assert [r.rnk for r in out] == list(range(1, len(out) + 1))
+    assert len(out) <= 7
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_bm25_empty_terms_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_rank(_docs(spark, [(0, "x")]), [])
+
+
+def test_rrf_consensus_wins(spark):
+    # doc 7 is rank 2 in both lists; doc 1/doc 9 are rank 1 in only one
+    v = spark.createDataFrame(
+        [(0, 1, 1), (0, 7, 2), (0, 3, 3)], "query_id long, doc_id long, rnk int"
+    )
+    k = spark.createDataFrame(
+        [(0, 9, 1), (0, 7, 2), (0, 4, 3)], "query_id long, doc_id long, rnk int"
+    )
+    out = {r.doc_id: (r.rrf_score, r.rnk) for r in rrf_fuse(v, k, k=10).collect()}
+    assert out[7][1] == 1, "consensus doc outranks single-list rank-1 docs"
+    assert out[7][0] == pytest.approx(2 / 62)
+    assert out[1][0] == pytest.approx(1 / 61)
+    # per-query independence
+    assert set(out) == {1, 3, 4, 7, 9}
+
+
+def test_mmr_first_pick_is_argmax_and_no_dups(spark, sf_smoke):
+    from vectorsearch_with_hnsw_spark.registry import q_mmr_diversify
+
+    out = q_mmr_diversify(spark, sf_smoke).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == [1, 2, 3, 4, 5]
+        ids = [r.doc_id for r in rows]
+        assert len(set(ids)) == 5, "no duplicate picks"
+        # pos 1 is the relevance argmax: itself (rel == 1.0 up to fp)
+        assert rows[0].doc_id == qid
+        assert rows[0].rel == pytest.approx(1.0)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_smoke):
+    """Diversification contract, on the fixed deterministic testdata:
+    per query, the MMR set's *max* pairwise similarity (the quantity the
+    greedy step penalizes) must not exceed the plain top-k set's; and
+    averaged over the query set, mean pairwise similarity drops. (Greedy
+    MMR doesn't guarantee a per-query mean decrease in general.)"""
+    import itertools
+
+    import numpy as np
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+
+    def pairsims(ids):
+        return [
+            float(
+                vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+            for a, b in itertools.combinations(ids, 2)
+        ]
+
+    from vectorsearch_with_hnsw_spark.registry import q_mmr_diversify
+
+    mmr_rows = q_mmr_diversify(spark, sf_smoke).collect()
+    qids = sorted({r.query_id for r in mmr_rows})
+    mmr_means, top_means = [], []
+    for qid in qids:
+        mmr_ids = [r.doc_id for r in mmr_rows if r.query_id == qid]
+        q = vecs[qid]
+        top = sorted(
+            vecs,
+            key=lambda i: (-(q @ vecs[i] / (np.linalg.norm(q) * np.linalg.norm(vecs[i]))), i),
+        )[:5]
+        ms, ts = pairsims(mmr_ids), pairsims(top)
+        assert max(ms) <= max(ts) + 1e-12
+        mmr_means.append(sum(ms) / len(ms))
+        top_means.append(sum(ts) / len(ts))
+    assert sum(mmr_means) / len(mmr_means) < sum(top_means) / len(top_means)

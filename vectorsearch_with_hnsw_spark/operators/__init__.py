@@ -9,22 +9,28 @@ from .dedup import (
     simhash_signatures,
 )
 from .ivf import ivf_knn_cosine
+from .retrieval import bm25_rank, knn_graph, mmr_rerank, range_search, rrf_fuse
 from .search import similarity_search
 from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
 from .synth import synthetic_vectors
 
 __all__ = [
+    "bm25_rank",
     "dedup_exact",
     "embedding_neardup_pairs",
     "format_results",
     "ivf_knn_cosine",
     "knn_exact",
     "knn_exact_fast",
+    "knn_graph",
     "knn_with_labels",
     "lsh_knn_cosine",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "mmr_rerank",
     "ngram_jaccard_pairs",
+    "range_search",
+    "rrf_fuse",
     "simhash_pairs",
     "simhash_signatures",
     "similarity_search",

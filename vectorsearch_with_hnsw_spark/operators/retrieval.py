@@ -1,0 +1,272 @@
+"""Retrieval surface beyond plain top-k: radius search, kNN graph,
+keyword (BM25-style) ranking, hybrid rank fusion, and MMR
+diversification.
+
+The reference's only query is top-k nearest neighbors
+(hsnw_trial.py:267-294). A user of a vector-search engine also expects
+the surrounding retrieval toolkit; each op here is expressed as a
+declarative Spark plan (no UDFs) so Catalyst/Tungsten own the physical
+strategy and every float expression mirrors a DuckDB oracle
+bit-for-bit.
+
+Scale notes (100 TB):
+- ``range_search`` is shuffle-free: broadcast query set, map-side cross
+  join + filter. Output size is data-dependent (bounded by the radius),
+  never materialized driver-side.
+- ``knn_graph`` is the exact formulation (crossJoin + per-node window).
+  At billions of rows use the ANN families (dedup.embedding_neardup_pairs,
+  index.routed) for graph construction; this operator is the oracle.
+- ``bm25_rank`` is one narrow agg (corpus stats, |terms|-wide) broadcast
+  back over a map-side scoring pass — two stages total, no wide rows.
+- ``rrf_fuse`` joins two already-tiny ranked lists (k rows per query).
+- ``mmr_rerank`` runs k bounded rounds over <= n_candidates rows per
+  query; every round is a (broadcast-size) join + window, so the whole
+  plan shuffles O(k * Q * n_candidates) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot, l2_norm, metric_expr, to_vec
+from .knn import topk_per_group
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+
+
+def range_search(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """All neighbors within ``radius`` of each query (inclusive) — the
+    fixed-radius twin of top-k search. Unlike kNN there is no per-query
+    ranking state, so the plan is a pure map-side broadcast-crossJoin +
+    filter: zero shuffles, embarrassingly parallel at any scale."""
+    dist = metric_expr(metric)
+    q = F.broadcast(
+        queries_df.select(
+            F.col(query_id_col).alias("query_id"),
+            to_vec(query_vec_col).alias("_qvec"),
+        )
+    )
+    base = index_df.select(
+        F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_vec")
+    )
+    return (
+        base.crossJoin(q)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dist(F.col("_vec"), F.col("_qvec")).alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(float(radius)))
+    )
+
+
+def knn_graph(
+    base: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph: for every vector, its k closest
+    other vectors (self excluded) — the all-pairs generalization of the
+    reference's single-probe search, and the standard precursor to
+    graph-based dedup/clustering. Ties broken by neighbor id."""
+    dist = metric_expr(metric)
+    a = base.select(F.col(id_col).alias("src_id"), to_vec(vec_col).alias("_va"))
+    b = base.select(F.col(id_col).alias("dst_id"), to_vec(vec_col).alias("_vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", dist(F.col("_va"), F.col("_vb")).alias("dist"))
+    )
+    return topk_per_group(pairs, ["src_id"], ["dist", "dst_id"], k).select(
+        "src_id", "dst_id", "dist", "rnk"
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-style keyword relevance ranking of documents against a bag
+    of query terms, with Robertson's idf taken log-free:
+    ``idf(t) = (N - df + 0.5) / (df + 0.5)`` (the exponential of the
+    usual log form — per-term monotone, so per-term ordering is
+    unchanged; chosen because ln() is the one float op engines round
+    differently, and this engine's oracle contract is bit-exact).
+
+    Plan: map-side tf/dl extraction -> one |terms|-wide corpus-stats agg
+    (N, sum dl, per-term df) broadcast back -> map-side scoring ->
+    global top-k. Two narrow shuffles regardless of corpus size."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+
+    def _tf(term: str):
+        # closure via call, not lambda-default: a 2-arg lambda would be
+        # interpreted by F.filter as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    base = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("_dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    score = None
+    n_hit = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = (F.col("_n").cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        part = (idf * (tf * F.lit(k1 + 1.0))) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl))
+        )
+        hit = (F.col(f"_tf{i}") > 0).cast("int")
+        score = part if score is None else score + part
+        n_hit = hit if n_hit is None else n_hit + hit
+    hits = scored.select(
+        "doc_id", score.alias("score"), n_hit.alias("n_terms_hit")
+    ).filter(F.col("n_terms_hit") > 0)
+    # global top-k via orderBy().limit() -> TakeOrderedAndProject (bounded
+    # per-partition heaps, no single-reducer window over the corpus); the
+    # ranking window then runs over <= k rows only
+    top = hits.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score", "n_terms_hit", "rnk"
+    )
+
+
+def rrf_fuse(
+    vector_hits: DataFrame,
+    keyword_hits: DataFrame,
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of a per-query vector
+    ranking (query_id, doc_id, rnk) with a per-query keyword ranking of
+    the same shape. ``rrf = 1/(c+r_vec) + 1/(c+r_kw)`` with a missing
+    side contributing 0 (full outer join). Pure rational arithmetic on
+    integer ranks — exactly reproducible on any engine."""
+    v = vector_hits.select("query_id", "doc_id", F.col("rnk").alias("_rv"))
+    kw = keyword_hits.select("query_id", "doc_id", F.col("rnk").alias("_rk"))
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("_rv").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("_rk").cast("double")), F.lit(0.0)
+    )
+    fused = v.join(kw, ["query_id", "doc_id"], "full_outer").select(
+        "query_id", "doc_id", score.alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rnk")
+    )
+
+
+def _cos_sim(a, b):
+    """Cosine similarity as the canonical fold shape (dot / (|a|*|b|));
+    candidates here are non-degenerate so no zero-norm guard — the
+    guarded distance form lives in functions.vector.cosine_distance."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification over per-query
+    candidate lists, fully declarative (k bounded rounds of join +
+    window — no UDF, no driver-side collect).
+
+    ``candidates`` must have (query_id, doc_id, rel, vec) where ``rel``
+    is the relevance score (higher = better, e.g. cosine similarity to
+    the query). Round 1 picks argmax rel; round t picks
+    ``argmax lam*rel - (1-lam)*max_sim_to_selected`` with doc_id
+    tiebreak. Returns (query_id, pos, doc_id, rel).
+
+    Greedy MMR is inherently sequential in k (each pick conditions the
+    next), so the plan unrolls k rounds; per-query work is bounded by
+    the candidate-list length, which keeps every round's join
+    broadcast-small per key no matter the corpus size.
+    """
+    cand = candidates.select(
+        "query_id", "doc_id", "rel", to_vec("vec").alias("_v")
+    ).localCheckpoint(eager=False)
+    # pairwise candidate similarity, computed once (bounded:
+    # |cands|^2 rows per query)
+    a = cand.select("query_id", F.col("doc_id").alias("_ida"), F.col("_v").alias("_va"))
+    b = cand.select("query_id", F.col("doc_id").alias("_idb"), F.col("_v").alias("_vb"))
+    pairsim = (
+        a.join(b, "query_id")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            "query_id",
+            "_ida",
+            "_idb",
+            _cos_sim(F.col("_va"), F.col("_vb")).alias("_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    selected = (
+        cand.withColumn("_rn", F.row_number().over(w_rel))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.lit(1).alias("pos"), "doc_id", "rel")
+    )
+    for t in range(2, k + 1):
+        sel_ids = selected.select("query_id", F.col("doc_id").alias("_idb"))
+        rem = cand.join(
+            selected.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+        )
+        maxsim = (
+            rem.select("query_id", F.col("doc_id").alias("_ida"))
+            .join(pairsim, ["query_id", "_ida"])
+            .join(sel_ids, ["query_id", "_idb"])
+            .groupBy("query_id", "_ida")
+            .agg(F.max("_sim").alias("_maxsim"))
+            .withColumnRenamed("_ida", "doc_id")
+        )
+        scored = rem.join(maxsim, ["query_id", "doc_id"]).select(
+            "query_id",
+            "doc_id",
+            "rel",
+            (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_maxsim")).alias(
+                "_mmr"
+            ),
+        )
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            F.col("_mmr").desc(), F.col("doc_id")
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w_mmr))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.lit(t).alias("pos"), "doc_id", "rel")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected

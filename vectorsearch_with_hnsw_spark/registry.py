@@ -2095,6 +2095,261 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Retrieval surface: radius search, kNN graph, BM25, hybrid RRF, MMR
+# ---------------------------------------------------------------------------
+
+RANGE_RADIUS = 1.25  # ~ the 3rd percentile of pairwise L2 on the testdata
+BM25_TERMS = ("spark", "hash", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+MMR_NQ = 5  # mmr query set = vec_id < MMR_NQ
+MMR_NCAND = 20
+MMR_K = 5
+MMR_LAM = 0.5
+HYBRID_DEPTH = 30  # per-family list depth fused by RRF
+
+
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return range_search(emb, _emb_queries(spark, sf_dir), radius=RANGE_RADIUS, metric="l2")
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, metric="l2")
+
+
+def q_bm25_doc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, list(BM25_TERMS), k=20, k1=BM25_K1, b=BM25_B)
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: per-query vector ranking (exact cosine kNN)
+    fused with a shared keyword ranking (BM25 over the aligned documents
+    table — doc_id and vec_id are the same key space) via reciprocal-
+    rank fusion."""
+    from .operators.retrieval import bm25_rank, rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    vec_hits = knn_exact(
+        emb, _emb_queries(spark, sf_dir), k=HYBRID_DEPTH, metric="cosine"
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
+    kw = bm25_rank(docs, list(BM25_TERMS), k=HYBRID_DEPTH, k1=BM25_K1, b=BM25_B)
+    qids = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    kw_hits = kw.crossJoin(F.broadcast(qids)).select("query_id", "doc_id", "rnk")
+    return rrf_fuse(vec_hits, kw_hits, k=10)
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of the top cosine candidates per query —
+    declarative greedy re-ranking (operators/retrieval.mmr_rerank)."""
+    from pyspark.sql import Window
+
+    from .functions.vector import dot, l2_norm
+    from .operators.retrieval import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id") < MMR_NQ).select(
+            F.col("vec_id").alias("query_id"), to_vec("embedding").alias("_qv")
+        )
+    )
+    b = emb.select(F.col("vec_id").alias("doc_id"), to_vec("embedding").alias("vec"))
+    sim = dot(F.col("vec"), F.col("_qv")) / (
+        l2_norm(F.col("vec")) * l2_norm(F.col("_qv"))
+    )
+    scored = b.crossJoin(qs).select("query_id", "doc_id", sim.alias("rel"), "vec")
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= MMR_NCAND)
+        .select("query_id", "doc_id", "rel", "vec")
+    )
+    return mmr_rerank(cand, k=MMR_K, lam=MMR_LAM)
+
+
+SQL_RANGE_SEARCH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT q.query_id, b.neighbor_id, {sql_l2("b.v", "q.qv")} AS dist FROM b CROSS JOIN q
+)
+SELECT query_id, neighbor_id, dist FROM pairs WHERE dist <= {RANGE_RADIUS!r}
+"""
+
+SQL_KNN_GRAPH = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id, {sql_l2("a.v", "c.v")} AS dist
+  FROM b a CROSS JOIN b c WHERE a.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY dist, dst_id) AS rn FROM pairs
+)
+SELECT src_id, dst_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 5
+"""
+
+
+def _sql_bm25_hits(terms: tuple[str, ...], k1: float, b: float) -> str:
+    """The (doc_id, score, n_terms_hit) relation, mirroring
+    operators/retrieval.bm25_rank float-op for float-op. Shared by the
+    bm25 oracle and the hybrid-RRF oracle."""
+    tf_defs = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS INTEGER) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"(CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(s.df{i} AS DOUBLE) + 0.5)"
+        )
+        parts.append(
+            f"(({idf}) * (CAST(t.tf{i} AS DOUBLE) * {k1 + 1.0!r}))"
+            f" / (CAST(t.tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}"
+            f" * (CAST(t.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))"
+        )
+    score = " + ".join(parts)
+    hits = " + ".join(
+        f"CASE WHEN t.tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl, {tf_defs} FROM tok
+), s AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl, {df_defs} FROM t
+), h AS (
+  SELECT t.doc_id, {score} AS score, CAST({hits} AS INTEGER) AS n_terms_hit
+  FROM t CROSS JOIN s
+)
+SELECT doc_id, score, n_terms_hit FROM h WHERE n_terms_hit > 0
+"""
+
+
+def _sql_bm25_rank(terms: tuple[str, ...], k1: float, b: float, k: int) -> str:
+    return f"""
+WITH hits AS ({_sql_bm25_hits(terms, k1, b)}),
+top AS (
+  SELECT * FROM hits ORDER BY score DESC, doc_id LIMIT {k}
+)
+SELECT doc_id, score, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+FROM top
+"""
+
+
+def _sql_hybrid_rrf() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+), vpairs AS (
+  SELECT q.query_id, b.doc_id, {_cos_sql("b.v", "q.qv")} AS dist FROM b CROSS JOIN q
+), vrank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rv
+  FROM vpairs
+), v AS (
+  SELECT query_id, doc_id, rv FROM vrank WHERE rv <= {HYBRID_DEPTH}
+), kwhits AS ({_sql_bm25_hits(BM25_TERMS, BM25_K1, BM25_B)}),
+kwtop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM (SELECT * FROM kwhits ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH})
+), kw AS (
+  SELECT query_id, doc_id, rk FROM kwtop
+  CROSS JOIN (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES})
+), fused AS (
+  SELECT COALESCE(v.query_id, kw.query_id) AS query_id,
+         COALESCE(v.doc_id, kw.doc_id) AS doc_id,
+         COALESCE(1.0 / (60.0 + CAST(v.rv AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60.0 + CAST(kw.rk AS DOUBLE)), 0.0) AS rrf_score
+  FROM v FULL JOIN kw ON v.query_id = kw.query_id AND v.doc_id = kw.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 10
+"""
+
+
+def _sql_cos_sim(a: str, b: str) -> str:
+    """Unguarded cosine similarity, mirroring retrieval._cos_sim
+    (dot / (|a| * |b|))."""
+    return f"{sql_dot(a, b)} / (sqrt({sql_sq_norm(a)}) * sqrt({sql_sq_norm(b)}))"
+
+
+def _sql_mmr() -> str:
+    """Unrolled greedy MMR (MMR_K rounds), float-shape-identical to
+    operators/retrieval.mmr_rerank."""
+    lam, one_minus = repr(MMR_LAM), repr(1.0 - MMR_LAM)
+    head = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {MMR_NQ}
+), b AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.query_id, b.doc_id, {_sql_cos_sim("b.v", "q.qv")} AS rel, b.v AS v
+  FROM b CROSS JOIN q
+), cand AS (
+  SELECT query_id, doc_id, rel, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_NCAND}
+), psim AS (
+  SELECT a.query_id, a.doc_id AS ida, b2.doc_id AS idb, {_sql_cos_sim("a.v", "b2.v")} AS s
+  FROM cand a JOIN cand b2 USING (query_id) WHERE a.doc_id != b2.doc_id
+), sel1 AS (
+  SELECT query_id, CAST(1 AS INTEGER) AS pos, doc_id, rel FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), all1 AS (SELECT * FROM sel1)"""
+    steps = []
+    for t in range(2, MMR_K + 1):
+        steps.append(f""",
+rem{t} AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN all{t - 1} s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+  WHERE s.doc_id IS NULL
+), mx{t} AS (
+  SELECT p.query_id, p.ida AS doc_id, MAX(p.s) AS maxsim
+  FROM psim p
+  JOIN rem{t} r ON r.query_id = p.query_id AND r.doc_id = p.ida
+  JOIN all{t - 1} s ON s.query_id = p.query_id AND s.doc_id = p.idb
+  GROUP BY 1, 2
+), sc{t} AS (
+  SELECT r.query_id, r.doc_id, r.rel, {lam} * r.rel - {one_minus} * m.maxsim AS mmr
+  FROM rem{t} r JOIN mx{t} m ON m.query_id = r.query_id AND m.doc_id = r.doc_id
+), sel{t} AS (
+  SELECT query_id, CAST({t} AS INTEGER) AS pos, doc_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rn
+    FROM sc{t}
+  ) WHERE rn = 1
+), all{t} AS (SELECT * FROM all{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    return head + "".join(steps) + f"\nSELECT query_id, pos, doc_id, rel FROM all{MMR_K}"
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2206,6 +2461,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "nation_profit": (R.nation_profit, SQL_NATION_PROFIT),
     "important_parts": (R.important_parts, SQL_IMPORTANT_PARTS),
     "dominant_suppliers": (R.dominant_suppliers, SQL_DOMINANT_SUPPLIERS),
+    # retrieval surface: radius search, kNN graph, keyword + hybrid + MMR
+    "range_search": (q_range_search, SQL_RANGE_SEARCH),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "bm25_doc_rank": (
+        q_bm25_doc_rank,
+        _sql_bm25_rank(BM25_TERMS, BM25_K1, BM25_B, 20),
+    ),
+    "hybrid_search_rrf": (q_hybrid_search_rrf, _sql_hybrid_rrf()),
+    "mmr_diversify": (q_mmr_diversify, _sql_mmr()),
 }
 
 
