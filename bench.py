@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "bm25_doc_rank",
     "hybrid_search_rrf",
     "mmr_diversify",
+    "pq_adc_ann",
 ]
 
 

@@ -108,6 +108,35 @@ def test_rrf_consensus_wins(spark):
     assert set(out) == {1, 3, 4, 7, 9}
 
 
+def test_pq_adc_recall_and_code_shape(spark, sf_smoke):
+    """PQ with sampled anchor codebooks: codes are m-long with values in
+    [0, n_anchors); recall@10 vs exact clears the measured floor on the
+    (deterministic) testdata; an anchor query self-matches at rank 1
+    (its subvectors quantize to themselves, ADC distance exactly 0)."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+    from vectorsearch_with_hnsw_spark.operators.pq import (
+        NUM_ANCHORS,
+        pq_adc_knn,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=10)
+    cb = pq_codebooks(emb, dim=64, m=8)
+    codes = pq_encode(emb, cb, dim=64, m=8).collect()
+    assert all(len(r.code) == 8 for r in codes)
+    assert all(0 <= c < NUM_ANCHORS for r in codes for c in r.code)
+    got = pq_adc_knn(emb, q, dim=64, m=8, k=10).collect()
+    exact = knn_exact(emb, q, k=10, metric="l2").collect()
+    gset = {(r.query_id, r.neighbor_id) for r in got}
+    eset = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(gset & eset) / len(eset) >= 0.3
+    for r in got:
+        if r.rnk == 1:
+            assert r.neighbor_id == r.query_id and r.adc_d2 == 0.0
+
+
 def test_mmr_first_pick_is_argmax_and_no_dups(spark, sf_smoke):
     from vectorsearch_with_hnsw_spark.registry import q_mmr_diversify
 

@@ -9,6 +9,7 @@ from .dedup import (
     simhash_signatures,
 )
 from .ivf import ivf_knn_cosine
+from .pq import pq_adc_knn, pq_codebooks, pq_encode
 from .retrieval import bm25_rank, knn_graph, mmr_rerank, range_search, rrf_fuse
 from .search import similarity_search
 from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
@@ -29,6 +30,9 @@ __all__ = [
     "minhash_signatures",
     "mmr_rerank",
     "ngram_jaccard_pairs",
+    "pq_adc_knn",
+    "pq_codebooks",
+    "pq_encode",
     "range_search",
     "rrf_fuse",
     "simhash_pairs",

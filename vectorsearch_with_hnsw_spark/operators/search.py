@@ -1,7 +1,7 @@
 """Unified similarity-search API (SURVEY.md §7 P5).
 
 One entry point over every ANN/exact family the engine implements, so a
-caller picks a recall/cost point by name instead of learning seven
+caller picks a recall/cost point by name instead of learning eight
 operator signatures:
 
 | method       | recall profile        | cost profile                   |
@@ -13,6 +13,7 @@ operator signatures:
 | ivf_sq8      | medium                | cell-pruned quantized scan     |
 | ivf          | medium                | cell-pruned full vectors       |
 | lsh          | low (tunable probes)  | bucket-join only               |
+| pq           | medium                | ADC over 8-byte codes          |
 
 Every method takes the same (base, queries) relations — base
 ``(vec_id, embedding)``-shaped, queries ``(query_id, query_vec)`` — and
@@ -26,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "sq8", "ivf_sq8")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "sq8", "ivf_sq8", "pq")
 
 
 def similarity_search(
@@ -73,6 +74,10 @@ def similarity_search(
         from .quantize import ivf_sq8_knn
 
         return ivf_sq8_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
+    if method == "pq":
+        from .pq import pq_adc_knn
+
+        return pq_adc_knn(base, queries, dim=_dim(dim, method), k=k)
     # hnsw
     from ..index.build import HnswParams, hnsw_build
     from ..index.query import knn_hnsw

@@ -2349,6 +2349,65 @@ rem{t} AS (
     return head + "".join(steps) + f"\nSELECT query_id, pos, doc_id, rel FROM all{MMR_K}"
 
 
+PQ_M = 8  # subspaces for product quantization (DIM 64 -> 8 dims each)
+PQ_ANCHORS = 64  # sampled codebook size per subspace
+
+
+def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_adc_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_knn(emb, _emb_queries(spark, sf_dir), dim=DIM, m=PQ_M, k=10)
+
+
+def _sql_pq_adc() -> str:
+    """PQ-ADC oracle. Codes here carry the *anchor vec_id* where the
+    Spark side stores the *position* in the id-ordered codebook — ids
+    are dense from 0 in the testdata, so both resolve to the same
+    centroid and the ADC sums agree bit-for-bit."""
+    d = DIM // PQ_M
+    sub_d2 = (
+        "list_reduce(list_transform({v}[{s}*%d+1 : {s}*%d+%d], "
+        "(x, i) -> (x - {cs}[i]) * (x - {cs}[i])), (a, u) -> a + u)" % (d, d, d)
+    )
+    enc_d2 = sub_d2.format(v="e.v", s="c.s", cs="c.cs")
+    q_d2 = sub_d2.format(v="q.qv", s="c.s", cs="c.cs")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), anch AS (
+  SELECT vec_id AS cell, v AS centroid FROM e ORDER BY vec_id LIMIT {PQ_ANCHORS}
+), subs AS (
+  SELECT unnest(range(0, {PQ_M})) AS s
+), cellsub AS (
+  SELECT cell, s, centroid[s*{d}+1 : s*{d}+{d}] AS cs FROM anch CROSS JOIN subs
+), enc AS (
+  SELECT e.vec_id, c.s, c.cell, {enc_d2} AS d2
+  FROM e CROSS JOIN cellsub c
+), codes AS (
+  SELECT vec_id, s, cell AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn FROM enc
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), qlut AS (
+  SELECT q.query_id, c.s, c.cell, {q_d2} AS d2
+  FROM q CROSS JOIN cellsub c
+), adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d2 ORDER BY l.s)),
+                (a, u) -> a + u) AS adc_d2
+  FROM codes cd JOIN qlut l ON l.s = cd.s AND l.cell = cd.code
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2470,6 +2529,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "hybrid_search_rrf": (q_hybrid_search_rrf, _sql_hybrid_rrf()),
     "mmr_diversify": (q_mmr_diversify, _sql_mmr()),
+    "pq_adc_ann": (q_pq_adc_ann, _sql_pq_adc()),
 }
 
 
