@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "mmr_diversify",
     "pq_adc_ann",
+    "weighted_sample",
+    "kmeans_clusters",
 ]
 
 

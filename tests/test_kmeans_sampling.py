@@ -1,0 +1,59 @@
+"""Property tests for the k-means trainer (ivf.kmeans_fit) and
+deterministic weighted sampling (textpipe.weighted_sample)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.operators.ivf import kmeans_fit
+from vectorsearch_with_hnsw_spark.operators.textpipe import weighted_sample
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+def test_kmeans_partition_and_cells(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    out = kmeans_fit(emb, dim=64, k=8, iters=2).collect()
+    assert len(out) == n, "every vector assigned exactly once"
+    assert len({r.vec_id for r in out}) == n
+    assert all(0 <= r.cell < 8 for r in out)
+    assert all(r.d2 >= 0.0 for r in out)
+
+
+def test_kmeans_iterations_do_not_worsen_sse(spark, sf_smoke):
+    """Lloyd's algorithm is monotone non-increasing in the summed
+    within-cluster squared distance; the decimal-exact mean update
+    preserves that on this data."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    sse = []
+    for iters in (0, 1, 2):
+        out = kmeans_fit(emb, dim=64, k=8, iters=iters)
+        sse.append(out.agg(F.sum("d2")).collect()[0][0])
+    assert sse[1] <= sse[0] + 1e-9
+    assert sse[2] <= sse[1] + 1e-9
+
+
+def test_weighted_sample_deterministic_and_bounded(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    a = weighted_sample(docs, n_per_group=10).collect()
+    b = weighted_sample(docs, n_per_group=10).collect()
+    assert sorted((r.doc_id, r.rnk) for r in a) == sorted((r.doc_id, r.rnk) for r in b)
+    from collections import Counter
+
+    per_group = Counter(r.lang for r in a)
+    group_sizes = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, cnt in per_group.items():
+        assert cnt == min(10, group_sizes[lang])
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_smoke):
+    """Priority sampling keeps higher-weight rows more often: the
+    sampled set's mean weight must exceed the population mean (a weak
+    but deterministic check on this fixed data)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    samp = weighted_sample(docs, n_per_group=25).collect()
+    samp_mean = sum(r.weight for r in samp) / len(samp)
+    assert samp_mean > pop_mean

@@ -8,7 +8,7 @@ from .dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from .ivf import ivf_knn_cosine
+from .ivf import ivf_knn_cosine, kmeans_fit
 from .pq import pq_adc_knn, pq_codebooks, pq_encode
 from .retrieval import bm25_rank, knn_graph, mmr_rerank, range_search, rrf_fuse
 from .search import similarity_search
@@ -21,6 +21,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "format_results",
     "ivf_knn_cosine",
+    "kmeans_fit",
     "knn_exact",
     "knn_exact_fast",
     "knn_graph",

@@ -58,6 +58,85 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame, vec_col: str = "embed
     )
 
 
+def _l2sq(a, b):
+    """Squared L2 as the canonical sequential fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the vector column, fully declarative and
+    deterministic: init = the k lowest-id vectors (cell = rank in that
+    order), then ``iters`` rounds of (exact-double argmin assignment ->
+    decimal-exact mean update), then a final assignment against the
+    trained centroids. Returns (vec_id, cell, d2).
+
+    This is the trainer the IVF/PQ operators take centroids from at
+    deploy time (label_centroids is the zero-training stand-in). Every
+    round is one broadcast-centroid map pass + one posexplode mean agg —
+    no driver-side vectors, so it scales to any row count; cost is
+    linear in iters and the unrolled plan stays small because k and
+    iters are small constants. A cell that loses all members drops out
+    (standard Lloyd behavior), identically in the SQL oracle.
+
+    Means are FIXED-POINT at 1e-7 resolution (floor(v*1e7) integer
+    sums, same rationale as q_embedding_dim_stats): exact-integer
+    accumulation is order-independent AND engine-identical, where a
+    double->DECIMAL cast diverges from DuckDB by 1 unit on rounding
+    ties (observed at sf0.01: one of 512 per-dim sums, half-up vs
+    half-even)."""
+    pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
+    w_init = Window.orderBy("vec_id")
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cell", (F.row_number().over(w_init) - F.lit(1)).cast("int"))
+        .select("cell", F.col("v").alias("centroid"))
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        cand = pts.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "cell", _l2sq(F.col("v"), F.col("centroid")).alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "cell", "d2")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        per_dim = assigned.join(pts, "vec_id").select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        )
+        fx = F.floor(F.col("x") * F.lit(10000000.0)).cast("long")
+        return (
+            per_dim.groupBy("cell", "pos")
+            .agg(F.sum(fx).alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "c",
+                F.col("s").cast("double") / F.col("n").cast("double") / F.lit(10000000.0),
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        )
+
+    for _ in range(iters):
+        cents = update(assign(cents)).localCheckpoint(eager=False)
+    return assign(cents)
+
+
 def ivf_knn_cosine(
     emb: DataFrame,
     queries_df: DataFrame,

@@ -103,6 +103,41 @@ def stratified_sample(docs: DataFrame, rates_pct: dict[str, int], default_pct: i
     return docs.filter(mix % 100 < rate).select("doc_id", "lang", "source")
 
 
+def weighted_sample(
+    docs: DataFrame,
+    n_per_group: int = 25,
+    weight_col: str = "n_chars",
+    group_col: str = "lang",
+    salt: int = 77_617,
+) -> DataFrame:
+    """Reproducible weighted sampling without replacement, per group:
+    priority sampling (Duffield-Lund-Thorup) with a deterministic
+    uniform — each row gets priority ``w / u`` where ``u`` is an integer
+    multiplicative hash of doc_id mapped to (0, 1], and the top
+    ``n_per_group`` priorities win. Higher-weight rows are
+    proportionally more likely to be kept, yet the selection is exactly
+    repeatable on any cluster/partitioning (rand() is neither). The
+    priority is one exact double division on top of integer hashing, so
+    the pick set is engine-independent.
+
+    Plan: map-only priority projection + one per-group top-N window —
+    the same WindowGroupLimit pushdown shape as lang_exemplars (partial
+    per-partition top-N before the shuffle)."""
+    h = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    # u in (0, 1]: (h + 1) / SAMPLE_MOD, exact double ops
+    u = (h + F.lit(1)).cast("double") / F.lit(float(SAMPLE_MOD))
+    priority = F.col(weight_col).cast("double") / u
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", group_col, F.col(weight_col).alias("weight"),
+                    priority.alias("priority"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= n_per_group)
+    )
+
+
 def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Length outliers by z-score, with mean/std derived from EXACT
     integer moment sums (n, Σx, Σx²) so the result is engine-independent:

@@ -2408,6 +2408,93 @@ SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id, adc_d2 FROM (
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, dim=DIM, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, lang, n_chars AS weight,
+    CAST(n_chars AS DOUBLE)
+      / (CAST(((doc_id + 77617) * 2654435761) % 2147483647 + 1 AS DOUBLE)
+         / CAST(2147483647 AS DOUBLE)) AS priority
+  FROM documents
+)
+SELECT doc_id, lang, weight, priority, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+  FROM p
+) WHERE rn <= 25
+"""
+
+
+def _sql_kmeans() -> str:
+    """Unrolled Lloyd iterations mirroring ivf.kmeans_fit: anchor init,
+    KMEANS_ITERS x (assign, decimal-mean update), final assignment."""
+    def fold(c: str) -> str:
+        return (
+            f"list_reduce(list_transform(e.v, (x, i) -> (x - {c}.centroid[i])"
+            f" * (x - {c}.centroid[i])), (a, u) -> a + u)"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT t.*, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM (
+      SELECT e.vec_id, c.cell, {fold("c")} AS d2 FROM e CROSS JOIN {cents} c
+    ) t
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, assigned: str) -> str:
+        # fixed-point 1e-7 integer sums (see ivf.kmeans_fit docstring):
+        # floor() has no rounding ties, so the mean is engine-identical
+        return f"""
+{name} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos)
+           AS centroid
+  FROM (
+    SELECT a.cell, p.pos,
+           CAST(SUM(CAST(floor(e.v[p.pos] * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+           COUNT(*) AS n
+    FROM {assigned} a JOIN e USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS pos) p
+    GROUP BY 1, 2
+  ) GROUP BY cell
+)"""
+
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS centroid
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+)"""
+    ]
+    cents = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append("," + assign(f"a{it}", cents))
+        parts.append("," + update(f"m{it}", f"a{it}"))
+        cents = f"m{it}"
+    parts.append("," + assign("af", cents))
+    parts.append("\nSELECT vec_id, cell, d2 FROM af")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2530,6 +2617,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hybrid_search_rrf": (q_hybrid_search_rrf, _sql_hybrid_rrf()),
     "mmr_diversify": (q_mmr_diversify, _sql_mmr()),
     "pq_adc_ann": (q_pq_adc_ann, _sql_pq_adc()),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
 }
 
 
