@@ -264,3 +264,39 @@ def test_dominant_suppliers_semi_join(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert df.count() > 0
+
+
+def test_range_search_is_shuffle_free(spark, sf_smoke):
+    """Radius search has no per-query state: the plan must be broadcast
+    crossJoin + filter with NO shuffle exchange (the only Exchange is
+    the broadcast of the query set)."""
+    from vectorsearch_with_hnsw_spark.registry import q_range_search
+
+    df = q_range_search(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    shuffles = re.findall(r"Exchange (\w+)", plan)
+    assert all("hashpartitioning" not in s and "rangepartitioning" not in s for s in shuffles), shuffles
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_smoke):
+    """The global top-k must plan as TakeOrderedAndProject (bounded
+    per-partition heaps), never a single-reducer global sort + window
+    over the whole corpus."""
+    from vectorsearch_with_hnsw_spark.registry import q_bm25_doc_rank
+
+    df = q_bm25_doc_rank(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_single_shuffle(spark, sf_smoke):
+    """Priority projection is map-only; the only shuffle is the
+    per-group top-N window partitioning."""
+    from vectorsearch_with_hnsw_spark.registry import q_weighted_sample
+
+    df = q_weighted_sample(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
