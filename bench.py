@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "pq_adc_ann",
     "weighted_sample",
     "kmeans_clusters",
+    "maxsim_search",
 ]
 
 

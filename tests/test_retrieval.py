@@ -108,6 +108,22 @@ def test_rrf_consensus_wins(spark):
     assert set(out) == {1, 3, 4, 7, 9}
 
 
+def test_maxsim_self_match_and_bounds(spark, sf_smoke):
+    """Late interaction: an indexed query self-matches at rank 1 with
+    the maximum possible score (every token best-matches itself at
+    cosine similarity 1, so maxsim == n_tokens up to fp); scores are
+    bounded by [-n_tokens, n_tokens]."""
+    from vectorsearch_with_hnsw_spark.operators.retrieval import maxsim_search
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = maxsim_search(emb, _queries(spark, sf_smoke), dim=64, n_tokens=4, k=5).collect()
+    assert all(-4.0 - 1e-9 <= r.maxsim <= 4.0 + 1e-9 for r in out)
+    for r in out:
+        if r.rnk == 1:
+            assert r.doc_id == r.query_id
+            assert r.maxsim == pytest.approx(4.0)
+
+
 def test_pq_adc_recall_and_code_shape(spark, sf_smoke):
     """PQ with sampled anchor codebooks: codes are m-long with values in
     [0, n_anchors); recall@10 vs exact clears the measured floor on the

@@ -10,7 +10,14 @@ from .dedup import (
 )
 from .ivf import ivf_knn_cosine, kmeans_fit
 from .pq import pq_adc_knn, pq_codebooks, pq_encode
-from .retrieval import bm25_rank, knn_graph, mmr_rerank, range_search, rrf_fuse
+from .retrieval import (
+    bm25_rank,
+    knn_graph,
+    maxsim_search,
+    mmr_rerank,
+    range_search,
+    rrf_fuse,
+)
 from .search import similarity_search
 from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
 from .synth import synthetic_vectors
@@ -27,6 +34,7 @@ __all__ = [
     "knn_graph",
     "knn_with_labels",
     "lsh_knn_cosine",
+    "maxsim_search",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "mmr_rerank",

@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot, l2_norm, metric_expr, to_vec
@@ -200,6 +200,60 @@ def rrf_fuse(
         fused.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "rrf_score", "rnk")
+    )
+
+
+def maxsim_search(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_tokens: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval: vectors are treated
+    as ``n_tokens`` stacked sub-vectors of ``dim / n_tokens`` dims, and
+    ``score(q, d) = sum_i max_j cos_sim(q_i, d_j)`` — each query token
+    matches its best document token. The whole score is one nested
+    higher-order expression (transform -> array_max -> fold), so the
+    scan stays map-side JVM code against the broadcast query set and the
+    only shuffle is the final per-query top-k window."""
+    if dim % n_tokens != 0:
+        raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
+    d = dim // n_tokens
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            to_vec(query_vec_col).alias("_qv"),
+        )
+    )
+    b = base.select(F.col(id_col).alias("doc_id"), to_vec(vec_col).alias("_v"))
+
+    def tok(vec: Column, i: Column) -> Column:
+        return F.slice(vec, i * F.lit(d) + F.lit(1), F.lit(d))
+
+    score = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                    lambda j: _cos_sim(tok(F.col("_qv"), i), tok(F.col("_v"), j)),
+                )
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = b.crossJoin(q).select("query_id", "doc_id", score.alias("maxsim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "maxsim", "rnk")
     )
 
 

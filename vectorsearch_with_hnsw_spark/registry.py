@@ -2410,6 +2410,44 @@ SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id, adc_d2 FROM (
 
 KMEANS_K = 8
 KMEANS_ITERS = 2
+MAXSIM_TOKENS = 4  # late-interaction: 64-d vector = 4 token-vectors of 16
+
+
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import maxsim_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return maxsim_search(
+        emb, _emb_queries(spark, sf_dir), dim=DIM, n_tokens=MAXSIM_TOKENS, k=10
+    )
+
+
+def _sql_maxsim() -> str:
+    """Late-interaction oracle: outer lambda vars named ti/tj so the
+    (x, i) params inside the dot/norm folds cannot shadow them."""
+    d = DIM // MAXSIM_TOKENS
+    sim = _sql_cos_sim(
+        f"q.qv[ti*{d}+1 : ti*{d}+{d}]", f"b.v[tj*{d}+1 : tj*{d}+{d}]"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.query_id, b.doc_id,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(range(0, {MAXSIM_TOKENS}), ti ->
+        list_max(list_transform(range(0, {MAXSIM_TOKENS}), tj -> {sim})))),
+      (a, u) -> a + u) AS maxsim
+  FROM b CROSS JOIN q
+)
+SELECT query_id, doc_id, maxsim, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2619,6 +2657,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pq_adc_ann": (q_pq_adc_ann, _sql_pq_adc()),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
+    "maxsim_search": (q_maxsim_search, _sql_maxsim()),
 }
 
 
