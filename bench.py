@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "kmeans_clusters",
     "maxsim_search",
+    "ivf_kmeans_ann",
 ]
 
 
@@ -257,6 +258,8 @@ def main() -> None:
         ("ivf_sq8_ann", "l2"),
         ("lsh_ann_cosine", "cosine"),
         ("ivf_ann_cosine", "cosine"),
+        ("pq_adc_ann", "l2"),
+        ("ivf_kmeans_ann", "l2"),
     ):
         pairs = {
             (r["query_id"], r["neighbor_id"]) for r in qmap[name](spark, sf_dir).collect()

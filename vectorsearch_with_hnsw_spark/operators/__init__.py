@@ -8,7 +8,7 @@ from .dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from .ivf import ivf_knn_cosine, kmeans_fit
+from .ivf import ivf_kmeans_knn, ivf_knn_cosine, kmeans_fit, kmeans_train
 from .pq import pq_adc_knn, pq_codebooks, pq_encode
 from .retrieval import (
     bm25_rank,
@@ -27,8 +27,10 @@ __all__ = [
     "dedup_exact",
     "embedding_neardup_pairs",
     "format_results",
+    "ivf_kmeans_knn",
     "ivf_knn_cosine",
     "kmeans_fit",
+    "kmeans_train",
     "knn_exact",
     "knn_exact_fast",
     "knn_graph",

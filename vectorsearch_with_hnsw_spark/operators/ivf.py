@@ -67,34 +67,15 @@ def _l2sq(a, b):
     )
 
 
-def kmeans_fit(
+def _kmeans_impl(
     emb: DataFrame,
     dim: int,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means over the vector column, fully declarative and
-    deterministic: init = the k lowest-id vectors (cell = rank in that
-    order), then ``iters`` rounds of (exact-double argmin assignment ->
-    decimal-exact mean update), then a final assignment against the
-    trained centroids. Returns (vec_id, cell, d2).
-
-    This is the trainer the IVF/PQ operators take centroids from at
-    deploy time (label_centroids is the zero-training stand-in). Every
-    round is one broadcast-centroid map pass + one posexplode mean agg —
-    no driver-side vectors, so it scales to any row count; cost is
-    linear in iters and the unrolled plan stays small because k and
-    iters are small constants. A cell that loses all members drops out
-    (standard Lloyd behavior), identically in the SQL oracle.
-
-    Means are FIXED-POINT at 1e-7 resolution (floor(v*1e7) integer
-    sums, same rationale as q_embedding_dim_stats): exact-integer
-    accumulation is order-independent AND engine-identical, where a
-    double->DECIMAL cast diverges from DuckDB by 1 unit on rounding
-    ties (observed at sf0.01: one of 512 per-dim sums, half-up vs
-    half-even)."""
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared Lloyd machinery: returns (pts, trained_centroids, assign)."""
     pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
     w_init = Window.orderBy("vec_id")
     cents = (
@@ -134,7 +115,96 @@ def kmeans_fit(
 
     for _ in range(iters):
         cents = update(assign(cents)).localCheckpoint(eager=False)
+    return pts, cents, assign
+
+
+def kmeans_train(
+    emb: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained centroids (cell, centroid) after ``iters`` Lloyd rounds —
+    the artifact IVF routing and PQ codebooks consume."""
+    _, cents, _ = _kmeans_impl(emb, dim, k, iters, id_col, vec_col)
+    return cents
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the vector column, fully declarative and
+    deterministic: init = the k lowest-id vectors (cell = rank in that
+    order), then ``iters`` rounds of (exact-double argmin assignment ->
+    decimal-exact mean update), then a final assignment against the
+    trained centroids. Returns (vec_id, cell, d2).
+
+    This is the trainer the IVF/PQ operators take centroids from at
+    deploy time (label_centroids is the zero-training stand-in). Every
+    round is one broadcast-centroid map pass + one posexplode mean agg —
+    no driver-side vectors, so it scales to any row count; cost is
+    linear in iters and the unrolled plan stays small because k and
+    iters are small constants. A cell that loses all members drops out
+    (standard Lloyd behavior), identically in the SQL oracle.
+
+    Means are FIXED-POINT at 1e-7 resolution (floor(v*1e7) integer
+    sums, same rationale as q_embedding_dim_stats): exact-integer
+    accumulation is order-independent AND engine-identical, where a
+    double->DECIMAL cast diverges from DuckDB by 1 unit on rounding
+    ties (observed at sf0.01: one of 512 per-dim sums, half-up vs
+    half-even)."""
+    _, cents, assign = _kmeans_impl(emb, dim, k, iters, id_col, vec_col)
     return assign(cents)
+
+
+def ivf_kmeans_knn(
+    emb: DataFrame,
+    queries_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF probe routed by TRAINED centroids — the closed loop of
+    kmeans_train -> cell assignment -> bucket-pruned L2 search that
+    label_centroids only stands in for. Queries rank the trained
+    centroids by the same squared-L2 fold the trainer used, probe the
+    ``n_probe`` nearest cells, and rank candidates by exact L2 (sqrt
+    fold, identical to knn_exact). Same 100 TB plan shape as
+    ivf_knn_cosine: index bucketed by cell once, probes broadcast,
+    bucket-pruned scan + per-query top-k window."""
+    from ..functions.vector import l2_distance
+
+    pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, "vec_id", "embedding")
+    assigned = assign(cents).select("vec_id", "cell")
+    qcells = queries_df.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "query_vec",
+        "cell",
+        _l2sq(to_vec("query_vec"), F.col("centroid")).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qcells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    cand = assigned.join(pts, "vec_id").join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        l2_distance(F.col("v"), to_vec("query_vec")).alias("dist"),
+    )
+    return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )
 
 
 def ivf_knn_cosine(

@@ -2478,9 +2478,10 @@ SELECT doc_id, lang, weight, priority, CAST(rn AS INTEGER) AS rnk FROM (
 """
 
 
-def _sql_kmeans() -> str:
-    """Unrolled Lloyd iterations mirroring ivf.kmeans_fit: anchor init,
-    KMEANS_ITERS x (assign, decimal-mean update), final assignment."""
+def _kmeans_ctes() -> tuple[str, str]:
+    """Unrolled Lloyd CTEs mirroring ivf._kmeans_impl: anchor init,
+    KMEANS_ITERS x (assign, fixed-point mean update), final assignment
+    ``af``. Returns (cte_block, final_centroid_cte_name)."""
     def fold(c: str) -> str:
         return (
             f"list_reduce(list_transform(e.v, (x, i) -> (x - {c}.centroid[i])"
@@ -2529,8 +2530,61 @@ WITH e AS (
         parts.append("," + update(f"m{it}", f"a{it}"))
         cents = f"m{it}"
     parts.append("," + assign("af", cents))
-    parts.append("\nSELECT vec_id, cell, d2 FROM af")
-    return "".join(parts)
+    return "".join(parts), cents
+
+
+def _sql_kmeans() -> str:
+    ctes, _ = _kmeans_ctes()
+    return ctes + "\nSELECT vec_id, cell, d2 FROM af"
+
+
+def _sql_ivf_kmeans(n_probe: int = 2, k: int = 10) -> str:
+    """IVF probe over the trained (kmeans) centroids: queries rank
+    cells by the same squared-L2 fold, candidates come from the probed
+    cells' final assignment, ranked by exact L2."""
+    ctes, cents = _kmeans_ctes()
+    qfold = (
+        "list_reduce(list_transform(q.qv, (x, i) -> (x - c.centroid[i])"
+        " * (x - c.centroid[i])), (a, u) -> a + u)"
+    )
+    dist = (
+        "sqrt(list_reduce(list_transform(e.v, (x, i) -> (x - qc.qv[i])"
+        " * (x - qc.qv[i])), (a, u) -> a + u))"
+    )
+    return f"""{ctes},
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell, {qfold} AS d2,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {qfold}, c.cell) AS rn
+    FROM q CROSS JOIN {cents} c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id, {dist} AS dist
+  FROM af a JOIN e USING (vec_id) JOIN qc ON qc.cell = a.cell
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""
+
+
+def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import ivf_kmeans_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_knn(
+        emb,
+        _emb_queries(spark, sf_dir),
+        dim=DIM,
+        k=10,
+        n_probe=2,
+        n_cells=KMEANS_K,
+        iters=KMEANS_ITERS,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2658,6 +2712,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
+    "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
 }
 
 
