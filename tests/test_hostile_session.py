@@ -18,6 +18,9 @@ HOSTILE_QUERIES = [
     "pricing_summary",        # decimal aggregation under ANSI
     "events_time_breakdown",  # calendar extraction — tz-sensitive
     "customer_trailing_revenue",  # RANGE frame over epoch-cast timestamps — DST-sensitive without the UTC pin
+    "bm25_doc_rank",          # double score arithmetic under ANSI
+    "kmeans_clusters",        # fixed-point means + float argmin under ANSI
+    "pq_adc_ann",             # integer codes + LUT sums under ANSI
 ]
 
 

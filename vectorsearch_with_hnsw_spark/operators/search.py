@@ -1,7 +1,7 @@
 """Unified similarity-search API (SURVEY.md §7 P5).
 
 One entry point over every ANN/exact family the engine implements, so a
-caller picks a recall/cost point by name instead of learning eight
+caller picks a recall/cost point by name instead of learning nine
 operator signatures:
 
 | method       | recall profile        | cost profile                   |
@@ -12,6 +12,7 @@ operator signatures:
 | sq8          | high                  | full scan, 4x smaller codes    |
 | ivf_sq8      | medium                | cell-pruned quantized scan     |
 | ivf          | medium                | cell-pruned full vectors       |
+| ivf_kmeans   | medium (trained)      | cell-pruned, kmeans-routed     |
 | lsh          | low (tunable probes)  | bucket-join only               |
 | pq           | medium                | ADC over 8-byte codes          |
 
@@ -27,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "sq8", "ivf_sq8", "pq")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq")
 
 
 def similarity_search(
@@ -78,6 +79,10 @@ def similarity_search(
         from .pq import pq_adc_knn
 
         return pq_adc_knn(base, queries, dim=_dim(dim, method), k=k)
+    if method == "ivf_kmeans":
+        from .ivf import ivf_kmeans_knn
+
+        return ivf_kmeans_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
     # hnsw
     from ..index.build import HnswParams, hnsw_build
     from ..index.query import knn_hnsw
