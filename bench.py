@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "maxsim_search",
     "ivf_kmeans_ann",
+    "binary_sign_ann",
 ]
 
 
@@ -260,6 +261,7 @@ def main() -> None:
         ("ivf_ann_cosine", "cosine"),
         ("pq_adc_ann", "l2"),
         ("ivf_kmeans_ann", "l2"),
+        ("binary_sign_ann", "cosine"),
     ):
         pairs = {
             (r["query_id"], r["neighbor_id"]) for r in qmap[name](spark, sf_dir).collect()

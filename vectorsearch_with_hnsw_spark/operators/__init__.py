@@ -1,4 +1,4 @@
-from .ann import lsh_knn_cosine
+from .ann import binary_sign_knn, lsh_knn_cosine
 from .dedup import (
     dedup_exact,
     embedding_neardup_pairs,
@@ -23,6 +23,7 @@ from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, top
 from .synth import synthetic_vectors
 
 __all__ = [
+    "binary_sign_knn",
     "bm25_rank",
     "dedup_exact",
     "embedding_neardup_pairs",

@@ -1,7 +1,7 @@
 """Unified similarity-search API (SURVEY.md §7 P5).
 
 One entry point over every ANN/exact family the engine implements, so a
-caller picks a recall/cost point by name instead of learning nine
+caller picks a recall/cost point by name instead of learning ten
 operator signatures:
 
 | method       | recall profile        | cost profile                   |
@@ -15,6 +15,7 @@ operator signatures:
 | ivf_kmeans   | medium (trained)      | cell-pruned, kmeans-routed     |
 | lsh          | low (tunable probes)  | bucket-join only               |
 | pq           | medium                | ADC over 8-byte codes          |
+| binary       | low-medium            | 1 bit/dim, XOR+popcount scan   |
 
 Every method takes the same (base, queries) relations — base
 ``(vec_id, embedding)``-shaped, queries ``(query_id, query_vec)`` — and
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "binary")
 
 
 def similarity_search(
@@ -83,6 +84,10 @@ def similarity_search(
         from .ivf import ivf_kmeans_knn
 
         return ivf_kmeans_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
+    if method == "binary":
+        from .ann import binary_sign_knn
+
+        return binary_sign_knn(base, queries, dim=_dim(dim, method), k=k)
     # hnsw
     from ..index.build import HnswParams, hnsw_build
     from ..index.query import knn_hnsw

@@ -2572,6 +2572,40 @@ SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
 """
 
 
+def q_binary_sign_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import binary_sign_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_sign_knn(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10)
+
+
+SQL_BINARY_SIGN_ANN = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), codes AS (
+  SELECT vec_id, list_transform(range(0, {DIM // 32}), b ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(v[b*32+1 : b*32+32], (x, j) -> CASE WHEN x >= CAST(0 AS DOUBLE)
+        THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END)),
+      (a, u) -> a + u)) AS bc
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, bc AS qc FROM codes WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    CAST(list_reduce(list_prepend(CAST(0 AS INTEGER),
+      list_transform(range(0, {DIM // 32}), b ->
+        CAST(bit_count(xor(c.bc[b+1], q.qc[b+1])) AS INTEGER))),
+      (a, u) -> a + u) AS INTEGER) AS hamming
+  FROM codes c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+  FROM pairs
+) WHERE rn <= 10
+"""
+
+
 def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import ivf_kmeans_knn
 
@@ -2713,6 +2747,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
+    "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
 }
 
 
