@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "maxsim_search",
     "ivf_kmeans_ann",
     "binary_sign_ann",
+    "mix_corpus",
 ]
 
 

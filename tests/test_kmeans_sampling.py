@@ -48,6 +48,36 @@ def test_weighted_sample_deterministic_and_bounded(spark, sf_smoke):
         assert cnt == min(10, group_sizes[lang])
 
 
+def test_mix_corpus_proportions_and_determinism(spark, sf_smoke):
+    """The binding source (largest target here, equal counts) keeps all
+    rows; other sources land near f_s/f_b of their rows; untargeted
+    sources are dropped; the selection repeats exactly."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import mix_corpus
+
+    docs = load_table(spark, sf_smoke, "documents")
+    targets = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+    a = mix_corpus(docs, targets).collect()
+    b = mix_corpus(docs, targets).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    from collections import Counter
+
+    kept = Counter(r.source for r in a)
+    n_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(kept) <= set(targets), "untargeted sources dropped"
+    assert kept["src0"] == n_src["src0"], "binding source keeps 100%"
+    # hash gating is approximate per source: expected rate f_s/40
+    for s, f in targets.items():
+        expected = n_src[s] * f / 40
+        assert abs(kept.get(s, 0) - expected) <= max(4, 0.45 * expected), (s, kept.get(s), expected)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {})
+
+
 def test_weighted_sample_prefers_heavy_rows(spark, sf_smoke):
     """Priority sampling keeps higher-weight rows more often: the
     sampled set's mean weight must exceed the population mean (a weak

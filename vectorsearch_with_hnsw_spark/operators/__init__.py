@@ -21,6 +21,7 @@ from .retrieval import (
 from .search import similarity_search
 from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
 from .synth import synthetic_vectors
+from .textpipe import mix_corpus, weighted_sample
 
 __all__ = [
     "binary_sign_knn",
@@ -40,6 +41,7 @@ __all__ = [
     "maxsim_search",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "mix_corpus",
     "mmr_rerank",
     "ngram_jaccard_pairs",
     "pq_adc_knn",
@@ -52,4 +54,5 @@ __all__ = [
     "similarity_search",
     "synthetic_vectors",
     "topk_per_group",
+    "weighted_sample",
 ]

@@ -138,6 +138,66 @@ def weighted_sample(
     )
 
 
+def mix_corpus(
+    docs: DataFrame,
+    targets_pct: dict[str, int],
+    salt: int = 424_243,
+) -> DataFrame:
+    """Corpus mixing to target source proportions — the data-mixing
+    step of a training pipeline (e.g. 40% web / 30% code / 20% books /
+    10% wiki). Given target percentages per source, the largest
+    achievable output keeps 100% of the binding source (the one with
+    the smallest count-to-target ratio) and down-samples every other
+    source to ``f_s * n_b / (f_b * n_s)`` of its rows, decided by the
+    same doc_id hash gate as stratified_sample — so the mix is
+    reproducible on any cluster/partitioning. Sources absent from
+    ``targets_pct`` are dropped.
+
+    Two passes: one narrow count agg (|sources| rows, broadcast back)
+    and one map-only gate — shuffled bytes track source cardinality,
+    not corpus size. Rates are parts-per-million via one fixed-shape
+    double expression (products stay < 2^53, division is correctly
+    rounded, floor has no ties in practice), so the kept set is
+    engine-exact."""
+    if not targets_pct:
+        raise ValueError("targets_pct must be non-empty")
+    f_expr = F.lit(0)
+    for src, pct in sorted(targets_pct.items()):
+        f_expr = F.when(F.col("source") == src, F.lit(pct)).otherwise(f_expr)
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("f", f_expr)
+        .filter(F.col("f") > 0)
+    )
+    w = Window.orderBy(
+        F.col("n").cast("double") / F.col("f").cast("double"), F.col("source")
+    )
+    binding = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("n").alias("nb"), F.col("f").alias("fb"))
+    )
+    ppm = F.least(
+        F.lit(1_000_000),
+        F.floor(
+            (F.col("f").cast("double") * F.col("nb").cast("double") * F.lit(1000000.0))
+            / (F.col("fb").cast("double") * F.col("n").cast("double"))
+        ),
+    ).cast("long")
+    rates = counts.crossJoin(F.broadcast(binding)).select(
+        "source", ppm.alias("ppm")
+    )
+    gate = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(
+        SAMPLE_MOD
+    ) % F.lit(1_000_000)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("ppm"))
+        .select("doc_id", "source", "lang")
+    )
+
+
 def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Length outliers by z-score, with mean/std derived from EXACT
     integer moment sums (n, Σx, Σx²) so the result is engine-independent:

@@ -2572,6 +2572,48 @@ SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
 """
 
 
+MIX_TARGETS = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import mix_corpus
+
+    return mix_corpus(load_table(spark, sf_dir, "documents"), MIX_TARGETS)
+
+
+def _sql_mix_corpus() -> str:
+    f_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{s}' THEN {p}" for s, p in sorted(MIX_TARGETS.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n, {f_case} AS f
+  FROM documents GROUP BY source
+), eligible AS (
+  SELECT * FROM counts WHERE f > 0
+), binding AS (
+  SELECT n AS nb, f AS fb FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY CAST(n AS DOUBLE) / CAST(f AS DOUBLE), source) AS rn
+    FROM eligible
+  ) WHERE rn = 1
+), rates AS (
+  SELECT source,
+    CAST(LEAST(1000000, floor(
+      (CAST(f AS DOUBLE) * CAST(nb AS DOUBLE) * 1000000.0)
+        / (CAST(fb AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS ppm
+  FROM eligible CROSS JOIN binding
+)
+SELECT doc_id, source, lang
+FROM documents JOIN rates USING (source)
+WHERE ((doc_id + 424243) * 2654435761) % 2147483647 % 1000000 < ppm
+"""
+
+
 def q_binary_sign_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import binary_sign_knn
 
@@ -2748,6 +2790,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
+    "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
 }
 
 
