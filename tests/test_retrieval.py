@@ -208,3 +208,36 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_smoke):
         mmr_means.append(sum(ms) / len(ms))
         top_means.append(sum(ts) / len(ts))
     assert sum(mmr_means) / len(mmr_means) < sum(top_means) / len(top_means)
+
+
+def test_new_operators_are_total_on_empty_input(spark):
+    """Empty in -> empty out, no exceptions: the totality contract the
+    other pipeline ops already hold (test_edge_cases.py)."""
+    from vectorsearch_with_hnsw_spark.operators.ann import binary_sign_knn
+    from vectorsearch_with_hnsw_spark.operators.ivf import kmeans_fit
+    from vectorsearch_with_hnsw_spark.operators.pq import pq_adc_knn
+    from vectorsearch_with_hnsw_spark.operators.retrieval import (
+        bm25_rank,
+        knn_graph,
+        maxsim_search,
+        range_search,
+    )
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        mix_corpus,
+        weighted_sample,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    assert range_search(emb, q, radius=1.0).count() == 0
+    assert knn_graph(emb, k=3).count() == 0
+    assert bm25_rank(docs, ["x"]).count() == 0
+    assert maxsim_search(emb, q, dim=64, n_tokens=4).count() == 0
+    assert binary_sign_knn(emb, q, dim=64).count() == 0
+    assert pq_adc_knn(emb, q, dim=64).count() == 0
+    assert weighted_sample(docs).count() == 0
+    assert mix_corpus(docs, {"src0": 100}).count() == 0
+    assert kmeans_fit(emb, dim=64).count() == 0

@@ -122,3 +122,13 @@ def test_synthetic_datasource_stream(spark):
         .option("n", 120).option("dim", 8).load().collect()
     }
     assert {r["id"]: list(r["vec"]) for r in rows} == batch
+
+
+def test_cli_search_families(spark, capsys, sf_smoke):
+    from vectorsearch_with_hnsw_spark import cli
+
+    cli.main(["search", "--method", "binary", "--sf-dir", sf_smoke, "--k", "2", "--max-queries", "2"])
+    cli.main(["search", "--method", "bm25", "--sf-dir", sf_smoke, "--k", "3"])
+    captured = capsys.readouterr()
+    assert "query_id" in captured.out and "hamming" in captured.out
+    assert "score" in captured.out

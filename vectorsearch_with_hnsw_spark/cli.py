@@ -75,6 +75,22 @@ def main(argv: list[str] | None = None) -> None:
     ck.add_argument("--budget", type=int, default=2048)
     ck.add_argument("--shards", type=int, default=32)
 
+    s = sub.add_parser(
+        "search",
+        help="similarity search over the embeddings table (any family) "
+        "or BM25/hybrid keyword search over documents",
+    )
+    s.add_argument(
+        "--method",
+        default="exact",
+        help="exact|exact_fast|hnsw|lsh|ivf|ivf_kmeans|sq8|ivf_sq8|pq|binary|bm25|hybrid",
+    )
+    s.add_argument("--sf-dir", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--metric", default="cosine")
+    s.add_argument("--max-queries", type=int, default=5)
+    s.add_argument("--terms", default="spark,hash,window", help="keyword terms (bm25/hybrid)")
+
     args = ap.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -142,6 +158,46 @@ def main(argv: list[str] | None = None) -> None:
             )
             out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
             print(f"packed {out.count()} chunks -> {args.out}")
+        elif args.cmd == "search":
+            terms = [t for t in args.terms.split(",") if t]
+            docs = load_table(spark, args.sf_dir, "documents")
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            queries = emb.filter(F.col("vec_id") < args.max_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            if args.method == "bm25":
+                from .operators.retrieval import bm25_rank
+
+                bm25_rank(docs, terms, k=args.k).orderBy("rnk").show(
+                    args.k, truncate=False
+                )
+            elif args.method == "hybrid":
+                from .operators.knn import knn_exact
+                from .operators.retrieval import bm25_rank, rrf_fuse
+
+                depth = max(30, args.k)
+                vec_hits = knn_exact(
+                    emb, queries, k=depth, metric=args.metric
+                ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
+                kw = bm25_rank(docs, terms, k=depth)
+                qids = queries.select("query_id")
+                kw_hits = kw.crossJoin(F.broadcast(qids)).select(
+                    "query_id", "doc_id", "rnk"
+                )
+                rrf_fuse(vec_hits, kw_hits, k=args.k).orderBy(
+                    "query_id", "rnk"
+                ).show(args.max_queries * args.k, truncate=False)
+            else:
+                from .operators.search import similarity_search
+
+                dim = len(emb.select("embedding").first()[0])
+                similarity_search(
+                    emb, queries, method=args.method, k=args.k,
+                    metric=args.metric, dim=dim,
+                ).orderBy("query_id", "rnk").show(
+                    args.max_queries * args.k, truncate=False
+                )
     finally:
         if owns_session:
             spark.stop()
