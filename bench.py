@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "ivf_kmeans_ann",
     "binary_sign_ann",
     "mix_corpus",
+    "dedup_incremental",
 ]
 
 

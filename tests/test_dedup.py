@@ -63,3 +63,30 @@ def test_simhash_bits_all_meaningful(spark, sf_smoke):
         (F.shiftright(F.col("simhash"), 36) % F.lit(1 << 12)) != 0
     ).count()
     assert top_band_nonzero > 0
+
+
+def test_dedup_incremental_drops_known_and_near_dups(spark, sf_smoke):
+    """A new batch deduped against the corpus: an exact copy of a corpus
+    doc is dropped, an unrelated new doc survives, and the testdata
+    split flags a non-trivial near-dup set."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.dedup import dedup_incremental
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    out = {r.doc_id for r in dedup_incremental(new, corpus).collect()}
+    assert 0 < len(out) < 250, "some flagged, some survive"
+    # inject an exact copy of corpus doc 0 as new doc 9001 and a clearly
+    # novel doc as 9002
+    copy_text = corpus.filter(F.col("doc_id") == 0).select("text").first()[0]
+    injected = spark.createDataFrame(
+        [(9001, copy_text, "en", "srcX", len(copy_text)),
+         (9002, "zzz qqq xxw yyv unique brand new content never seen", "en", "srcX", 51)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = {r.doc_id for r in dedup_incremental(new.unionByName(injected), corpus).collect()}
+    assert 9001 not in out2, "exact copy of a corpus doc is dropped"
+    assert 9002 in out2, "novel doc survives"

@@ -1,6 +1,7 @@
 from .ann import binary_sign_knn, lsh_knn_cosine
 from .dedup import (
     dedup_exact,
+    dedup_incremental,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -27,6 +28,7 @@ __all__ = [
     "binary_sign_knn",
     "bm25_rank",
     "dedup_exact",
+    "dedup_incremental",
     "embedding_neardup_pairs",
     "format_results",
     "ivf_kmeans_knn",

@@ -330,3 +330,57 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_leaked_ngrams"))
         .orderBy("doc_id")
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental ingestion dedup: keep only the NEW documents that
+    collide with the existing corpus neither exactly (normalized
+    fingerprint) nor near-exactly (any shared MinHash band bucket) —
+    the shape every recurring crawl ingest needs, where the corpus side
+    is orders of magnitude larger than the batch.
+
+    Plan: both filters are equi-(anti-)joins on precomputable corpus
+    artifacts (distinct fingerprints; distinct band buckets). At deploy
+    time those two tables are maintained incrementally and bucketed, so
+    ingesting a batch never rescans the corpus text — shuffle volume
+    tracks the batch size plus key cardinality. No pairwise comparison
+    anywhere."""
+    fp_new = new_docs.select(
+        "doc_id", "lang", "source", fingerprint(F.col("text")).alias("_fp")
+    )
+    fp_corpus = corpus_docs.select(fingerprint(F.col("text")).alias("_fp")).distinct()
+    exact_surv = fp_new.join(fp_corpus, "_fp", "left_anti")
+
+    rows_per_band = num_hashes // bands
+
+    def banded_buckets(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(docs, num_hashes)
+        frames = []
+        for b in range(bands):
+            parts = [
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            frames.append(
+                sig.select(
+                    "doc_id",
+                    F.concat_ws("_", F.lit(str(b)), *parts).alias("bucket"),
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    new_buckets = banded_buckets(new_docs)
+    corpus_buckets = banded_buckets(corpus_docs).select("bucket").distinct()
+    flagged = new_buckets.join(corpus_buckets, "bucket").select("doc_id").distinct()
+    return (
+        exact_surv.join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

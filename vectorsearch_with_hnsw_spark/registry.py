@@ -2572,6 +2572,52 @@ SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
 """
 
 
+INCR_SPLIT = 250  # doc_id < INCR_SPLIT = existing corpus; >= = new batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_incremental(
+        docs.filter(F.col("doc_id") >= INCR_SPLIT),
+        docs.filter(F.col("doc_id") < INCR_SPLIT),
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    sig_terms = ",\n         ".join(_minhash_sql_terms())
+    rpb = D.NUM_MINHASH // D.MINHASH_BANDS
+    band_selects = []
+    for b in range(D.MINHASH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{i} AS VARCHAR)" for i in range(b * rpb, (b + 1) * rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, '{b}' || '_' || {parts} AS bucket FROM sig"
+        )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {sql_poly_hash('shingle')} AS h FROM tok),
+sig AS (SELECT doc_id, {sig_terms} FROM hashed GROUP BY doc_id),
+buckets AS ({' UNION ALL '.join(band_selects)}),
+flagged AS (
+  SELECT DISTINCT n.doc_id
+  FROM (SELECT * FROM buckets WHERE doc_id >= {INCR_SPLIT}) n
+  JOIN (SELECT DISTINCT bucket FROM buckets WHERE doc_id < {INCR_SPLIT}) c
+    USING (bucket)
+), fpn AS (
+  SELECT doc_id, lang, source, {_FP_SQL} AS fp FROM documents
+  WHERE doc_id >= {INCR_SPLIT}
+), fpc AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id < {INCR_SPLIT}
+)
+SELECT doc_id, lang, source FROM fpn
+WHERE fp NOT IN (SELECT fp FROM fpc)
+  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
 MIX_TARGETS = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
 
 
@@ -2791,6 +2837,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
+    "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
 }
 
 
