@@ -134,3 +134,34 @@ def test_filtered_probe_post_filter_recall(spark, emb, queries, index):
         emb.filter(F.col("label") < 5), queries, k=10, metric="cosine"
     )
     assert _recall(ann, exact) >= 0.85
+
+
+def test_hnsw_stats_structure(spark, sf_smoke):
+    """Per-layer stats: layer 0 holds every alive node, layer population
+    shrinks going up, and no layer exceeds its degree cap (max_m0 at
+    layer 0, M above — the reference's pruning invariant,
+    hsnw_trial.py:250-254, observable from the index tables)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.index.build import (
+        HnswParams,
+        hnsw_build,
+        hnsw_stats,
+    )
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(200)
+    idx = hnsw_build(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=64, metric="cosine"),
+        num_partitions=2,
+    )
+    rows = hnsw_stats(idx).collect()
+    by_layer = {r.layer: r for r in rows}
+    assert by_layer[0].n_nodes == 200
+    levels = sorted(by_layer)
+    for lo, hi in zip(levels, levels[1:]):
+        assert by_layer[hi].n_nodes <= by_layer[lo].n_nodes
+    for r in rows:
+        assert r.max_out_degree <= r.degree_cap, (r.layer, r.max_out_degree)
+        assert r.n_edges >= r.n_nodes_linked  # every linked node has >= 1 edge

@@ -216,3 +216,41 @@ def _level_expr(id_col, params: HnswParams):
         return ids.map(lambda i: level_for_id(int(i), params.mL, params.seed)).astype("int32")
 
     return lvl(id_col)
+
+
+def hnsw_stats(index: "HnswIndex") -> DataFrame:
+    """Index observability: per-layer structure metrics across all
+    partitions — node count, edge count, mean/max out-degree, and the
+    degree-cap ceiling in force (max_m0 on layer 0, M above). One
+    narrow agg over the edges table joined with a per-layer node count;
+    this is the health check an operator runs after build/append/rebuild
+    (degree-cap violations or empty layers indicate a broken kernel,
+    and a shrinking top layer after appends signals rebuild time —
+    observability the reference lacks entirely, its graph being opaque
+    in-process lists, hsnw_trial.py:105)."""
+    p = index.params
+    deg = (
+        index.edges.groupBy("layer", "src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    per_layer = deg.groupBy("layer").agg(
+        F.count(F.lit(1)).alias("n_nodes_linked"),
+        F.sum("out_deg").alias("n_edges"),
+        F.max("out_deg").alias("max_out_degree"),
+        (F.sum("out_deg").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_out_degree"
+        ),
+    )
+    alive = index.nodes.filter(~F.col("deleted"))
+    layer_nodes = (
+        alive.select(F.explode(F.sequence(F.lit(0), F.col("level"))).alias("layer"))
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    cap = F.when(F.col("layer") == 0, F.lit(p.max_m0)).otherwise(F.lit(p.M))
+    return (
+        layer_nodes.join(per_layer, "layer", "left")
+        .fillna(0, subset=["n_nodes_linked", "n_edges", "max_out_degree"])
+        .withColumn("degree_cap", cap)
+        .orderBy("layer")
+    )

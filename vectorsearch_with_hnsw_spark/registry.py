@@ -2572,6 +2572,20 @@ SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
 """
 
 
+def q_hnsw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index observability rollup over a freshly built index — rows-only
+    check (index internals are not SQL-derivable from the base tables)."""
+    from .index.build import HnswParams, hnsw_build, hnsw_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = hnsw_build(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=4,
+    )
+    return hnsw_stats(idx)
+
+
 INCR_SPLIT = 250  # doc_id < INCR_SPLIT = existing corpus; >= = new batch
 
 
@@ -2838,6 +2852,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
+    "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
 }
 
 
