@@ -322,3 +322,33 @@ def test_streaming_dedup_checkpoint_resume(spark, sf_smoke, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n2 == n1, f"restart re-emitted rows: {n1} -> {n2}"
     shutil.rmtree(ckpt)
+
+
+def test_streaming_incremental_dedup_parity(spark, sf_smoke, tmp_path):
+    """A streamed batch of new docs deduped against the static corpus
+    must equal the batch dedup_incremental output exactly."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.dedup import dedup_incremental
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        DOCUMENTS_SCHEMA,
+        dedup_incremental_stream,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    src = str(tmp_path / "landing")
+    new.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(src + "/*.parquet")
+    )
+    out = str(tmp_path / "survivors")
+    q = dedup_incremental_stream(stream, corpus, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id for r in dedup_incremental(new, corpus).collect()}
+    assert got == want

@@ -74,3 +74,37 @@ def curate_stream(
             ["fp"]
         )
     return sampled.drop("text", "fp") if dedup else sampled.drop("text")
+
+
+def dedup_incremental_stream(
+    new_docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """Streaming ingestion dedup: each micro-batch of NEW documents is
+    deduped against the STATIC existing corpus (exact fingerprint +
+    MinHash band buckets) with the batch operator, then appended to the
+    survivors sink. foreachBatch (the micro-batch apply pattern this
+    engine uses for index ingest and kNN serving) rather than a
+    stream-static join chain, because the near-dup leg needs a per-batch
+    signature aggregation — trivially bounded per batch, but stateful if
+    expressed as one continuous streaming plan. Exactly-once via the
+    checkpointed sink; the corpus artifacts are recomputed lazily per
+    batch here and would be maintained incrementally (and bucketed) at
+    deploy time.
+
+    Returns the started StreamingQuery; callers await it.
+    """
+    from ..operators.dedup import dedup_incremental
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = dedup_incremental(batch_df, corpus_docs)
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
