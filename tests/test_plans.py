@@ -300,3 +300,40 @@ def test_weighted_sample_single_shuffle(spark, sf_smoke):
     df = q_weighted_sample(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_maxsim_is_broadcast_only_before_topk(spark, sf_smoke):
+    """Late-interaction scoring must stay map-side against the broadcast
+    query set: exactly one hash-partitioning exchange (the per-query
+    top-k window), everything else broadcast."""
+    from vectorsearch_with_hnsw_spark.registry import q_maxsim_search
+
+    df = q_maxsim_search(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mix_corpus_gate_is_map_only_after_counts(spark, sf_smoke):
+    """The keep-gate must join docs to a BROADCAST rates table (no
+    shuffle of the corpus): the only hash exchanges belong to the tiny
+    source-counts aggregation."""
+    from vectorsearch_with_hnsw_spark.plans.checks import read_schema_columns
+    from vectorsearch_with_hnsw_spark.registry import q_mix_corpus
+
+    df = q_mix_corpus(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # corpus-side scan prunes to the gate's columns only
+    scans = read_schema_columns(df)
+    assert any(set(cols) <= {"doc_id", "source", "lang"} for cols in scans), scans
+
+
+def test_binary_sign_plan_no_shuffle_before_topk(spark, sf_smoke):
+    """Binary sketch scan: pack+XOR+popcount run map-side; one exchange
+    for the per-query ranking window."""
+    from vectorsearch_with_hnsw_spark.registry import q_binary_sign_ann
+
+    df = q_binary_sign_ann(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

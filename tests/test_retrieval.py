@@ -241,3 +241,92 @@ def test_new_operators_are_total_on_empty_input(spark):
     assert weighted_sample(docs).count() == 0
     assert mix_corpus(docs, {"src0": 100}).count() == 0
     assert kmeans_fit(emb, dim=64).count() == 0
+
+
+# -- hypothesis: BM25 and RRF vs pure-Python reference models -------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+_doc_strategy = st.lists(
+    st.lists(_word, min_size=0, max_size=8).map(" ".join), min_size=1, max_size=8
+)
+
+
+@pytest.fixture(scope="module")
+def spark_holder(spark):
+    # hypothesis forbids function-scoped fixtures in @given examples;
+    # module-scoped pass-through keeps one SparkSession across examples
+    return spark
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    """Pure-Python mirror of bm25_rank's log-free scoring."""
+    toks = [t.lower().split() for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    if avgdl == 0:
+        return {}  # all-empty corpus: no doc can hit a term
+    out = {}
+    for i, tk in enumerate(toks):
+        score, hits = 0.0, 0
+        for term in terms:
+            tf = float(tk.count(term))
+            df = float(sum(1 for other in toks if term in other))
+            idf = (n - df + 0.5) / (df + 0.5)
+            score += (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + b * (len(tk) / avgdl))
+            )
+            hits += 1 if tf > 0 else 0
+        if hits > 0:
+            out[i] = (score, hits)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_doc_strategy)
+def test_bm25_matches_python_reference(spark_holder, texts):
+    spark = spark_holder
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    terms = ["alpha", "gamma"]
+    got = {
+        r.doc_id: (r.score, r.n_terms_hit)
+        for r in bm25_rank(docs, terms, k=100).collect()
+    }
+    want = _bm25_reference(texts, terms)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == pytest.approx(want[i][0], rel=1e-12), i
+        assert got[i][1] == want[i][1]
+
+
+_rank_lists = st.lists(
+    st.tuples(st.integers(0, 6), st.permutations(list(range(1, 5)))), min_size=1, max_size=3
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10**6))
+def test_rrf_matches_python_reference(spark_holder, seed):
+    import random
+
+    spark = spark_holder
+    rng = random.Random(seed)
+    docs = list(range(8))
+    v_list = rng.sample(docs, 4)
+    k_list = rng.sample(docs, 4)
+    v = spark.createDataFrame(
+        [(0, d, r + 1) for r, d in enumerate(v_list)], "query_id long, doc_id long, rnk int"
+    )
+    kw = spark.createDataFrame(
+        [(0, d, r + 1) for r, d in enumerate(k_list)], "query_id long, doc_id long, rnk int"
+    )
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse(v, kw, k=100).collect()}
+    want = {}
+    for r, d in enumerate(v_list):
+        want[d] = want.get(d, 0.0) + 1.0 / (60.0 + (r + 1))
+    for r, d in enumerate(k_list):
+        want[d] = want.get(d, 0.0) + 1.0 / (60.0 + (r + 1))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
