@@ -270,6 +270,18 @@ def main() -> None:
         }
         want = exact10[metric]
         ann_recall[f"recall_{name}"] = round(len(pairs & want) / max(1, len(want)), 4)
+    # HNSW recall/ef curve over the already-built index (50 queries,
+    # exact_pairs oracle from above): the reference's ef_search knob
+    # (hsnw_trial.py:274) measured, not asserted — recall rises toward
+    # 1.0 as ef grows
+    for ef in (10, 50, 200):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_hnsw(idx, queries_df, k=10, ef=ef).collect()
+        }
+        ann_recall[f"recall_hnsw_ef{ef}"] = round(
+            len(got & exact_pairs) / max(1, len(exact_pairs)), 4
+        )
     spark.catalog.clearCache()
 
     total = round(time.perf_counter() - t_all, 3)
