@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "binary_sign_ann",
     "mix_corpus",
     "dedup_incremental",
+    "approx_top_tokens",
 ]
 
 

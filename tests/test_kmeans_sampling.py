@@ -87,3 +87,33 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_smoke):
     samp = weighted_sample(docs, n_per_group=25).collect()
     samp_mean = sum(r.weight for r in samp) / len(samp)
     assert samp_mean > pop_mean
+
+
+def test_approx_top_tokens_error_bound(spark, sf_smoke):
+    """Misra-Gries guarantee: estimates never exceed true counts, and
+    the undercount is bounded by total_tokens / (capacity + 1); with a
+    tight capacity the true heavy hitters still surface."""
+    from vectorsearch_with_hnsw_spark.functions.text import tokens as tok_expr
+    from vectorsearch_with_hnsw_spark.operators.textpipe import approx_top_tokens
+
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        r.token: r.n
+        for r in docs.select(
+            F.explode(tok_expr(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(exact.values())
+    cap = 16
+    est = {r.token: r.est_count for r in approx_top_tokens(docs, k=10, capacity=cap).collect()}
+    assert est, "sketch returns heavy hitters"
+    bound = total / (cap + 1)
+    for t, e in est.items():
+        assert e <= exact[t], (t, e, exact[t])
+        assert exact[t] - e <= bound + 1, (t, e, exact[t], bound)
+    # the single most frequent true token must be found
+    top_true = max(exact, key=lambda t: (exact[t], t))
+    assert top_true in est

@@ -22,9 +22,10 @@ from .retrieval import (
 from .search import similarity_search
 from .knn import format_results, knn_exact, knn_exact_fast, knn_with_labels, topk_per_group
 from .synth import synthetic_vectors
-from .textpipe import mix_corpus, weighted_sample
+from .textpipe import approx_top_tokens, mix_corpus, weighted_sample
 
 __all__ = [
+    "approx_top_tokens",
     "binary_sign_knn",
     "bm25_rank",
     "dedup_exact",

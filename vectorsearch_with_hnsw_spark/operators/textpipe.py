@@ -198,6 +198,55 @@ def mix_corpus(
     )
 
 
+def approx_top_tokens(
+    docs: DataFrame, k: int = 20, capacity: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Approximate heavy hitters over the token stream via mergeable
+    Misra-Gries summaries: each partition keeps at most ``capacity``
+    counters; summaries merge by summing and re-pruning to capacity
+    (subtract the (capacity+1)-th weight, drop non-positive) — the
+    mergeable-summary construction whose total undercount is bounded by
+    ``total_tokens / (capacity + 1)``. This is the fixed-memory
+    complement to the exact ``vocab_top_tokens``: at 100 TB the exact
+    distinct-token aggregation shuffles a row per (partition, token)
+    with unbounded token cardinality, while this shuffles at most
+    ``capacity`` rows per partition whatever the vocabulary is.
+
+    Returns (token, est_count) for the top ``k`` by estimate;
+    ``est_count <= true_count`` always (undercount-only error)."""
+    import pandas as pd
+
+    from ..functions.text import tokens as _tokens
+
+    toks = docs.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
+
+    def prune(counters: dict, cap: int) -> dict:
+        if len(counters) <= cap:
+            return counters
+        by_wt = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        cut = by_wt[cap][1]
+        return {t: w - cut for t, w in by_wt[:cap] if w - cut > 0}
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            counters = prune(counters, capacity)
+        yield pd.DataFrame(
+            {"token": list(counters), "wt": [int(w) for w in counters.values()]}
+        )
+
+    summaries = toks.mapInPandas(mg, "token string, wt long")
+    merged = summaries.groupBy("token").agg(F.sum("wt").alias("est_count"))
+    # cross-partition merge can exceed capacity again; the final prune
+    # runs over <= capacity * P rows — driver-free, just orderBy/limit
+    # after a window-free subtraction is unnecessary: keeping the top k
+    # by summed weight preserves the undercount-only guarantee
+    return merged.orderBy(F.col("est_count").desc(), "token").limit(k)
+
+
 def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Length outliers by z-score, with mean/std derived from EXACT
     integer moment sums (n, Σx, Σx²) so the result is engine-independent:

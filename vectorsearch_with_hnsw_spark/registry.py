@@ -2586,6 +2586,15 @@ def q_hnsw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnsw_stats(idx)
 
 
+def q_approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters — approximate (partition-order
+    dependent estimates), so rows-only check; error bound proven in
+    tests against the exact vocabulary."""
+    from .operators.textpipe import approx_top_tokens
+
+    return approx_top_tokens(load_table(spark, sf_dir, "documents"), k=10, capacity=16)
+
+
 INCR_SPLIT = 250  # doc_id < INCR_SPLIT = existing corpus; >= = new batch
 
 
@@ -2853,6 +2862,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
+    "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
 
 
