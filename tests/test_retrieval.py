@@ -330,3 +330,30 @@ def test_rrf_matches_python_reference(spark_holder, seed):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_pq_index_save_load_roundtrip(spark, sf_smoke, tmp_path):
+    """The persisted PQ artifact answers queries identically after a
+    save/load round trip, and the loaded search equals the one-shot
+    pq_adc_knn result (same codes, same LUTs) — the reference's
+    save/load contract (hsnw_trial.py:310-376) on the quantized path."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.pq import PqIndex, pq_adc_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=5)
+    idx = PqIndex.build(emb, dim=64, m=8)
+    path = str(tmp_path / "pqidx")
+    idx.save(path)
+    loaded = PqIndex.load(spark, path)
+    assert (loaded.dim, loaded.m) == (64, 8)
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in loaded.search(q, k=10).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in pq_adc_knn(emb, q, dim=64, m=8, k=10).collect()
+    )
+    assert got == want

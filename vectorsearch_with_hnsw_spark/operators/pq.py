@@ -179,3 +179,83 @@ def pq_adc_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "adc_d2")
     )
+
+
+class PqIndex:
+    """Persisted PQ artifact: codes table + codebook row, the quantized
+    analog of HnswIndex's parquet layout (and of the reference's
+    save/load contract, hsnw_trial.py:310-376 — its .npy/JSON artifacts
+    become two parquet tables). Probing a loaded index skips the encode
+    pass entirely: queries only need the codebook to build their LUTs,
+    so a 100 TB corpus is searchable from its ~1/32-size code table."""
+
+    def __init__(self, codes: DataFrame, codebooks: DataFrame, dim: int, m: int):
+        self.codes = codes
+        self.codebooks = codebooks
+        self.dim = dim
+        self.m = m
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        dim: int,
+        m: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "PqIndex":
+        cb = pq_codebooks(emb, dim, m)
+        codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
+        return cls(codes, cb, dim, m)
+
+    def save(self, path: str) -> None:
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        self.codebooks.withColumn("dim", F.lit(self.dim)).withColumn(
+            "m", F.lit(self.m)
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PqIndex":
+        codes = spark.read.parquet(f"{path}/codes")
+        cb_raw = spark.read.parquet(f"{path}/codebooks")
+        meta = cb_raw.select("dim", "m").first()
+        return cls(codes, cb_raw.select("cb"), int(meta["dim"]), int(meta["m"]))
+
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """ADC top-k over the stored codes (no encode pass)."""
+        d = self.dim // self.m
+        qv = to_vec("query_vec")
+        lut = F.transform(
+            F.sequence(F.lit(0), F.lit(self.m - 1)),
+            lambda s: F.transform(
+                F.element_at(F.col("cb"), (s + F.lit(1)).cast("int")),
+                lambda cs: _sub_d2(F.slice(qv, s * F.lit(d) + F.lit(1), F.lit(d)), cs),
+            ),
+        )
+        qlut = queries.crossJoin(F.broadcast(self.codebooks)).select(
+            F.col("query_id"), lut.alias("lut")
+        )
+        adc = F.aggregate(
+            F.transform(
+                F.col("code"),
+                lambda c, s: F.element_at(
+                    F.element_at(F.col("lut"), (s + F.lit(1)).cast("int")),
+                    (c + F.lit(1)).cast("int"),
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        pairs = self.codes.select(
+            F.col("vec_id").alias("neighbor_id"), "code"
+        ).crossJoin(F.broadcast(qlut)).select(
+            "query_id", "neighbor_id", adc.alias("adc_d2")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "rnk", "neighbor_id", "adc_d2")
+        )
