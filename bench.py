@@ -263,6 +263,7 @@ def main() -> None:
         ("lsh_ann_cosine", "cosine"),
         ("ivf_ann_cosine", "cosine"),
         ("pq_adc_ann", "l2"),
+        ("ivf_pq_ann", "l2"),
         ("ivf_kmeans_ann", "l2"),
         ("binary_sign_ann", "cosine"),
     ):

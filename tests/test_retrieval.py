@@ -153,6 +153,29 @@ def test_pq_adc_recall_and_code_shape(spark, sf_smoke):
             assert r.neighbor_id == r.query_id and r.adc_d2 == 0.0
 
 
+def test_ivf_pq_recall_and_self_match(spark, sf_smoke):
+    """IVF-PQ (residual encoding): recall@10 holds the plain-PQ floor
+    while scanning only n_probe/n_cells of the code table (measured at
+    sf0.01: 0.37 vs 0.39 for the full-scan PQ — the pruning is nearly
+    free because residuals quantize finer than raw vectors). An anchor
+    query self-matches at rank 1: its own cell is always probed (argmin
+    assignment == nearest centroid) and its residual quantizes to
+    itself, so the ADC distance is exactly 0."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+    from vectorsearch_with_hnsw_spark.operators.pq import ivf_pq_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=10)
+    got = ivf_pq_knn(emb, q, dim=64, m=8, k=10).collect()
+    exact = knn_exact(emb, q, k=10, metric="l2").collect()
+    gset = {(r.query_id, r.neighbor_id) for r in got}
+    eset = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(gset & eset) / len(eset) >= 0.3
+    for r in got:
+        if r.rnk == 1:
+            assert r.neighbor_id == r.query_id and r.adc_d2 == 0.0
+
+
 def test_mmr_first_pick_is_argmax_and_no_dups(spark, sf_smoke):
     from vectorsearch_with_hnsw_spark.registry import q_mmr_diversify
 
@@ -215,7 +238,7 @@ def test_new_operators_are_total_on_empty_input(spark):
     other pipeline ops already hold (test_edge_cases.py)."""
     from vectorsearch_with_hnsw_spark.operators.ann import binary_sign_knn
     from vectorsearch_with_hnsw_spark.operators.ivf import kmeans_fit
-    from vectorsearch_with_hnsw_spark.operators.pq import pq_adc_knn
+    from vectorsearch_with_hnsw_spark.operators.pq import ivf_pq_knn, pq_adc_knn
     from vectorsearch_with_hnsw_spark.operators.retrieval import (
         bm25_rank,
         knn_graph,
@@ -238,6 +261,7 @@ def test_new_operators_are_total_on_empty_input(spark):
     assert maxsim_search(emb, q, dim=64, n_tokens=4).count() == 0
     assert binary_sign_knn(emb, q, dim=64).count() == 0
     assert pq_adc_knn(emb, q, dim=64).count() == 0
+    assert ivf_pq_knn(emb, q, dim=64).count() == 0
     assert weighted_sample(docs).count() == 0
     assert mix_corpus(docs, {"src0": 100}).count() == 0
     assert kmeans_fit(emb, dim=64).count() == 0

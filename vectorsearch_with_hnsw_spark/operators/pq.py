@@ -181,6 +181,105 @@ def pq_adc_knn(
     )
 
 
+def ivf_pq_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_anchors: int = NUM_ANCHORS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the FAISS ``IndexIVFPQ`` scheme
+    and the canonical billion-scale layout: a trained coarse quantizer
+    (k-means cells) prunes the scan to ``n_probe`` cells, and within a
+    cell candidates are scored by ADC over PQ codes of the RESIDUAL
+    ``v - centroid[cell]`` (residuals are smaller in norm than raw
+    vectors, so the same codebook budget quantizes them more finely).
+
+    At 100 TB: the corpus at rest is the (cell, code) table — 8 bytes
+    + a cell id per vector, bucketable by cell so a probe touches only
+    n_probe/n_cells of the data; centroids and codebooks are tiny
+    broadcast artifacts; the only shuffle is the final per-query top-k.
+    The reference holds raw float32 in RAM (hsnw_trial.py:103,201) and
+    scans graphs per query — this is the compressed-at-rest alternative
+    its design cannot reach.
+
+    Everything is the canonical sequential double fold, so the DuckDB
+    oracle reproduces cells, residuals, codes, LUTs, and ADC sums
+    bit-for-bit."""
+    from .ivf import _kmeans_impl, _l2sq
+
+    pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
+    assigned = assign(cents).select("vec_id", "cell")
+    resid = (
+        assigned.join(pts, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "centroid", lambda x, y: x - y).alias("r"),
+        )
+    )
+    cb = pq_codebooks(resid, dim, m, n_anchors, id_col="vec_id", vec_col="r")
+    codes = pq_encode(resid, cb, dim, m, id_col="vec_id", vec_col="r").join(
+        assigned, "vec_id"
+    )
+
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        F.col("query_id"),
+        F.col("query_vec"),
+        "cell",
+        "centroid",
+        _l2sq(to_vec("query_vec"), F.col("centroid")).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qcells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(to_vec("query_vec"), "centroid", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    d = dim // m
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(F.col("cb"), (s + F.lit(1)).cast("int")),
+            lambda cs: _sub_d2(F.slice(F.col("qr"), s * F.lit(d) + F.lit(1), F.lit(d)), cs),
+        ),
+    )
+    qlut = probes.crossJoin(F.broadcast(cb)).select("query_id", "cell", lut.alias("lut"))
+    adc = F.aggregate(
+        F.transform(
+            F.col("code"),
+            lambda c, s: F.element_at(
+                F.element_at(F.col("lut"), (s + F.lit(1)).cast("int")),
+                (c + F.lit(1)).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = codes.join(F.broadcast(qlut), "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "adc_d2")
+    )
+
+
 class PqIndex:
     """Persisted PQ artifact: codes table + codebook row, the quantized
     analog of HnswIndex's parquet layout (and of the reference's

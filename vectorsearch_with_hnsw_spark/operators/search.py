@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "binary")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "ivf_pq", "binary")
 
 
 def similarity_search(
@@ -80,6 +80,10 @@ def similarity_search(
         from .pq import pq_adc_knn
 
         return pq_adc_knn(base, queries, dim=_dim(dim, method), k=k)
+    if method == "ivf_pq":
+        from .pq import ivf_pq_knn
+
+        return ivf_pq_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
     if method == "ivf_kmeans":
         from .ivf import ivf_kmeans_knn
 

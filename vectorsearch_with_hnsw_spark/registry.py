@@ -2572,6 +2572,93 @@ SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
 """
 
 
+IVFPQ_PROBE = 2
+
+
+def q_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import ivf_pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_knn(
+        emb,
+        _emb_queries(spark, sf_dir),
+        dim=DIM,
+        m=PQ_M,
+        k=10,
+        n_probe=IVFPQ_PROBE,
+        n_cells=KMEANS_K,
+        iters=KMEANS_ITERS,
+    )
+
+
+def _sql_ivf_pq(k: int = 10) -> str:
+    """IVF-PQ oracle: unrolled-Lloyd coarse cells, residual vectors,
+    sampled residual codebook (codes carry the anchor vec_id = position
+    in the id-ordered codebook, ids dense from 0 — same equivalence as
+    _sql_pq_adc), per-(query, probed-cell) LUTs over the query residual,
+    ADC sums in subspace order."""
+    d = DIM // PQ_M
+    sub_d2 = (
+        "list_reduce(list_transform({v}[{s}*%d+1 : {s}*%d+%d], "
+        "(x, i) -> (x - {cs}[i]) * (x - {cs}[i])), (a, u) -> a + u)" % (d, d, d)
+    )
+    enc_d2 = sub_d2.format(v="r.rv", s="c.s", cs="c.cs")
+    q_d2 = sub_d2.format(v="qr.qrv", s="c.s", cs="c.cs")
+    ctes, cents = _kmeans_ctes()
+    qfold = (
+        "list_reduce(list_transform(q.qv, (x, i) -> (x - c.centroid[i])"
+        " * (x - c.centroid[i])), (a, u) -> a + u)"
+    )
+    return f"""{ctes},
+r AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(e.v, (x, i) -> x - c.centroid[i]) AS rv
+  FROM af a JOIN e USING (vec_id) JOIN {cents} c ON c.cell = a.cell
+), anch AS (
+  SELECT vec_id AS code_id, rv FROM r ORDER BY vec_id LIMIT {PQ_ANCHORS}
+), subs AS (
+  SELECT unnest(range(0, {PQ_M})) AS s
+), cellsub AS (
+  SELECT code_id, s, rv[s*{d}+1 : s*{d}+{d}] AS cs FROM anch CROSS JOIN subs
+), enc AS (
+  SELECT r.vec_id, c.s, c.code_id, {enc_d2} AS d2
+  FROM r CROSS JOIN cellsub c
+), codes AS (
+  SELECT vec_id, s, code_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) AS rn
+    FROM enc
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell, {qfold} AS d2,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {qfold}, c.cell) AS rn
+    FROM q CROSS JOIN {cents} c
+  ) WHERE rn <= {IVFPQ_PROBE}
+), qr AS (
+  SELECT qc.query_id, qc.cell,
+         list_transform(qc.qv, (x, i) -> x - c.centroid[i]) AS qrv
+  FROM qc JOIN {cents} c USING (cell)
+), qlut AS (
+  SELECT qr.query_id, qr.cell, c.s, c.code_id, {q_d2} AS d2
+  FROM qr CROSS JOIN cellsub c
+), adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d2 ORDER BY l.s)),
+                (a, u) -> a + u) AS adc_d2
+  FROM (SELECT c2.*, a.cell FROM codes c2 JOIN af a USING (vec_id)) cd
+  JOIN qlut l ON l.cell = cd.cell AND l.s = cd.s AND l.code_id = cd.code
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {k}
+"""
+
+
 def q_hnsw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index observability rollup over a freshly built index — rows-only
     check (index internals are not SQL-derivable from the base tables)."""
@@ -2858,6 +2945,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
+    "ivf_pq_ann": (q_ivf_pq_ann, _sql_ivf_pq()),
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
