@@ -90,3 +90,32 @@ def test_dedup_incremental_drops_known_and_near_dups(spark, sf_smoke):
     out2 = {r.doc_id for r in dedup_incremental(new.unionByName(injected), corpus).collect()}
     assert 9001 not in out2, "exact copy of a corpus doc is dropped"
     assert 9002 in out2, "novel doc survives"
+
+
+def test_dup_spans_planted_passage(spark):
+    """A 15-token passage copied between two otherwise-disjoint docs
+    yields max_run = 15 - 8 + 1 = 8 consecutive shared 8-grams and
+    span_tokens = 15; a 7-token overlap (shorter than the n-gram) is
+    invisible; a doc pair with two disjoint short runs reports the
+    longest, not the sum."""
+    passage = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (0, passage + " " + " ".join(f"a{i}" for i in range(20))),
+        (1, " ".join(f"b{i}" for i in range(20)) + " " + passage),
+        (2, " ".join(f"c{i}" for i in range(10)) + " " + " ".join(f"p{i}" for i in range(7))),
+        # two separated copies of 9-token pieces of the passage: runs of 2 each
+        (3, " ".join(f"p{i}" for i in range(9)) + " " + " ".join(f"d{i}" for i in range(10))
+            + " " + " ".join(f"p{i}" for i in range(6, 15))),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in D.dup_span_pairs(docs, n=8, min_run=2).collect()}
+    assert out[(0, 1)].max_run == 8 and out[(0, 1)].span_tokens == 15
+    assert (0, 2) not in out and (1, 2) not in out
+    assert out[(0, 3)].max_run == 2 and out[(0, 3)].span_tokens == 9
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert D.dup_span_pairs(empty).count() == 0

@@ -18,7 +18,7 @@ Five families, each shuffle-aware (SURVEY.md §7 P5 / north star):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -267,6 +267,56 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("blk", "id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def dup_span_pairs(docs: DataFrame, n: int = 8, min_run: int = 2) -> DataFrame:
+    """Exact shared-passage detection: for every document pair, the
+    longest run of CONSECUTIVE shared word ``n``-grams — the relational
+    answer to suffix-array substring dedup (the scheme behind
+    "deduplicating training data makes language models better"-style
+    exact substring removal), built from ops Spark already shuffles
+    well.
+
+    A run of ``r`` consecutive shared n-grams means a shared passage of
+    ``r + n - 1`` tokens, reported as ``span_tokens``. Plan shape:
+    positional n-grams -> polynomial-hash join key (64-bit int, not the
+    n-gram string, so the shuffle carries 8 bytes per key at 100 TB) ->
+    inverted-index self-join -> the gaps-and-islands trick (group by
+    ``pos_a - pos_b`` diagonal, run id = ``pos_a - row_number``) -> one
+    max per pair. No cross join anywhere; hot n-grams are AQE
+    skew-split like every other shingle join here.
+
+    The reference has no text surface at all — this extends its
+    exact-match story (hsnw_trial.py dedup = none) per the north star."""
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"), n)).alias("pos", "sh"),
+    ).select("doc_id", "pos", poly_hash(F.col("sh")).alias("h"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    j = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        j.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return runs.filter(F.col("max_run") >= min_run).select(
+        "doc_a",
+        "doc_b",
+        "max_run",
+        (F.col("max_run") + F.lit(n - 1)).alias("span_tokens"),
     )
 
 

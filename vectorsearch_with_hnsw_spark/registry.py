@@ -280,6 +280,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=1)
 
 
+DUP_SPAN_N = 8  # n-gram width for exact shared-passage detection
+DUP_SPAN_MIN_RUN = 2
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dup_span_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_pairs(docs, n=DUP_SPAN_N, min_run=DUP_SPAN_MIN_RUN)
+
+
+def _sql_dup_spans() -> str:
+    """Gaps-and-islands over the positional-ngram self-join, hash-keyed
+    exactly like the Spark side (polynomial hash of the n-gram string)."""
+    n = DUP_SPAN_N
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos, {sql_poly_hash(f"array_to_string(toks[i+1:i+{n}], ' ')")} AS h
+  FROM t, unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS u(i)
+), j AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+), g AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM j
+), runs AS (
+  SELECT doc_a, doc_b, count(*) AS run FROM g GROUP BY doc_a, doc_b, diag, grp
+), pairs AS (
+  SELECT doc_a, doc_b, max(run) AS max_run FROM runs GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, max_run, max_run + {n - 1} AS span_tokens
+FROM pairs WHERE max_run >= {DUP_SPAN_MIN_RUN}
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(spark, sf_dir, threshold=0.8)
 
@@ -2855,6 +2893,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+    "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_langid": (q_text_langid, _sql_langid()),
