@@ -55,3 +55,34 @@ def test_kernel_cosine_zero_vector_guard():
     assert res[1] == 1.0 and res[2] == 1.0  # zero-norm query → dist exactly 1.0
     res2 = dict(idx.search(data[1], k=3))
     assert res2[0] == 1.0  # zero-norm stored vector → dist exactly 1.0
+
+
+def test_lm_familiarity_reference_model_semantics(spark):
+    """The bigram model trains only on the ref_lang slice: a doc that
+    repeats reference phrasing scores high ``fam``; an out-of-domain doc
+    shares no bigram with the model (hits == 0); a doc under 2 tokens
+    scores (0, 0, 0) instead of disappearing; empty input is total."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import lm_familiarity
+
+    rows = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "the quick brown dog runs", "en"),
+        (2, "the quick brown fox sleeps", "de"),  # scores vs en model, doesn't train it
+        (3, "zork gnab blarp wizzle", "de"),      # out-of-domain: zero hits
+        (4, "solo", "en"),                         # < 2 tokens
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in lm_familiarity(docs, ref_lang="en").collect()}
+    # "the quick" and "quick brown" occur twice in the en slice
+    assert out[0].n_bigrams == 4 and out[0].hits == 4 and out[0].fam == 6
+    # de doc 2 shares "the quick", "quick brown", "brown fox" with the model
+    assert out[2].hits == 3 and out[2].fam == 5
+    assert out[3].n_bigrams == 3 and out[3].hits == 0 and out[3].fam == 0
+    assert (out[4].n_bigrams, out[4].hits, out[4].fam) == (0, 0, 0)
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert lm_familiarity(empty).count() == 0

@@ -420,3 +420,60 @@ def training_shuffle(docs: DataFrame, n_shards: int = 8) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def lm_familiarity(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
+    """Model-based quality scoring, integer-exact: train a word-bigram
+    count model on a reference slice of the corpus (``lang ==
+    ref_lang``), then score EVERY document by how familiar its bigrams
+    are to that model — the CCNet/KenLM perplexity-filter pattern with
+    the log-space arithmetic replaced by exact integer sufficient
+    statistics, so the DuckDB oracle verifies it bit-for-bit (the
+    engine-specific 1-ULP ln() is the same reason tfidf_top_terms ships
+    integer columns; a downstream consumer is free to take logs of
+    these counts).
+
+    Per document: ``n_bigrams`` instances, ``hits`` = instances the
+    model has seen at all, ``fam`` = summed model counts (high = the
+    doc speaks like the reference corpus; near-zero = out-of-domain or
+    gibberish — the rows a perplexity gate would drop). Documents with
+    fewer than 2 tokens score (0, 0, 0) rather than vanishing.
+
+    Plan shape at 100 TB: the model is a (hash, count) aggregate —
+    train is one explode + one count shuffle; scoring joins on the
+    64-bit polynomial hash of the bigram (8-byte shuffle keys, hot
+    bigrams AQE skew-split), then one per-doc sum. The model relation
+    is vocabulary-sized (sublinear in corpus rows) and at deploy time
+    is the natural broadcast / bucketed side."""
+    from ..functions.text import poly_hash, word_shingles
+
+    bg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
+    ).select("doc_id", poly_hash(F.col("bg")).alias("h"))
+    model = (
+        docs.filter(F.col("lang") == ref_lang)
+        .select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+        .select(poly_hash(F.col("bg")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        bg.join(model, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt").isNotNull(), 1).otherwise(0)).alias("hits"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("fam"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.coalesce("fam", F.lit(0)).alias("fam"),
+        )
+    )

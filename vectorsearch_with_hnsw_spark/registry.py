@@ -280,6 +280,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=1)
 
 
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import lm_familiarity
+
+    return lm_familiarity(load_table(spark, sf_dir, "documents"), ref_lang="en")
+
+
+def _sql_lm_familiarity() -> str:
+    bg_hash = sql_poly_hash("array_to_string(toks[i+1:i+2], ' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKS_LOWER} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, lang, {bg_hash} AS h
+  FROM t, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)
+), model AS (
+  SELECT h, count(*) AS cnt FROM bg WHERE lang = 'en' GROUP BY h
+), scored AS (
+  SELECT bg.doc_id,
+         count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN m.cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS fam
+  FROM bg LEFT JOIN model m USING (h)
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.hits, 0) AS hits,
+       coalesce(s.fam, 0) AS fam
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 DUP_SPAN_N = 8  # n-gram width for exact shared-passage detection
 DUP_SPAN_MIN_RUN = 2
 
@@ -2894,6 +2926,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
+    "lm_familiarity": (q_lm_familiarity, _sql_lm_familiarity()),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_langid": (q_text_langid, _sql_langid()),
