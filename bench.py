@@ -264,6 +264,7 @@ def main() -> None:
         ("ivf_ann_cosine", "cosine"),
         ("pq_adc_ann", "l2"),
         ("ivf_pq_ann", "l2"),
+        ("matryoshka_ann", "l2"),
         ("ivf_kmeans_ann", "l2"),
         ("binary_sign_ann", "cosine"),
     ):

@@ -21,6 +21,9 @@ HOSTILE_QUERIES = [
     "bm25_doc_rank",          # double score arithmetic under ANSI
     "kmeans_clusters",        # fixed-point means + float argmin under ANSI
     "pq_adc_ann",             # integer codes + LUT sums under ANSI
+    "ivf_pq_ann",             # trained cells + residual codes + LUT sums under ANSI
+    "dup_spans",              # window gaps-and-islands + big-int hashing under ANSI
+    "lm_familiarity",         # left-join count sums under ANSI
 ]
 
 

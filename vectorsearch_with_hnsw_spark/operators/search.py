@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "ivf_pq", "binary")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "ivf_pq", "binary", "matryoshka")
 
 
 def similarity_search(
@@ -92,6 +92,10 @@ def similarity_search(
         from .ann import binary_sign_knn
 
         return binary_sign_knn(base, queries, dim=_dim(dim, method), k=k)
+    if method == "matryoshka":
+        from .ann import matryoshka_knn
+
+        return matryoshka_knn(base, queries, dim=_dim(dim, method), k=k)
     # hnsw
     from ..index.build import HnswParams, hnsw_build
     from ..index.query import knn_hnsw

@@ -280,6 +280,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=1)
 
 
+MRL_PREFIX = 16  # matryoshka coarse-pass dimensions
+MRL_REFINE = 50  # candidates surviving to the exact rescore
+
+
+def q_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import matryoshka_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_knn(
+        emb,
+        _emb_queries(spark, sf_dir),
+        dim=DIM,
+        prefix_dim=MRL_PREFIX,
+        refine=MRL_REFINE,
+        k=10,
+    )
+
+
+def _sql_matryoshka() -> str:
+    pre = (
+        f"list_reduce(list_transform(e.v[1:{MRL_PREFIX}], "
+        "(x, i) -> (x - q.qv[i]) * (x - q.qv[i])), (a, u) -> a + u)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), coarse AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.v, q.qv, {pre} AS pre_d2
+  FROM e CROSS JOIN q
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pre_d2, neighbor_id) AS rn
+    FROM coarse
+  ) WHERE rn <= {MRL_REFINE}
+), rescored AS (
+  SELECT query_id, neighbor_id, {sql_l2("v", "qv")} AS dist FROM kept
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM rescored
+) WHERE rn <= 10
+"""
+
+
 def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textpipe import lm_familiarity
 
@@ -2927,6 +2974,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "lm_familiarity": (q_lm_familiarity, _sql_lm_familiarity()),
+    "matryoshka_ann": (q_matryoshka_ann, _sql_matryoshka()),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_langid": (q_text_langid, _sql_langid()),
