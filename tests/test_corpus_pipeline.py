@@ -407,3 +407,28 @@ def test_session_new_ops_on_empty_inputs(spark):
     kb = dedup_keep_best(empty_docs)
     assert kb.count() == 0
     assert kb.columns == ["fp", "keeper_doc_id", "keeper_quality", "n_dups"]
+
+
+def test_knn_pagerank_star_hub_and_mass_bounds(spark):
+    """On a star geometry (center is every satellite's nearest
+    neighbor) the center accumulates the highest rank; total mass is
+    bounded by [N*teleport, N*scale] (integer floors only ever lose
+    mass); and the run is bit-deterministic."""
+    from vectorsearch_with_hnsw_spark.operators.clusters import knn_pagerank
+
+    dim = 64
+    rows = [(0, [0.0] * dim)]
+    for i in range(1, 13):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.vec_id: r.pr for r in knn_pagerank(emb, k=3, iters=3).collect()}
+    assert len(out) == 13
+    assert out[0] == max(out.values()), "star center is the top hub"
+    n, scale = 13, 10**12
+    assert n * (scale * 15 // 100) <= sum(out.values()) <= n * scale
+    out2 = {r.vec_id: r.pr for r in knn_pagerank(emb, k=3, iters=3).collect()}
+    assert out == out2

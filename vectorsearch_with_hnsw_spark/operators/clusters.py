@@ -92,3 +92,59 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def knn_pagerank(
+    emb: DataFrame,
+    k: int = 5,
+    iters: int = 3,
+    metric: str = "l2",
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank centrality over the exact kNN graph — the graph-side
+    curation signal (a document whose neighborhood keeps pointing back
+    at it is a hub/canonical exemplar; isolated low-rank rows are the
+    outliers diversity-aware sampling wants to keep or a pruning pass
+    wants to drop).
+
+    All arithmetic is INTEGER: ranks live in fixed-point units of
+    1/scale, the damped share is ``(pr * damping_pct) div 100 div k``
+    (every node has exactly k out-edges by construction, so the
+    per-edge share needs no degree join), and the teleport term is
+    ``scale * (100 - damping_pct) div 100``. Integer div is
+    engine-identical where double division would drift above 2^53 —
+    same rationale as the fixed-point k-means sums. Mass lost to
+    flooring is deterministic and identical in the oracle.
+
+    Per iteration: one join (ranks onto edge sources, shuffling on the
+    node key) + one sum by destination — the same two co-partitioned
+    exchanges as connected_components, with localCheckpoint keeping the
+    unrolled plan linear. The kNN graph build dominates at scale; swap
+    in an ANN graph (embedding_neardup_pairs, index.routed) beyond
+    O(N^2) sizes."""
+    from .retrieval import knn_graph
+
+    edges = knn_graph(emb, k=k, metric=metric).select("src_id", "dst_id")
+    nodes = emb.select(F.col("vec_id").alias("node_id"))
+    base = (scale * (100 - damping_pct)) // 100
+    p = nodes.select("node_id", F.lit(scale).cast("long").alias("pr"))
+    share = F.expr(f"((pr * {damping_pct}) div 100) div {k}")
+    for _ in range(iters):
+        contrib = (
+            edges.join(p, edges.src_id == p.node_id)
+            .select(F.col("dst_id").alias("node_id"), share.alias("c"))
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("c"))
+        )
+        p = (
+            nodes.join(contrib, "node_id", "left")
+            .select(
+                "node_id",
+                (F.lit(base).cast("long") + F.coalesce("c", F.lit(0).cast("long")))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return p.select(F.col("node_id").alias("vec_id"), "pr")

@@ -2319,6 +2319,58 @@ SELECT src_id, dst_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 
 """
 
 
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10**12
+PAGERANK_DAMP = 85
+
+
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clusters import knn_pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_pagerank(
+        emb, k=5, iters=PAGERANK_ITERS, damping_pct=PAGERANK_DAMP, scale=PAGERANK_SCALE
+    )
+
+
+def _sql_knn_pagerank() -> str:
+    """Unrolled integer PageRank over the same kNN-graph CTE as
+    SQL_KNN_GRAPH (k=5). DuckDB's // is floor division — identical to
+    Spark's div for the non-negative operands here; sums CAST back to
+    BIGINT from HUGEINT."""
+    base = (PAGERANK_SCALE * (100 - PAGERANK_DAMP)) // 100
+    parts = [
+        f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id, {sql_l2("a.v", "c.v")} AS dist
+  FROM b a CROSS JOIN b c WHERE a.vec_id != c.vec_id
+), edges AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY dist, dst_id) AS rn FROM pairs
+  ) WHERE rn <= 5
+), p0 AS (
+  SELECT vec_id AS node_id, CAST({PAGERANK_SCALE} AS BIGINT) AS pr FROM embeddings
+)"""
+    ]
+    prev = "p0"
+    for it in range(1, PAGERANK_ITERS + 1):
+        parts.append(f""",
+p{it} AS (
+  SELECT n.node_id,
+         CAST({base} + coalesce(s.c, 0) AS BIGINT) AS pr
+  FROM p0 n LEFT JOIN (
+    SELECT e.dst_id AS node_id,
+           CAST(SUM(((p.pr * {PAGERANK_DAMP}) // 100) // 5) AS BIGINT) AS c
+    FROM edges e JOIN {prev} p ON p.node_id = e.src_id GROUP BY e.dst_id
+  ) s ON s.node_id = n.node_id
+)""")
+        prev = f"p{it}"
+    parts.append(f"\nSELECT node_id AS vec_id, pr FROM {prev}")
+    return "".join(parts)
+
+
 def _sql_bm25_hits(terms: tuple[str, ...], k1: float, b: float) -> str:
     """The (doc_id, score, n_terms_hit) relation, mirroring
     operators/retrieval.bm25_rank float-op for float-op. Shared by the
@@ -3054,6 +3106,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # retrieval surface: radius search, kNN graph, keyword + hybrid + MMR
     "range_search": (q_range_search, SQL_RANGE_SEARCH),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank()),
     "bm25_doc_rank": (
         q_bm25_doc_rank,
         _sql_bm25_rank(BM25_TERMS, BM25_K1, BM25_B, 20),
