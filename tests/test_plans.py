@@ -337,3 +337,30 @@ def test_binary_sign_plan_no_shuffle_before_topk(spark, sf_smoke):
     df = q_binary_sign_ann(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dup_spans_no_cartesian_anywhere(spark, sf_smoke):
+    """The shared-passage join must be an equi-join on the n-gram hash
+    — a cartesian or broadcast-nested-loop pair scan would be quadratic
+    in corpus size."""
+    from vectorsearch_with_hnsw_spark.operators.dedup import dup_span_pairs
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    df = dup_span_pairs(load_table(spark, sf_smoke, "documents"))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_familiarity_no_cartesian_and_prunes_columns(spark, sf_smoke):
+    """Model scoring joins on the bigram hash (equi-join only), and the
+    documents scan reads just the columns the op needs."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import lm_familiarity
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    df = lm_familiarity(load_table(spark, sf_smoke, "documents"))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cols = read_schema_columns(df)
+    assert "n_chars" not in cols and "source" not in cols

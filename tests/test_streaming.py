@@ -352,3 +352,34 @@ def test_streaming_incremental_dedup_parity(spark, sf_smoke, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     want = {r.doc_id for r in dedup_incremental(new, corpus).collect()}
     assert got == want
+
+
+def test_lm_familiarity_stream_matches_batch(spark, sf_smoke, tmp_path):
+    """Stream scored against a static-corpus bigram model == the batch
+    lm_score of the same documents against the same model (exact
+    integer columns, so set equality is bit-exact)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import lm_model, lm_score
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        DOCUMENTS_SCHEMA,
+        lm_familiarity_stream,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    ref = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    src = str(tmp_path / "landing")
+    new.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(src + "/*.parquet")
+    )
+    out = str(tmp_path / "scored")
+    q = lm_familiarity_stream(stream, ref, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in lm_score(new, lm_model(ref)).collect()}
+    assert got == want

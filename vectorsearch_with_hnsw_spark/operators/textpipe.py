@@ -445,18 +445,33 @@ def lm_familiarity(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
     bigrams AQE skew-split), then one per-doc sum. The model relation
     is vocabulary-sized (sublinear in corpus rows) and at deploy time
     is the natural broadcast / bucketed side."""
+    return lm_score(docs, lm_model(docs, ref_lang))
+
+
+def lm_model(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
+    """The trainable half of lm_familiarity: (h, cnt) bigram counts over
+    the reference slice — the artifact a deployment persists once and
+    reuses across scoring runs (including the streaming twin)."""
     from ..functions.text import poly_hash, word_shingles
 
-    bg = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
-    ).select("doc_id", poly_hash(F.col("bg")).alias("h"))
-    model = (
+    return (
         docs.filter(F.col("lang") == ref_lang)
         .select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
         .select(poly_hash(F.col("bg")).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def lm_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score documents against a prebuilt bigram model (see
+    lm_familiarity for the semantics and the integer-exactness
+    contract)."""
+    from ..functions.text import poly_hash, word_shingles
+
+    bg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
+    ).select("doc_id", poly_hash(F.col("bg")).alias("h"))
     scored = (
         bg.join(model, "h", "left")
         .groupBy("doc_id")

@@ -108,3 +108,35 @@ def dedup_incremental_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def lm_familiarity_stream(
+    new_docs_stream: DataFrame,
+    ref_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """Streaming twin of lm_familiarity: incoming documents are scored
+    per micro-batch against a bigram model trained ONCE on the static
+    reference corpus — the deploy shape for model-based quality gating
+    at ingest time (the model is the persisted artifact; the stream
+    only pays the score join). foreachBatch like the other incremental
+    twins here: the per-doc aggregation is bounded within each batch,
+    so no streaming state is needed. Exactly-once via the checkpointed
+    sink.
+
+    Returns the started StreamingQuery; callers await it.
+    """
+    from ..operators.textpipe import lm_model, lm_score
+
+    model = lm_model(ref_docs).persist()
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lm_score(batch_df, model).write.mode("append").parquet(out_path)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
