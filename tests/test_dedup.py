@@ -119,3 +119,24 @@ def test_dup_spans_planted_passage(spark):
         [], "doc_id long, text string, lang string, source string, n_chars long"
     )
     assert D.dup_span_pairs(empty).count() == 0
+
+
+def test_fuzzy_dedup_end_to_end_verdicts(docs_with_dups):
+    """The composed pipeline clusters the planted near-dups together,
+    emits exactly one keeper per cluster, keeps every singleton, and
+    covers every input document with a verdict."""
+    out = D.fuzzy_dedup(docs_with_dups).collect()
+    assert len(out) == docs_with_dups.count(), "one verdict per document"
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        assert sum(r.is_keeper for r in rows) == 1, f"cluster {cid}"
+    dup_cluster = next(r.cluster_id for r in out if r.doc_id == 10_000)
+    members = {r.doc_id for r in by_cluster[dup_cluster]}
+    assert {0, 10_000, 20_000} <= members
+    keeper = next(r for r in by_cluster[dup_cluster] if r.is_keeper)
+    best_q = max(r.quality_score for r in by_cluster[dup_cluster])
+    assert keeper.quality_score == best_q
+    singles = [rows[0] for rows in by_cluster.values() if len(rows) == 1]
+    assert singles and all(r.is_keeper for r in singles)

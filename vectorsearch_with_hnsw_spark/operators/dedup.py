@@ -354,6 +354,57 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_dedup(docs: DataFrame) -> DataFrame:
+    """The canonical end-to-end fuzzy-dedup pipeline in one call:
+    MinHash signatures -> LSH band buckets -> candidate pairs ->
+    connected components (transitive closure) -> quality-aware keeper
+    per cluster. Returns a verdict for EVERY document: (doc_id,
+    cluster_id, quality_score, is_keeper); filtering is_keeper gives
+    the surviving corpus. Docs in no near-dup pair are their own
+    singleton cluster and always keep.
+
+    Keeper policy = highest quality_score, lowest doc_id on ties (the
+    dedup_keep_best rule applied at cluster granularity — CCNet keeps
+    the best duplicate, not the first seen). Composition of the
+    already-oracled stages, itself oracle-checked end-to-end: the
+    recursive-CTE ground truth exercises the whole chain, not each
+    link in isolation.
+
+    Scale: pairs are band-bucket equi-joins (no cross join), components
+    converge in O(cluster diameter) co-partitioned join rounds, quality
+    is map-side, keeper choice is one max-struct agg — the only
+    corpus-sized shuffles are the signature agg and the label rounds."""
+    from ..functions.text import quality_features
+    from .clusters import connected_components
+
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    feats = quality_features(F.col("text"))
+    scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
+    labeled = scored.join(cc, scored.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "quality_score",
+    )
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("_b")
+        )
+        .select("cluster_id", (-F.col("_b.neg_id")).alias("keeper_doc_id"))
+    )
+    return labeled.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
 def decontaminate(
     docs: DataFrame, benchmark: DataFrame, n: int = 8
 ) -> DataFrame:

@@ -992,6 +992,44 @@ FROM reach GROUP BY node
 """
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_fuzzy_dedup() -> str:
+    """End-to-end fuzzy-dedup ground truth: the recursive-CTE closure
+    over the minhash pair list + the doc_quality score, keeper = best
+    (quality desc, doc_id asc) per cluster — equivalent to the Spark
+    max(struct(q, -id)) aggregation."""
+    minhash = _sql_dedup_minhash()
+    quality = _sql_doc_quality()
+    return f"""
+WITH RECURSIVE mh AS (
+{minhash}
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM mh UNION SELECT doc_b, doc_a FROM mh),
+nd AS (SELECT DISTINCT src AS node FROM e),
+reach(node, label) AS (
+  SELECT node, node FROM nd
+  UNION
+  SELECT e.src, r.label FROM e JOIN reach r ON r.node = e.dst
+),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+q AS (SELECT doc_id, quality_score FROM ({quality})),
+labeled AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id, q.quality_score
+  FROM documents d JOIN q USING (doc_id) LEFT JOIN cc ON cc.node = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id ASC
+  ) AS rn
+  FROM labeled
+)
+SELECT doc_id, cluster_id, quality_score, (rn = 1) AS is_keeper FROM ranked
+"""
+
+
 SQL_VOCAB_TOP = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, token FROM (
@@ -3035,6 +3073,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # corpus pipeline: clusters / vocab / tf-idf / sampling / outliers /
     # SQ8 / range join
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "fuzzy_dedup": (q_fuzzy_dedup, _sql_fuzzy_dedup()),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
