@@ -132,3 +132,25 @@ def test_cli_search_families(spark, capsys, sf_smoke):
     captured = capsys.readouterr()
     assert "query_id" in captured.out and "hamming" in captured.out
     assert "score" in captured.out
+
+
+def test_cli_dedup_methods(spark, tmp_path, capsys):
+    """The dedup subcommand writes each family's verdicts/pairs to
+    parquet; the fuzzy sink matches the in-process operator exactly."""
+    from vectorsearch_with_hnsw_spark import cli
+    from vectorsearch_with_hnsw_spark.operators.dedup import fuzzy_dedup
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    fz = str(tmp_path / "fuzzy")
+    cli.main(["dedup", "--sf-dir", "/root/testdata/sf0.001", "--out", fz])
+    sp = str(tmp_path / "spans")
+    cli.main(["dedup", "--method", "spans", "--sf-dir", "/root/testdata/sf0.001", "--out", sp])
+    captured = capsys.readouterr()
+    assert "dedup[fuzzy]: 500 rows" in captured.out
+    assert "dedup[spans]:" in captured.out
+    got = {tuple(r) for r in spark.read.parquet(fz).collect()}
+    want = {
+        tuple(r)
+        for r in fuzzy_dedup(load_table(spark, "/root/testdata/sf0.001", "documents")).collect()
+    }
+    assert got == want

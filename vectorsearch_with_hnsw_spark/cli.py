@@ -64,6 +64,24 @@ def main(argv: list[str] | None = None) -> None:
     cl.add_argument("--sf-dir", required=True)
     cl.add_argument("--out", required=True)
 
+    dd = sub.add_parser(
+        "dedup",
+        help="dedup the documents table (fuzzy | exact | spans | incremental) -> parquet",
+    )
+    dd.add_argument("--sf-dir", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument(
+        "--method",
+        default="fuzzy",
+        choices=("fuzzy", "exact", "spans", "incremental"),
+    )
+    dd.add_argument(
+        "--split",
+        type=int,
+        default=250,
+        help="incremental only: doc_id below this is the existing corpus",
+    )
+
     ck = sub.add_parser(
         "chunk",
         help="context-window chunking + token-budget packing -> parquet",
@@ -140,6 +158,23 @@ def main(argv: list[str] | None = None) -> None:
             cc = dedup_clusters(D.minhash_lsh_pairs(docs))
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
+        elif args.cmd == "dedup":
+            from .operators import dedup as D
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            if args.method == "fuzzy":
+                out = D.fuzzy_dedup(docs)
+            elif args.method == "exact":
+                out = D.dedup_exact(docs)
+            elif args.method == "spans":
+                out = D.dup_span_pairs(docs)
+            else:
+                out = D.dedup_incremental(
+                    docs.filter(F.col("doc_id") >= args.split),
+                    docs.filter(F.col("doc_id") < args.split),
+                )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"dedup[{args.method}]: {out.count()} rows -> {args.out}")
         elif args.cmd == "chunk":
             from .operators.textpipe import chunk_documents, pack_chunks
 
