@@ -86,3 +86,37 @@ def test_lm_familiarity_reference_model_semantics(spark):
         [], "doc_id long, text string, lang string, source string, n_chars long"
     )
     assert lm_familiarity(empty).count() == 0
+
+
+def test_hashed_doc_vectors_bridge_semantics(spark):
+    """Exact-duplicate texts hash to IDENTICAL unit vectors (the bridge
+    makes exact text dedup visible to the vector surface); a token-less
+    document gets the zero vector; norms are 1 (or 0) and the vectors
+    compose with the existing kNN ops."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+    from vectorsearch_with_hnsw_spark.operators.textpipe import hashed_doc_vectors
+
+    rows = [
+        (0, "spark shuffles the hash join"),
+        (1, "spark shuffles the hash join"),   # exact dup of 0
+        (2, "an entirely different sentence about windows"),
+        (3, "   "),                             # no tokens -> zero vector
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: list(r.vec) for r in hashed_doc_vectors(docs, dim=16).collect()}
+    assert out[0] == out[1], "identical text -> identical vector"
+    assert out[0] != out[2]
+    assert out[3] == [0.0] * 16
+    for i in (0, 1, 2):
+        assert abs(sum(x * x for x in out[i]) - 1.0) < 1e-12
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in out.items()], "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    top = {r.rnk: r.neighbor_id for r in knn_exact(emb, q, k=2, metric="l2").collect()}
+    assert set(top.values()) == {0, 1}, "dup doc is the nearest neighbor at dist 0"

@@ -27,6 +27,11 @@ def __getattr__(name):
         "HnswParams": ("index.build", "HnswParams"),
         "HnswIndex": ("index.build", "HnswIndex"),
         "knn_hnsw": ("index.query", "knn_hnsw"),
+        "fuzzy_dedup": ("operators.dedup", "fuzzy_dedup"),
+        "dup_span_pairs": ("operators.dedup", "dup_span_pairs"),
+        "lm_familiarity": ("operators.textpipe", "lm_familiarity"),
+        "knn_pagerank": ("operators.clusters", "knn_pagerank"),
+        "hashed_doc_vectors": ("operators.textpipe", "hashed_doc_vectors"),
         "load_table": ("sources", "load_table"),
         "get_spark": ("session", "get_spark"),
         "queries": ("registry", "queries"),

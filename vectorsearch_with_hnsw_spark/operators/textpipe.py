@@ -492,3 +492,51 @@ def lm_score(docs: DataFrame, model: DataFrame) -> DataFrame:
             F.coalesce("fam", F.lit(0)).alias("fam"),
         )
     )
+
+
+def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: every token
+    hashes to one of ``dim`` buckets with a ±1 sign bit, signed counts
+    accumulate per bucket, and the result is L2-normalized — a
+    deterministic, model-free text→vector bridge that connects the
+    documents table to the whole similarity surface (kNN, near-dup,
+    k-means, PageRank) without an embedding model. The signed variant
+    is the standard bias correction from the feature-hashing
+    literature: E[collision contribution] = 0.
+
+    (doc_id, vec array<double>); token-less documents get the zero
+    vector (which the downstream zero-norm guards treat as the
+    reference treats zero embeddings). Pure Column expressions
+    end-to-end — explode, integer hash/modulo, one signed-count
+    shuffle, map-assembly, normalize — so the scan stays in
+    whole-stage codegen and the only corpus-sized exchange is the
+    (doc, bucket) aggregation."""
+    from ..functions.text import poly_hash, tokens
+    from ..functions.vector import l2_normalize
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).select("doc_id", poly_hash(F.col("token")).alias("h"))
+    signed = tok.select(
+        "doc_id",
+        (F.col("h") % dim).cast("int").alias("bucket"),
+        F.expr(f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1 ELSE -1 END").alias("sign"),
+    )
+    vals = signed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("val"))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
+        ).cast("double"),
+    )
+    assembled = (
+        vals.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m"))
+        .select("doc_id", l2_normalize(raw).alias("vec"))
+    )
+    zero = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select("doc_id", F.coalesce("vec", zero).alias("vec"))
+    )

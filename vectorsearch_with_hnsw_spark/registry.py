@@ -992,6 +992,76 @@ FROM reach GROUP BY node
 """
 
 
+def q_doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors, projected to oracle-friendly
+    scalars: the unit norm, the first component, and an index-weighted
+    checksum that pins every element (same sequential-fold shape both
+    engines)."""
+    from .operators.textpipe import hashed_doc_vectors
+
+    v = hashed_doc_vectors(load_table(spark, sf_dir, "documents"), dim=DIM)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("vec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, u: s + u,
+        )
+    )
+    chk = F.aggregate(
+        F.zip_with(
+            F.col("vec"),
+            F.sequence(F.lit(1), F.lit(DIM)).cast("array<double>"),
+            lambda x, i: x * i,
+        ),
+        F.lit(0.0),
+        lambda s, u: s + u,
+    )
+    return v.select(
+        "doc_id",
+        norm.alias("unit_norm"),
+        F.element_at("vec", 1).alias("head0"),
+        chk.alias("chk"),
+    )
+
+
+def _sql_doc_hash_vectors() -> str:
+    dim = DIM
+    tok_hash = sql_poly_hash("token")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents
+), hh AS (
+  SELECT doc_id, {tok_hash} AS h FROM tok
+), sb AS (
+  SELECT doc_id, CAST(h % {dim} AS INTEGER) AS bucket,
+         CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM hh
+), vals AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val FROM sb GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, g.i AS bucket
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) g
+), cells AS (
+  SELECT g.doc_id, g.bucket, CAST(coalesce(v.val, 0) AS DOUBLE) AS x
+  FROM grid g LEFT JOIN vals v ON v.doc_id = g.doc_id AND v.bucket = g.bucket
+), raw AS (
+  SELECT doc_id, list(x ORDER BY bucket) AS v FROM cells GROUP BY doc_id
+), normed AS (
+  SELECT doc_id,
+    CASE WHEN sqrt(list_reduce(list_transform(v, (x, i) -> x * x), (s, u) -> s + u)) = 0
+         THEN v
+         ELSE list_transform(v, (x, i) -> x / sqrt(list_reduce(list_transform(v, (y, j) -> y * y), (s, u) -> s + u)))
+    END AS nv
+  FROM raw
+)
+SELECT doc_id,
+  sqrt(list_reduce(list_transform(nv, (x, i) -> x * x), (s, u) -> s + u)) AS unit_norm,
+  nv[1] AS head0,
+  list_reduce(list_transform(nv, (x, i) -> x * i), (s, u) -> s + u) AS chk
+FROM normed
+"""
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -3074,6 +3144,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # SQ8 / range join
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "fuzzy_dedup": (q_fuzzy_dedup, _sql_fuzzy_dedup()),
+    "doc_hash_vectors": (q_doc_hash_vectors, _sql_doc_hash_vectors()),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
