@@ -24,6 +24,7 @@ HOSTILE_QUERIES = [
     "ivf_pq_ann",             # trained cells + residual codes + LUT sums under ANSI
     "dup_spans",              # window gaps-and-islands + big-int hashing under ANSI
     "lm_familiarity",         # left-join count sums under ANSI
+    "funnel_steps",           # timestamp ordering + epoch casts — tz-sensitive
 ]
 
 

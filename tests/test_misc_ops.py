@@ -140,3 +140,40 @@ def test_event_sketch_stats_error_bounds(spark, sf_smoke):
         assert abs(r["approx_p50_value"] - r["exact_p50_value"]) <= max(
             0.1 * abs(r["exact_p50_value"]), 1e-9
         )
+
+
+def test_funnel_steps_ordering_semantics(spark, tmp_path):
+    """First-touch funnel: steps must occur in strict temporal order
+    after the user's FIRST step-1 event — a click before the first view
+    does not count; users without step 1 are outside the funnel; the
+    prefix length is reported."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, minutes, etype):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered chain
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 9, "purchase"),
+        # user 2: click BEFORE first view -> stuck at step 1
+        ev(4, 2, 0, "click"), ev(5, 2, 3, "view"),
+        # user 3: view then purchase but no click -> steps_completed 1
+        ev(6, 3, 0, "view"), ev(7, 3, 2, "purchase"),
+        # user 4: no view at all -> excluded
+        ev(8, 4, 0, "click"), ev(9, 4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    src = str(tmp_path / "events_dir")
+    df.write.mode("overwrite").parquet(src + "/events.parquet")
+    from vectorsearch_with_hnsw_spark.operators.relational import funnel_steps
+
+    out = {r.user_id: r for r in funnel_steps(spark, src).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].steps_completed == 3
+    assert out[1].t1_epoch < out[1].t2_epoch < out[1].t3_epoch
+    assert out[2].steps_completed == 1 and out[2].t2_epoch is None
+    assert out[3].steps_completed == 1

@@ -1380,3 +1380,53 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str,
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+def funnel_steps(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered multi-step funnel over the events table: for each user,
+    the earliest step-1 event, then the earliest step-2 event strictly
+    after it, then the earliest step-3 after that (first-touch funnel
+    semantics — the standard product-analytics definition, greedy on
+    the earliest qualifying timestamp so the result is unique and
+    deterministic). Users never reaching step 1 are out of the funnel;
+    later steps are NULL when unreached, and ``steps_completed`` counts
+    the prefix length.
+
+    Timestamps surface as epoch seconds (floor) so the comparison is
+    integer-exact and timezone-proof. Plan shape: one filtered min-agg
+    per step, each joined back on user_id — per-step aggregates are
+    user-cardinality (small), so after the first groupBy every
+    subsequent join shuffles aggregate-sized relations, not the event
+    log; at 100 TB the event scan happens once per step with the
+    type filter pushed to parquet."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    out = cur
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(out.select("user_id", F.col(f"t{i-1}")), "user_id")
+            .filter(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        "user_id",
+        *[
+            F.col(f"t{i}").cast("long").alias(f"t{i}_epoch")
+            for i in range(1, len(steps) + 1)
+        ],
+        completed.cast("int").alias("steps_completed"),
+    )

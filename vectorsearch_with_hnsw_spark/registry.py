@@ -992,6 +992,31 @@ FROM reach GROUP BY node
 """
 
 
+SQL_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+  CAST(floor(epoch(s1.t1)) AS BIGINT) AS t1_epoch,
+  CAST(floor(epoch(s2.t2)) AS BIGINT) AS t2_epoch,
+  CAST(floor(epoch(s3.t3)) AS BIGINT) AS t3_epoch,
+  CAST(1 + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS steps_completed
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document vectors, projected to oracle-friendly
     scalars: the unit norm, the first component, and an index-weighted
@@ -3113,6 +3138,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "view_days_no_purchase": (R.view_days_without_purchase, SQL_VIEW_DAYS_NO_PURCHASE),
     "events_asof": (R.events_asof_purchase, SQL_EVENTS_ASOF),
     "events_tumbling": (R.events_tumbling, SQL_EVENTS_TUMBLING),
+    "funnel_steps": (R.funnel_steps, SQL_FUNNEL_STEPS),
     "events_sessionize": (R.events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_props_json": (R.events_props_json, SQL_EVENTS_PROPS_JSON),
     # vector surface (reference parity)
