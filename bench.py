@@ -126,6 +126,18 @@ BENCH_QUERIES = [
     "mix_corpus",
     "dedup_incremental",
     "approx_top_tokens",
+    "min_cost_supplier",
+    "nation_profit",
+    "important_parts",
+    "dominant_suppliers",
+    "ivf_pq_ann",
+    "matryoshka_ann",
+    "dup_spans",
+    "lm_familiarity",
+    "fuzzy_dedup",
+    "doc_hash_vectors",
+    "knn_pagerank",
+    "funnel_steps",
 ]
 
 

@@ -140,3 +140,24 @@ def test_fuzzy_dedup_end_to_end_verdicts(docs_with_dups):
     assert keeper.quality_score == best_q
     singles = [rows[0] for rows in by_cluster.values() if len(rows) == 1]
     assert singles and all(r.is_keeper for r in singles)
+
+
+def test_dup_spans_max_df_drops_boilerplate(spark):
+    """A boilerplate 10-token passage shared by many docs is excluded by
+    the df cap, while a passage shared by just two docs still surfaces;
+    with no cap the boilerplate pairs appear."""
+    boiler = " ".join(f"lic{i}" for i in range(10))
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = []
+    for i in range(6):  # boilerplate in docs 0..5
+        rows.append((i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(12))))
+    rows.append((10, passage + " " + " ".join(f"a{j}" for j in range(12))))
+    rows.append((11, " ".join(f"b{j}" for j in range(12)) + " " + passage))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    capped = {(r.doc_a, r.doc_b) for r in D.dup_span_pairs(docs, n=8, max_df=3).collect()}
+    assert capped == {(10, 11)}, "only the rare passage survives the df cap"
+    uncapped = {(r.doc_a, r.doc_b) for r in D.dup_span_pairs(docs, n=8).collect()}
+    assert (0, 1) in uncapped and (10, 11) in uncapped

@@ -154,3 +154,11 @@ def test_cli_dedup_methods(spark, tmp_path, capsys):
         for r in fuzzy_dedup(load_table(spark, "/root/testdata/sf0.001", "documents")).collect()
     }
     assert got == want
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    cli.main(["explain", "--query", "pricing_summary"])
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out

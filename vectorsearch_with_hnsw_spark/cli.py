@@ -109,6 +109,16 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--max-queries", type=int, default=5)
     s.add_argument("--terms", default="spark,hash,window", help="keyword terms (bm25/hybrid)")
 
+    ex = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan of any registry query",
+    )
+    ex.add_argument(
+        "--query", required=True,
+        help="registry query name (an unknown name prints the full list)",
+    )
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = ap.parse_args(argv)
     from pyspark.sql import SparkSession
 
@@ -158,6 +168,18 @@ def main(argv: list[str] | None = None) -> None:
             cc = dedup_clusters(D.minhash_lsh_pairs(docs))
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
+        elif args.cmd == "explain":
+            from . import registry
+
+            qmap = registry.queries()
+            if args.query not in qmap:
+                raise SystemExit(
+                    f"unknown query {args.query!r}; one of: {', '.join(sorted(qmap))}"
+                )
+            from .plans.checks import formatted_plan
+
+            df = qmap[args.query](spark, args.sf_dir)
+            print(formatted_plan(df))
         elif args.cmd == "dedup":
             from .operators import dedup as D
 

@@ -270,7 +270,9 @@ def embedding_neardup_pairs(
     )
 
 
-def dup_span_pairs(docs: DataFrame, n: int = 8, min_run: int = 2) -> DataFrame:
+def dup_span_pairs(
+    docs: DataFrame, n: int = 8, min_run: int = 2, max_df: int | None = None
+) -> DataFrame:
     """Exact shared-passage detection: for every document pair, the
     longest run of CONSECUTIVE shared word ``n``-grams — the relational
     answer to suffix-array substring dedup (the scheme behind
@@ -287,12 +289,29 @@ def dup_span_pairs(docs: DataFrame, n: int = 8, min_run: int = 2) -> DataFrame:
     max per pair. No cross join anywhere; hot n-grams are AQE
     skew-split like every other shingle join here.
 
+    ``max_df``: drop n-grams appearing in more than this many documents
+    before the self-join — the standard boilerplate guard (a license
+    header shared by a million docs would otherwise contribute df^2
+    join rows; the runs it forms are boilerplate, not plagiarized
+    passages). None = exact semantics over every n-gram (the oracle
+    setting); at 100 TB set it to a few hundred.
+
     The reference has no text surface at all — this extends its
     exact-match story (hsnw_trial.py dedup = none) per the north star."""
     sh = docs.select(
         "doc_id",
         F.posexplode(word_shingles(F.col("text"), n)).alias("pos", "sh"),
     ).select("doc_id", "pos", poly_hash(F.col("sh")).alias("h"))
+    if max_df is not None:
+        keep = (
+            sh.select("doc_id", "h")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h")
+        )
+        sh = sh.join(keep, "h")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
     )
