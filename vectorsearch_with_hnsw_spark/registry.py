@@ -372,14 +372,20 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dup_spans() -> str:
     """Gaps-and-islands over the positional-ngram self-join, hash-keyed
-    exactly like the Spark side (polynomial hash of the n-gram string)."""
+    exactly like the Spark side: per-token polynomial hashes combined
+    with the same (acc*31 + h) % mod fold per n-gram."""
     n = DUP_SPAN_N
+    acc = "CAST(0 AS BIGINT)"
+    for j in range(n):
+        acc = f"(({acc} * 31 + hs[i+{j + 1}]) % {T.HASH_MOD})"
     return f"""
 WITH t AS (
   SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents
+), th AS (
+  SELECT doc_id, list_transform(toks, tk -> {sql_poly_hash("tk")}) AS hs FROM t
 ), sh AS (
-  SELECT doc_id, i AS pos, {sql_poly_hash(f"array_to_string(toks[i+1:i+{n}], ' ')")} AS h
-  FROM t, unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS u(i)
+  SELECT doc_id, i AS pos, {acc} AS h
+  FROM th, unnest(range(0, greatest(len(hs) - {n - 1}, 0))) AS u(i)
 ), j AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
