@@ -125,7 +125,14 @@ def knn_pagerank(
     O(N^2) sizes."""
     from .retrieval import knn_graph
 
-    edges = knn_graph(emb, k=k, metric=metric).select("src_id", "dst_id")
+    # checkpoint the graph: every iteration (and the node frame) reads
+    # it, and without truncation the exact-kNN build would re-execute
+    # once per reference (same rationale as connected_components' edges)
+    edges = (
+        knn_graph(emb, k=k, metric=metric)
+        .select("src_id", "dst_id")
+        .localCheckpoint(eager=True)
+    )
     nodes = emb.select(F.col("vec_id").alias("node_id"))
     base = (scale * (100 - damping_pct)) // 100
     p = nodes.select("node_id", F.lit(scale).cast("long").alias("pr"))
