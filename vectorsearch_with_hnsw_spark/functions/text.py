@@ -193,3 +193,26 @@ def redact_pii(text: Column) -> dict[str, Column]:
     clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
     clean = F.regexp_replace(clean, PII_IP, "<IP>")
     return {**counts, "clean_text": clean}
+
+
+def shingle_hash_array(text: Column, n: int = 3) -> Column:
+    """Two-level word n-gram hashes as array<long>: each token
+    poly-hashed ONCE, then the n per-token hashes folded with the same
+    ``(acc*31 + h) % HASH_MOD`` recurrence per shingle. ~6x less hash
+    work than hashing each n-gram string character by character (every
+    character would otherwise be folded n times across overlapping
+    shingles); the shuffle key downstream is 8 bytes instead of the
+    n-gram string. Shared by minhash signatures, n-gram Jaccard, and
+    shared-passage span detection."""
+    toks = tokens(F.lower(text))
+    th = F.transform(toks, lambda t: poly_hash(t))
+    ln = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(th, i + 1, ln) for i in range(n)])
+
+    def combine(s):
+        acc = F.lit(0).cast("long")
+        for j in range(n):
+            acc = (acc * F.lit(31) + s[str(j)]) % F.lit(HASH_MOD)
+        return acc
+
+    return F.transform(z, combine)

@@ -27,6 +27,7 @@ from ..functions.text import (
     fingerprint,
     minhash_exprs,
     poly_hash,
+    shingle_hash_array,
     simhash_bit_weight,
     simhash_token_hash,
     word_shingles,
@@ -64,13 +65,22 @@ def ngram_jaccard_pairs(
 
     |A ∩ B| from the shingle join, |A| and |B| from per-doc counts, so
     Jaccard = common / (na + nb - common) exactly. The only large shuffle
-    is on the shingle key.
+    is on the shingle key — an 8-byte two-level hash
+    (shingle_hash_array), not the n-gram string, so the join exchange
+    carries a fixed-width key (hash collisions merge shingles with
+    probability ~1/1e9, identically in the oracle).
 
     The shingle relation feeds three consumers (sizes + both join sides);
     persist it so the explode+distinct runs once, not five times — at
     scale this is the difference between one pass over the corpus and
     five."""
-    sh = shingle_table(docs, n).persist()
+    sh = (
+        docs.select(
+            "doc_id", F.explode(shingle_hash_array(F.col("text"), n)).alias("shingle")
+        )
+        .distinct()
+        .persist()
+    )
     sh.count()  # eager: 3 consumers below — avoid concurrent cache-population races
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -111,20 +121,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFr
       character fold, and no repartition barrier is needed because
       explode materializes ``h`` as a concrete attribute (the 8 min
       aggregates reference it instead of re-inlining the fold)."""
-    from ..functions.text import tokens
-
-    toks = tokens(F.lower(F.col("text")))
-    th = F.transform(toks, lambda t: poly_hash(t))
-    ln = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
-    z = F.arrays_zip(*[F.slice(th, i + 1, ln) for i in range(3)])
-
-    def combine(s):
-        acc = F.lit(0).cast("long")
-        for j in range(3):
-            acc = (acc * F.lit(31) + s[str(j)]) % F.lit(HASH_MOD)
-        return acc
-
-    hashed = docs.select("doc_id", F.explode(F.transform(z, combine)).alias("h"))
+    hashed = docs.select(
+        "doc_id", F.explode(shingle_hash_array(F.col("text"), 3)).alias("h")
+    )
     mins = [F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("h"), num_hashes))]
     return hashed.groupBy("doc_id").agg(*mins)
 
@@ -318,22 +317,9 @@ def dup_span_pairs(
     character (each character would be folded n times across the
     overlapping shingles). Measured 9.7 -> 6.8 s warm at sf0.1 (the
     remaining cost is the join + windows, not hashing)."""
-    from ..functions.text import tokens
-
-    toks = tokens(F.lower(F.col("text")))
-    th = F.transform(toks, lambda t: poly_hash(t))
-    ln = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice(th, i + 1, ln) for i in range(n)])
-
-    def combine(s):
-        acc = F.lit(0).cast("long")
-        for j in range(n):
-            acc = (acc * F.lit(31) + s[str(j)]) % F.lit(HASH_MOD)
-        return acc
-
     sh = docs.select(
         "doc_id",
-        F.posexplode(F.transform(z, combine)).alias("pos", "h"),
+        F.posexplode(shingle_hash_array(F.col("text"), n)).alias("pos", "h"),
     )
     if max_df is not None:
         keep = (

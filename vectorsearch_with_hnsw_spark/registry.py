@@ -71,12 +71,6 @@ def sql_sq_norm(a: str) -> str:
     return f"list_reduce(list_transform({a}, (x, i) -> x * x), (s, u) -> s + u)"
 
 
-SQL_SHINGLES3 = (
-    "CASE WHEN len(toks) >= 3 THEN "
-    "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "
-    "ELSE []::VARCHAR[] END"
-)
-
 MONEY = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 
@@ -613,18 +607,13 @@ SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
 """
 
-_SHINGLE_CTE = f"""
-tok AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM (
-      SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents
-    )
-  )
-)
-"""
-
-SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH {_SHINGLE_CTE},
+def _sql_dedup_ngram_jaccard() -> str:
+    """Jaccard over DISTINCT two-level shingle hashes — same key the
+    Spark join shuffles on (collisions merge shingles identically in
+    both engines)."""
+    return f"""
+WITH {_hashed_shingle_cte()},
+tok AS (SELECT DISTINCT doc_id, h AS shingle FROM hashed),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -3177,7 +3166,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_hnsw": (q_knn_hnsw, None),  # approximate: rows-only check
     # training-data pipeline surface
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_dedup_ngram_jaccard()),
     "dedup_minhash": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
