@@ -406,3 +406,28 @@ def test_matryoshka_recall_and_exact_distances(spark, sf_smoke):
     for r in got:
         if r.rnk == 1:
             assert r.neighbor_id == r.query_id and r.dist == 0.0
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_smoke, tmp_path):
+    """IVF artifact: build -> save -> load -> probe gives results equal
+    to the one-shot ivf_kmeans_knn at the same params (the loaded index
+    skips retraining entirely) — the reference's save/load contract
+    (hsnw_trial.py:310-376) for the trained-routing family."""
+    from vectorsearch_with_hnsw_spark.operators.ivf import IvfIndex, ivf_kmeans_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=5)
+    idx = IvfIndex.build(emb, dim=64, n_cells=8, iters=2)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.dim == 64
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+        for r in loaded.search(emb, q, k=10, n_probe=2).collect()
+    }
+    want = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+        for r in ivf_kmeans_knn(emb, q, dim=64, k=10, n_probe=2).collect()
+    }
+    assert got == want

@@ -26,6 +26,8 @@ def __getattr__(name):
         "hnsw_build": ("index.build", "hnsw_build"),
         "HnswParams": ("index.build", "HnswParams"),
         "HnswIndex": ("index.build", "HnswIndex"),
+        "PqIndex": ("operators.pq", "PqIndex"),
+        "IvfIndex": ("operators.ivf", "IvfIndex"),
         "knn_hnsw": ("index.query", "knn_hnsw"),
         "fuzzy_dedup": ("operators.dedup", "fuzzy_dedup"),
         "dup_span_pairs": ("operators.dedup", "dup_span_pairs"),

@@ -245,3 +245,88 @@ def ivf_knn_cosine(
     return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
+
+
+class IvfIndex:
+    """Persisted IVF artifact: trained centroids + cell assignments as
+    parquet tables — the third index artifact next to HnswIndex and
+    PqIndex (all mirroring the reference's save/load contract,
+    hsnw_trial.py:310-376). Training (Lloyd rounds) is the expensive
+    step; a loaded index probes with zero retraining, and the
+    assignments table can be written bucketed by cell so a probe scans
+    only n_probe/n_cells of the data at rest."""
+
+    def __init__(self, centroids: DataFrame, assigned: DataFrame, dim: int):
+        self.centroids = centroids  # (cell, centroid)
+        self.assigned = assigned    # (vec_id, cell)
+        self.dim = dim
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        dim: int,
+        n_cells: int = 8,
+        iters: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        _, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
+        return cls(cents, assign(cents).select("vec_id", "cell"), dim)
+
+    def save(self, path: str) -> None:
+        self.centroids.withColumn("dim", F.lit(self.dim)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/centroids")
+        self.assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        cents_raw = spark.read.parquet(f"{path}/centroids")
+        dim = int(cents_raw.select("dim").first()["dim"])
+        return cls(
+            cents_raw.select("cell", "centroid"),
+            spark.read.parquet(f"{path}/assigned"),
+            dim,
+        )
+
+    def search(
+        self,
+        emb: DataFrame,
+        queries_df: DataFrame,
+        k: int = 10,
+        n_probe: int = 2,
+    ) -> DataFrame:
+        """Bucket-pruned exact-L2 probe over the stored assignment —
+        identical plan to ivf_kmeans_knn's probe half (queries rank the
+        stored centroids, candidates come from the n_probe nearest
+        cells, exact rescore, per-query top-k). ``emb`` supplies the
+        raw vectors (the index stores routing state, not the data —
+        at rest they form one bucketed table)."""
+        from ..functions.vector import l2_distance
+
+        pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+        qcells = queries_df.crossJoin(F.broadcast(self.centroids)).select(
+            "query_id",
+            "query_vec",
+            "cell",
+            _l2sq(to_vec("query_vec"), F.col("centroid")).alias("d2"),
+        )
+        wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+        probes = (
+            qcells.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= n_probe)
+            .select("query_id", "query_vec", "cell")
+        )
+        cand = (
+            self.assigned.join(pts, "vec_id")
+            .join(F.broadcast(probes), "cell")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                l2_distance(F.col("v"), to_vec("query_vec")).alias("dist"),
+            )
+        )
+        return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
+            "query_id", "neighbor_id", "dist", "rnk"
+        )
