@@ -25,6 +25,7 @@ HOSTILE_QUERIES = [
     "dup_spans",              # window gaps-and-islands + big-int hashing under ANSI
     "lm_familiarity",         # left-join count sums under ANSI
     "funnel_steps",           # timestamp ordering + epoch casts — tz-sensitive
+    "signup_cohorts",         # week truncation + datediff — tz-sensitive
 ]
 
 

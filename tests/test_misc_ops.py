@@ -177,3 +177,58 @@ def test_funnel_steps_ordering_semantics(spark, tmp_path):
     assert out[1].t1_epoch < out[1].t2_epoch < out[1].t3_epoch
     assert out[2].steps_completed == 1 and out[2].t2_epoch is None
     assert out[3].steps_completed == 1
+
+
+def test_token_budget_sample_invariants(spark):
+    """Per-source prefix rule: every kept row's running total is within
+    budget, the pick is deterministic, and a larger budget yields a
+    superset (prefix property of the hash order)."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import token_budget_sample
+
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i)), "en", f"src{i % 2}", 0) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    small = token_budget_sample(docs, budget_per_source=60).collect()
+    assert small and all(r.cum_tokens <= 60 for r in small)
+    small2 = token_budget_sample(docs, budget_per_source=60).collect()
+    assert {r.doc_id for r in small} == {r.doc_id for r in small2}
+    big = token_budget_sample(docs, budget_per_source=120).collect()
+    assert {r.doc_id for r in small} <= {r.doc_id for r in big}
+    per_src = {}
+    for r in big:
+        per_src.setdefault(r.source, 0)
+        per_src[r.source] += r.n_tokens
+    assert all(v <= 120 for v in per_src.values())
+
+
+def test_signup_cohorts_semantics(spark, tmp_path):
+    """Users cohort by their FIRST signup week; activity before signup
+    is excluded; week offsets are whole weeks; users who never sign up
+    are not in any cohort."""
+    import datetime as dt
+
+    monday = dt.datetime(2024, 1, 1, 10, 0)  # a Monday
+    rows = [
+        # user 1 signs up week 0, active weeks 0 and 2
+        (1, monday, 1, "signup", 1.0, "{}"),
+        (2, monday + dt.timedelta(days=15), 1, "view", 1.0, "{}"),
+        # user 2: activity BEFORE signup (prior week) is excluded
+        (3, monday - dt.timedelta(days=3), 2, "view", 1.0, "{}"),
+        (4, monday + dt.timedelta(days=1), 2, "signup", 1.0, "{}"),
+        # user 3 never signs up
+        (5, monday, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    src = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(src + "/events.parquet")
+    from vectorsearch_with_hnsw_spark.operators.relational import signup_cohorts
+
+    out = {(str(r.cohort_week), r.week_offset): r.active_users
+           for r in signup_cohorts(spark, src).collect()}
+    assert out[("2024-01-01", 0)] == 2   # users 1 and 2 active in cohort week
+    assert out[("2024-01-01", 2)] == 1   # user 1 returns in week 2
+    assert ("2023-12-25", 0) not in out, "pre-signup activity excluded"
+    assert sum(v for (_, off), v in out.items() if off < 0) == 0

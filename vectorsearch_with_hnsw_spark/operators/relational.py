@@ -1430,3 +1430,36 @@ def funnel_steps(
         ],
         completed.cast("int").alias("steps_completed"),
     )
+
+
+def signup_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week of their
+    FIRST signup event; for each cohort, distinct active users at each
+    whole-week offset from that cohort week (the classic product
+    retention triangle). Week offsets are integer-exact
+    (floor(days/7)); user counts are exact distincts.
+
+    Plan: one min-agg for cohorts (user-cardinality output, broadcast
+    by AQE into the activity join), one distinct-agg for the matrix —
+    both shuffles carry aggregate-sized relations after the map-side
+    combine. Filters on event_type push to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("act_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

@@ -540,3 +540,36 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
         .join(assembled, "doc_id", "left")
         .select("doc_id", F.coalesce("vec", zero).alias("vec"))
     )
+
+
+def token_budget_sample(docs: DataFrame, budget_per_source: int = 2000) -> DataFrame:
+    """Sample each source up to a TOKEN budget (real mixing recipes
+    budget tokens, not row counts): rows are taken in deterministic
+    hash order (same mix as stratified_sample, so the pick is
+    reproducible on any cluster/partitioning) and kept while the
+    running token total stays within the budget — greedy prefix
+    first-fit, integer-exact.
+
+    One window per source over (hash, doc_id) order; the cumulative sum
+    is the only shuffle. A source whose first document alone exceeds
+    the budget contributes nothing (strict prefix rule, documented
+    behavior — identical in the oracle)."""
+    from ..functions.text import token_count
+
+    h = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    base = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_per_source)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

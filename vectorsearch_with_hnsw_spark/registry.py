@@ -1029,6 +1029,52 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
 """
 
 
+SQL_SIGNUP_COHORTS = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+       CAST(floor(date_diff('day', c.cohort_week, a.act_week) / 7) AS INTEGER) AS week_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN cohorts c USING (user_id)
+WHERE a.act_week >= c.cohort_week
+GROUP BY 1, 2
+"""
+
+
+TOKEN_BUDGET = 600  # binds at gate scale: ~25 docs x ~50 tokens per source
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import token_budget_sample
+
+    return token_budget_sample(
+        load_table(spark, sf_dir, "documents"), budget_per_source=TOKEN_BUDGET
+    )
+
+
+def _sql_token_budget_sample() -> str:
+    from .operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
+
+    return f"""
+WITH b AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKS_RAW}) AS BIGINT) AS n_tokens,
+         (doc_id * {SAMPLE_MIX}) % {SAMPLE_MOD} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM b
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 def q_doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document vectors, projected to oracle-friendly
     scalars: the unit norm, the first component, and an index-weighted
@@ -3150,6 +3196,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_asof": (R.events_asof_purchase, SQL_EVENTS_ASOF),
     "events_tumbling": (R.events_tumbling, SQL_EVENTS_TUMBLING),
     "funnel_steps": (R.funnel_steps, SQL_FUNNEL_STEPS),
+    "signup_cohorts": (R.signup_cohorts, SQL_SIGNUP_COHORTS),
     "events_sessionize": (R.events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_props_json": (R.events_props_json, SQL_EVENTS_PROPS_JSON),
     # vector surface (reference parity)
@@ -3182,6 +3229,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "fuzzy_dedup": (q_fuzzy_dedup, _sql_fuzzy_dedup()),
     "doc_hash_vectors": (q_doc_hash_vectors, _sql_doc_hash_vectors()),
+    "token_budget_sample": (q_token_budget_sample, _sql_token_budget_sample()),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
