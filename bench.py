@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "doc_hash_vectors",
     "knn_pagerank",
     "funnel_steps",
+    "token_budget_sample",
+    "signup_cohorts",
 ]
 
 
