@@ -51,13 +51,6 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index relation."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
-    ).distinct()
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:
