@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "funnel_steps",
     "token_budget_sample",
     "signup_cohorts",
+    "semantic_neardup",
 ]
 
 

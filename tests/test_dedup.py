@@ -161,3 +161,25 @@ def test_dup_spans_max_df_drops_boilerplate(spark):
     assert capped == {(10, 11)}, "only the rare passage survives the df cap"
     uncapped = {(r.doc_a, r.doc_b) for r in D.dup_span_pairs(docs, n=8).collect()}
     assert (0, 1) in uncapped and (10, 11) in uncapped
+
+
+def test_semantic_neardup_pairs_semantics(spark):
+    """Identical texts pair at cosine 1.0; near-identical texts score
+    high; different-language docs never pair (block key); disjoint
+    vocabulary docs stay below threshold."""
+    rows = [
+        (0, "spark shuffles the big hash join across executors", "en"),
+        (1, "spark shuffles the big hash join across executors", "en"),   # exact dup
+        (2, "spark shuffles the big hash join across workers", "en"),     # near dup
+        (3, "completely unrelated words about gardens and tulips", "en"),
+        (4, "spark shuffles the big hash join across executors", "de"),   # other block
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.doc_a, r.doc_b): r.cos_sim for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] > 0.5
+    assert not any(3 in p for p in out), "unrelated doc pairs with nothing"
+    assert not any(4 in p for p in out), "cross-language pairs blocked"

@@ -516,3 +516,39 @@ def dedup_incremental(
         exact_surv.join(flagged, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+def semantic_neardup_pairs(
+    docs: DataFrame, dim: int = 64, threshold: float = 0.8
+) -> DataFrame:
+    """Model-free semantic near-dup: cosine pairs over the feature-hashed
+    document vectors (textpipe.hashed_doc_vectors), blocked by language —
+    the text-side twin of embedding_neardup_pairs that needs no embedding
+    model. Unit vectors make cosine a plain dot fold; zero-vector docs
+    (no tokens) score 0 against everything and never pair.
+
+    Blocking bounds the pair set (per-language blocks here; at 100 TB the
+    block key is an LSH bucket of the same hashed vector — ann.lsh_bucket
+    composes directly because the bridge output is an ordinary vector
+    column). Same scale shape as the other pair ops: equi-join on the
+    block key, no cross join."""
+    from .textpipe import hashed_doc_vectors
+
+    vecs = docs.select("doc_id", "lang").join(hashed_doc_vectors(docs, dim), "doc_id")
+    a = vecs.select(
+        "lang", F.col("doc_id").alias("doc_a"), F.col("vec").alias("_va")
+    )
+    b = vecs.select(
+        "lang", F.col("doc_id").alias("doc_b"), F.col("vec").alias("_vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("lang", "doc_a", "doc_b", dot.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1107,11 +1107,13 @@ def q_doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_doc_hash_vectors() -> str:
+def _doc_hash_vec_ctes() -> str:
+    """CTE chain ending in ``normed(doc_id, nv)`` — the feature-hashed
+    unit vectors, shared by the doc_hash_vectors oracle and the
+    semantic near-dup oracle."""
     dim = DIM
     tok_hash = sql_poly_hash("token")
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS token FROM documents
 ), hh AS (
   SELECT doc_id, {tok_hash} AS h FROM tok
@@ -1136,12 +1138,39 @@ WITH tok AS (
          ELSE list_transform(v, (x, i) -> x / sqrt(list_reduce(list_transform(v, (y, j) -> y * y), (s, u) -> s + u)))
     END AS nv
   FROM raw
-)
+)"""
+
+
+def _sql_doc_hash_vectors() -> str:
+    return f"""
+WITH {_doc_hash_vec_ctes()}
 SELECT doc_id,
   sqrt(list_reduce(list_transform(nv, (x, i) -> x * x), (s, u) -> s + u)) AS unit_norm,
   nv[1] AS head0,
   list_reduce(list_transform(nv, (x, i) -> x * i), (s, u) -> s + u) AS chk
 FROM normed
+"""
+
+
+SEMANTIC_NEARDUP_T = 0.8
+
+
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.semantic_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), dim=DIM, threshold=SEMANTIC_NEARDUP_T
+    )
+
+
+def _sql_semantic_neardup() -> str:
+    dot = "list_reduce(list_transform(a.nv, (x, i) -> x * b.nv[i]), (s, u) -> s + u)"
+    return f"""
+WITH {_doc_hash_vec_ctes()},
+vl AS (
+  SELECT d.lang, n.doc_id, n.nv FROM normed n JOIN documents d USING (doc_id)
+)
+SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b, {dot} AS cos_sim
+FROM vl a JOIN vl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {dot} >= {SEMANTIC_NEARDUP_T}
 """
 
 
@@ -3230,6 +3259,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fuzzy_dedup": (q_fuzzy_dedup, _sql_fuzzy_dedup()),
     "doc_hash_vectors": (q_doc_hash_vectors, _sql_doc_hash_vectors()),
     "token_budget_sample": (q_token_budget_sample, _sql_token_budget_sample()),
+    "semantic_neardup": (q_semantic_neardup, _sql_semantic_neardup()),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
