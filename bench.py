@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "signup_cohorts",
     "semantic_neardup",
+    "bloom_pruned_revenue",
 ]
 
 

@@ -3207,6 +3207,43 @@ def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order spend of high-balance BUILDING customers, with the orders
+    fact side Bloom-pruned by the tiny customer key set before the join
+    (plans/bloom.py). Exact: the bitmap admits every true match and the
+    broadcast join drops false positives — the oracle is the plain join.
+    At 100 TB the bitmap kills non-matching fact rows at the scan, so the
+    shuffle/join only ever sees the matching slice."""
+    from .plans.bloom import bloom_pruned_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select("c_custkey", "c_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = bloom_pruned_join(orders, cust, fact_key="o_custkey", dim_key="c_custkey")
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+SQL_BLOOM_PRUNED_REVENUE = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       COUNT(*) AS order_count
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+GROUP BY c_custkey, c_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3347,6 +3384,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
+    "bloom_pruned_revenue": (q_bloom_pruned_revenue, SQL_BLOOM_PRUNED_REVENUE),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
     "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
