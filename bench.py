@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "signup_cohorts",
     "semantic_neardup",
     "bloom_pruned_revenue",
+    "zorder_events",
 ]
 
 

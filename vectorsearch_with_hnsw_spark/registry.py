@@ -3244,6 +3244,40 @@ GROUP BY c_custkey, c_name
 """
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over events(user_id, epoch-day):
+    the integer bit-interleave that plans/layout.py::zorder_write sorts
+    files by, so range predicates on EITHER column prune parquet
+    row-groups. Exposed as a query so the bit math itself is
+    oracle-checked; the file-envelope property is asserted in
+    tests/test_layout.py."""
+    from .plans.layout import zorder_value
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("epoch_day"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_day",
+        zorder_value(F.col("user_id"), F.col("epoch_day")).alias("zval"),
+    )
+
+
+def _sql_zorder_events() -> str:
+    from .plans.layout import zorder_sql
+
+    z = zorder_sql("user_id", "epoch_day")
+    return f"""
+SELECT event_id, user_id, epoch_day, {z} AS zval FROM (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day
+  FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3385,6 +3419,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "bloom_pruned_revenue": (q_bloom_pruned_revenue, SQL_BLOOM_PRUNED_REVENUE),
+    "zorder_events": (q_zorder_events, _sql_zorder_events()),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
     "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
