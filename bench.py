@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "semantic_neardup",
     "bloom_pruned_revenue",
     "zorder_events",
+    "pq_refine_ann",
 ]
 
 
@@ -280,6 +281,7 @@ def main() -> None:
         ("lsh_ann_cosine", "cosine"),
         ("ivf_ann_cosine", "cosine"),
         ("pq_adc_ann", "l2"),
+        ("pq_refine_ann", "l2"),
         ("ivf_pq_ann", "l2"),
         ("matryoshka_ann", "l2"),
         ("ivf_kmeans_ann", "l2"),

@@ -15,6 +15,7 @@ operator signatures:
 | ivf_kmeans   | medium (trained)      | cell-pruned, kmeans-routed     |
 | lsh          | low (tunable probes)  | bucket-join only               |
 | pq           | medium                | ADC over 8-byte codes          |
+| pq_refine    | high (exact re-rank)  | ADC shortlist + expand·k reads |
 | binary       | low-medium            | 1 bit/dim, XOR+popcount scan   |
 
 Every method takes the same (base, queries) relations — base
@@ -29,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "ivf_pq", "binary", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "binary", "matryoshka")
 
 
 def similarity_search(
@@ -80,6 +81,10 @@ def similarity_search(
         from .pq import pq_adc_knn
 
         return pq_adc_knn(base, queries, dim=_dim(dim, method), k=k)
+    if method == "pq_refine":
+        from .pq import pq_refine_knn
+
+        return pq_refine_knn(base, queries, dim=_dim(dim, method), k=k)
     if method == "ivf_pq":
         from .pq import ivf_pq_knn
 

@@ -2749,11 +2749,19 @@ def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_knn(emb, _emb_queries(spark, sf_dir), dim=DIM, m=PQ_M, k=10)
 
 
-def _sql_pq_adc() -> str:
-    """PQ-ADC oracle. Codes here carry the *anchor vec_id* where the
-    Spark side stores the *position* in the id-ordered codebook — ids
-    are dense from 0 in the testdata, so both resolve to the same
-    centroid and the ADC sums agree bit-for-bit."""
+def q_pq_refine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_refine_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_refine_knn(emb, _emb_queries(spark, sf_dir), dim=DIM, m=PQ_M, k=10)
+
+
+def _pq_adc_ctes() -> str:
+    """Shared WITH-body for the PQ oracles: everything through the per-
+    (query, neighbor) ``adc`` distances. Codes here carry the *anchor
+    vec_id* where the Spark side stores the *position* in the id-ordered
+    codebook — ids are dense from 0 in the testdata, so both resolve to
+    the same centroid and the ADC sums agree bit-for-bit."""
     d = DIM // PQ_M
     sub_d2 = (
         "list_reduce(list_transform({v}[{s}*%d+1 : {s}*%d+%d], "
@@ -2761,8 +2769,7 @@ def _sql_pq_adc() -> str:
     )
     enc_d2 = sub_d2.format(v="e.v", s="c.s", cs="c.cs")
     q_d2 = sub_d2.format(v="q.qv", s="c.s", cs="c.cs")
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
 ), anch AS (
   SELECT vec_id AS cell, v AS centroid FROM e ORDER BY vec_id LIMIT {PQ_ANCHORS}
@@ -2789,10 +2796,41 @@ WITH e AS (
                 (a, u) -> a + u) AS adc_d2
   FROM codes cd JOIN qlut l ON l.s = cd.s AND l.cell = cd.code
   GROUP BY 1, 2
-)
+)"""
+
+
+def _sql_pq_adc() -> str:
+    return f"""
+WITH {_pq_adc_ctes()}
 SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id, adc_d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
   FROM adc
+) WHERE rn <= 10
+"""
+
+
+PQ_REFINE_EXPAND = 20
+
+
+def _sql_pq_refine() -> str:
+    """ADC shortlist of expand*k, exact-L2 re-rank — mirror of
+    pq.pq_refine_knn."""
+    dist = sql_l2("e.v", "q.qv")
+    return f"""
+WITH {_pq_adc_ctes()}, shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_REFINE_EXPAND * 10}
+), resc AS (
+  SELECT s.query_id, s.neighbor_id, {dist} AS dist
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM resc
 ) WHERE rn <= 10
 """
 
@@ -3410,6 +3448,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hybrid_search_rrf": (q_hybrid_search_rrf, _sql_hybrid_rrf()),
     "mmr_diversify": (q_mmr_diversify, _sql_mmr()),
     "pq_adc_ann": (q_pq_adc_ann, _sql_pq_adc()),
+    "pq_refine_ann": (q_pq_refine_ann, _sql_pq_refine()),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
