@@ -39,6 +39,7 @@ from .sources import load_table
 
 DIM = 64  # embedding dimensionality of the testdata tables
 N_QUERIES = 10  # query set = vec_id < N_QUERIES
+IVF_PROBE = 3  # cells probed per query (of the ~10 label cells; recall@10 0.46 -> 0.55 on testdata)
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments mirroring the Spark expression shapes exactly
@@ -274,8 +275,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=1)
 
 
-MRL_PREFIX = 16  # matryoshka coarse-pass dimensions
-MRL_REFINE = 50  # candidates surviving to the exact rescore
+MRL_PREFIX = 32  # matryoshka coarse-pass dimensions (half the signal on gaussian data)
+MRL_REFINE = 200  # candidates surviving to the exact rescore (recall@10 0.9 on testdata)
 
 
 def q_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +442,7 @@ def q_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import ivf_knn_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_knn_cosine(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10, n_probe=2)
+    return ivf_knn_cosine(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10, n_probe=IVF_PROBE)
 
 
 def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,7 +589,7 @@ WITH e AS (
     SELECT q.query_id, q.qv, c.cell,
            row_number() OVER (PARTITION BY q.query_id ORDER BY {_cos_sql('q.qv', 'c.centroid')}, c.cell) AS crnk
     FROM q CROSS JOIN cents c
-  ) WHERE crnk <= 2
+  ) WHERE crnk <= {IVF_PROBE}
 ), cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, {_cos_sql('a.v', 'p.qv')} AS dist
   FROM assigned a JOIN probes p USING (cell)
@@ -1336,7 +1337,7 @@ def q_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_sq8_knn(emb, queries, dim=DIM, k=10, n_probe=2)
+    return ivf_sq8_knn(emb, queries, dim=DIM, k=10, n_probe=IVF_PROBE)
 
 
 _SQ8_ENC_SQL = """list_transform({vec}, (x, i) ->
@@ -1366,7 +1367,7 @@ WITH e AS (
     SELECT q.query_id, q.qv, c.cell,
            row_number() OVER (PARTITION BY q.query_id ORDER BY {{cosqa}}, c.cell) AS crnk
     FROM q CROSS JOIN cents c
-  ) WHERE crnk <= 2
+  ) WHERE crnk <= {IVF_PROBE}
 ), st AS (
   SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
   FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings)
