@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "bloom_pruned_revenue",
     "zorder_events",
     "pq_refine_ann",
+    "doc_sentences",
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 
 # Knuth multiplicative-hash constant; doc_id mix for sampling
 SAMPLE_MIX = 2_654_435_761
@@ -310,6 +310,32 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
         "max_tf",
         ratio("max_tf").alias("top_token_ratio"),
         ratio("n_distinct").alias("unique_ratio"),
+    )
+
+
+def doc_sentences(docs: DataFrame) -> DataFrame:
+    """Sentence segmentation: split each document on terminal-punctuation
+    boundaries (``[.!?]+`` followed by whitespace), trim, drop empties —
+    the prep step for sentence-level dedup, SFT pair mining, and
+    quality filters that score sentence shape.
+
+    (doc_id, sent_idx, sentence, n_tokens). Pure Catalyst — one regexp
+    split + posexplode inside the scan stage, no shuffle at all; at
+    100 TB this is a map-only pass like chunk_documents. The boundary
+    regex deliberately avoids lookbehind so the same pattern runs
+    identically under Java regex (Spark) and RE2 (the DuckDB oracle)."""
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+\s+"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            "sentence",
+            token_count(F.col("sentence")).alias("n_tokens"),
+        )
     )
 
 

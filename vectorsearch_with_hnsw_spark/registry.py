@@ -3283,6 +3283,28 @@ GROUP BY c_custkey, c_name
 """
 
 
+def q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import doc_sentences
+
+    return doc_sentences(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_SENTENCES = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\s+'),
+                                    x -> trim(x)), x -> x != '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(generate_subscripts(sents, 1) - 1 AS INTEGER) AS sent_idx,
+       unnest(sents) AS sentence,
+       CAST(len(list_filter(regexp_split_to_array(unnest(sents), '\s+'),
+                            x -> x != '')) AS INTEGER) AS n_tokens
+FROM s
+"""
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) clustering key over events(user_id, epoch-day):
     the integer bit-interleave that plans/layout.py::zorder_write sorts
@@ -3460,6 +3482,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "bloom_pruned_revenue": (q_bloom_pruned_revenue, SQL_BLOOM_PRUNED_REVENUE),
     "zorder_events": (q_zorder_events, _sql_zorder_events()),
+    "doc_sentences": (q_doc_sentences, SQL_DOC_SENTENCES),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
     "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
