@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "zorder_events",
     "pq_refine_ann",
     "doc_sentences",
+    "embedding_outliers",
 ]
 
 

@@ -330,3 +330,36 @@ class IvfIndex:
         return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
             "query_id", "neighbor_id", "dist", "rnk"
         )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    top_n: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Off-distribution embedding detection: the ``top_n`` vectors
+    farthest from their assigned k-means centroid, per cell — the
+    curation signal that surfaces corrupt embeddings, mislabeled rows,
+    and genuinely novel content in one pass (training-data pipelines
+    route these to review or re-embedding rather than silently training
+    on them).
+
+    Rank-based rather than z-scored on purpose: the per-row squared
+    distance is one deterministic fold, but a corpus-wide float moment
+    sum would be partial-order-dependent — ranking keeps the whole op
+    engine-exact (same rationale as the integer moments in
+    doc_len_outliers). Cost on top of kmeans_fit is one per-cell top-N
+    window over the assignment relation."""
+    from pyspark.sql.window import Window
+
+    fit = kmeans_fit(emb, dim=dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cell").orderBy(F.col("d2").desc(), F.col(id_col))
+    return (
+        fit.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_n)
+        .select("cell", "rnk", id_col, "d2")
+    )

@@ -2966,6 +2966,23 @@ def _sql_kmeans() -> str:
     return ctes + "\nSELECT vec_id, cell, d2 FROM af"
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import embedding_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, dim=DIM, k=KMEANS_K, iters=KMEANS_ITERS, top_n=5)
+
+
+def _sql_embedding_outliers(top_n: int = 5) -> str:
+    ctes, _ = _kmeans_ctes()
+    return f"""{ctes}
+SELECT cell, CAST(rn AS INTEGER) AS rnk, vec_id, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rn
+  FROM af
+) WHERE rn <= {top_n}
+"""
+
+
 def _sql_ivf_kmeans(n_probe: int = 2, k: int = 10) -> str:
     """IVF probe over the trained (kmeans) centroids: queries rank
     cells by the same squared-L2 fold, candidates come from the probed
@@ -3474,6 +3491,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pq_refine_ann": (q_pq_refine_ann, _sql_pq_refine()),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
+    "embedding_outliers": (q_embedding_outliers, _sql_embedding_outliers()),
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
     "ivf_pq_ann": (q_ivf_pq_ann, _sql_ivf_pq()),
