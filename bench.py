@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "pq_refine_ann",
     "doc_sentences",
     "embedding_outliers",
+    "binary_refine_ann",
 ]
 
 
@@ -288,6 +289,7 @@ def main() -> None:
         ("matryoshka_ann", "l2"),
         ("ivf_kmeans_ann", "l2"),
         ("binary_sign_ann", "cosine"),
+        ("binary_refine_ann", "cosine"),
     ):
         pairs = {
             (r["query_id"], r["neighbor_id"]) for r in qmap[name](spark, sf_dir).collect()

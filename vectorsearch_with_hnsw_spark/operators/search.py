@@ -17,6 +17,7 @@ operator signatures:
 | pq           | medium                | ADC over 8-byte codes          |
 | pq_refine    | high (exact re-rank)  | ADC shortlist + expand·k reads |
 | binary       | low-medium            | 1 bit/dim, XOR+popcount scan   |
+| binary_refine| high (exact re-rank)  | bit scan + expand·k reads      |
 
 Every method takes the same (base, queries) relations — base
 ``(vec_id, embedding)``-shaped, queries ``(query_id, query_vec)`` — and
@@ -30,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "binary", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "binary", "binary_refine", "matryoshka")
 
 
 def similarity_search(
@@ -97,6 +98,10 @@ def similarity_search(
         from .ann import binary_sign_knn
 
         return binary_sign_knn(base, queries, dim=_dim(dim, method), k=k)
+    if method == "binary_refine":
+        from .ann import binary_refine_knn
+
+        return binary_refine_knn(base, queries, dim=_dim(dim, method), k=k)
     if method == "matryoshka":
         from .ann import matryoshka_knn
 

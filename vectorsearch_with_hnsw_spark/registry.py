@@ -3221,8 +3221,7 @@ def q_binary_sign_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_sign_knn(emb, _emb_queries(spark, sf_dir), dim=DIM, k=10)
 
 
-SQL_BINARY_SIGN_ANN = f"""
-WITH e AS (
+_BINARY_CTES = f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), codes AS (
   SELECT vec_id, list_transform(range(0, {DIM // 32}), b ->
@@ -3240,12 +3239,49 @@ WITH e AS (
         CAST(bit_count(xor(c.bc[b+1], q.qc[b+1])) AS INTEGER))),
       (a, u) -> a + u) AS INTEGER) AS hamming
   FROM codes c CROSS JOIN q
-)
+)"""
+
+SQL_BINARY_SIGN_ANN = f"""
+WITH {_BINARY_CTES}
 SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
   FROM pairs
 ) WHERE rn <= 10
 """
+
+BINARY_REFINE_EXPAND = 10
+
+
+def _sql_binary_refine() -> str:
+    """Hamming shortlist of expand*k, exact-cosine re-rank — mirror of
+    ann.binary_refine_knn."""
+    dist = _cos_sql("e.v", "qv.v")
+    return f"""
+WITH {_BINARY_CTES}, shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {BINARY_REFINE_EXPAND * 10}
+), resc AS (
+  SELECT s.query_id, s.neighbor_id, {dist} AS dist
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.neighbor_id
+  JOIN e qv ON qv.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM resc
+) WHERE rn <= 10
+"""
+
+
+def q_binary_refine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import binary_refine_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_refine_knn(
+        emb, _emb_queries(spark, sf_dir), dim=DIM, k=10, expand=BINARY_REFINE_EXPAND
+    )
 
 
 def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3496,6 +3532,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
     "ivf_pq_ann": (q_ivf_pq_ann, _sql_ivf_pq()),
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
+    "binary_refine_ann": (q_binary_refine_ann, _sql_binary_refine()),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "bloom_pruned_revenue": (q_bloom_pruned_revenue, SQL_BLOOM_PRUNED_REVENUE),
