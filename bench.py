@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "doc_sentences",
     "embedding_outliers",
     "binary_refine_ann",
+    "ivf_pq_refine_ann",
 ]
 
 
@@ -290,6 +291,7 @@ def main() -> None:
         ("ivf_kmeans_ann", "l2"),
         ("binary_sign_ann", "cosine"),
         ("binary_refine_ann", "cosine"),
+        ("ivf_pq_refine_ann", "l2"),
     ):
         pairs = {
             (r["query_id"], r["neighbor_id"]) for r in qmap[name](spark, sf_dir).collect()

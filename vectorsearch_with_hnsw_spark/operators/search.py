@@ -16,6 +16,7 @@ operator signatures:
 | lsh          | low (tunable probes)  | bucket-join only               |
 | pq           | medium                | ADC over 8-byte codes          |
 | pq_refine    | high (exact re-rank)  | ADC shortlist + expand·k reads |
+| ivf_pq_refine| high within probes    | pruned ADC + expand·k reads    |
 | binary       | low-medium            | 1 bit/dim, XOR+popcount scan   |
 | binary_refine| high (exact re-rank)  | bit scan + expand·k reads      |
 
@@ -31,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "binary", "binary_refine", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
 
 
 def similarity_search(
@@ -90,6 +91,10 @@ def similarity_search(
         from .pq import ivf_pq_knn
 
         return ivf_pq_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
+    if method == "ivf_pq_refine":
+        from .pq import ivf_pq_refine_knn
+
+        return ivf_pq_refine_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
     if method == "ivf_kmeans":
         from .ivf import ivf_kmeans_knn
 

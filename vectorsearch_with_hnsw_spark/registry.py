@@ -3036,12 +3036,12 @@ def q_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_pq(k: int = 10) -> str:
-    """IVF-PQ oracle: unrolled-Lloyd coarse cells, residual vectors,
-    sampled residual codebook (codes carry the anchor vec_id = position
-    in the id-ordered codebook, ids dense from 0 — same equivalence as
-    _sql_pq_adc), per-(query, probed-cell) LUTs over the query residual,
-    ADC sums in subspace order."""
+def _ivf_pq_ctes() -> str:
+    """Shared WITH-body for the IVF-PQ oracles: unrolled-Lloyd coarse
+    cells, residual vectors, sampled residual codebook (codes carry the
+    anchor vec_id = position in the id-ordered codebook, ids dense from
+    0 — same equivalence as _sql_pq_adc), per-(query, probed-cell) LUTs
+    over the query residual, ADC sums in subspace order."""
     d = DIM // PQ_M
     sub_d2 = (
         "list_reduce(list_transform({v}[{s}*%d+1 : {s}*%d+%d], "
@@ -3096,12 +3096,60 @@ r AS (
   FROM (SELECT c2.*, a.cell FROM codes c2 JOIN af a USING (vec_id)) cd
   JOIN qlut l ON l.cell = cd.cell AND l.s = cd.s AND l.code_id = cd.code
   GROUP BY 1, 2
-)
+)"""
+
+
+def _sql_ivf_pq(k: int = 10) -> str:
+    return f"""
+{_ivf_pq_ctes()}
 SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id, adc_d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
   FROM adc
 ) WHERE rn <= {k}
 """
+
+
+IVFPQ_REFINE_EXPAND = 10
+
+
+def _sql_ivf_pq_refine(k: int = 10) -> str:
+    """Residual-ADC shortlist of expand*k (within the probed cells),
+    exact-L2 re-rank — mirror of pq.ivf_pq_refine_knn."""
+    dist = sql_l2("e.v", "q.qv")
+    return f"""
+{_ivf_pq_ctes()}, shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {IVFPQ_REFINE_EXPAND * k}
+), resc AS (
+  SELECT s.query_id, s.neighbor_id, {dist} AS dist
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM resc
+) WHERE rn <= {k}
+"""
+
+
+def q_ivf_pq_refine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import ivf_pq_refine_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_refine_knn(
+        emb,
+        _emb_queries(spark, sf_dir),
+        dim=DIM,
+        m=PQ_M,
+        k=10,
+        n_probe=IVFPQ_PROBE,
+        n_cells=KMEANS_K,
+        iters=KMEANS_ITERS,
+        expand=IVFPQ_REFINE_EXPAND,
+    )
 
 
 def q_hnsw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3531,6 +3579,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "maxsim_search": (q_maxsim_search, _sql_maxsim()),
     "ivf_kmeans_ann": (q_ivf_kmeans_ann, _sql_ivf_kmeans()),
     "ivf_pq_ann": (q_ivf_pq_ann, _sql_ivf_pq()),
+    "ivf_pq_refine_ann": (q_ivf_pq_refine_ann, _sql_ivf_pq_refine()),
     "binary_sign_ann": (q_binary_sign_ann, SQL_BINARY_SIGN_ANN),
     "binary_refine_ann": (q_binary_refine_ann, _sql_binary_refine()),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
