@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "binary_refine_ann",
     "ivf_pq_refine_ann",
+    "cms_token_counts",
 ]
 
 

@@ -605,3 +605,82 @@ def token_budget_sample(docs: DataFrame, budget_per_source: int = 2000) -> DataF
         .filter(F.col("cum_tokens") <= budget_per_source)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+# Count-min sketch: depth x width counter grid over the token stream.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_MOD = 2_147_483_647  # 2^31 - 1, same permutation modulus as minhash
+
+
+def _cms_bucket(h, row: int, width: int):
+    """Row-salted universal hash of a poly-hashed token: the same
+    (a*h + b) % p permutation family as the minhash rows, folded to
+    [0, width)."""
+    a, b = 2 * row + 1, 7919 * row + 1
+    return ((h * F.lit(a) + F.lit(b)) % F.lit(CMS_MOD)) % F.lit(width)
+
+
+def cms_token_sketch(
+    docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH, text_col: str = "text"
+) -> DataFrame:
+    """Count-min sketch of token frequencies: a (row, bucket, cnt) grid
+    of ``depth * width`` counters. Each token increments one bucket per
+    row; estimates are min-over-rows and therefore NEVER undercount
+    (the one-sided twin of Misra-Gries' never-overcount). Two sketches
+    merge by summing counts bucket-wise — the property that matters at
+    100 TB: per-day/per-shard sketches aggregate into corpus totals
+    with fixed memory, no re-scan.
+
+    Fully declarative AND fully oracle-able: the grid is just hashed
+    group-by counting (explode -> posexplode of the depth buckets ->
+    one sum shuffle of at most depth*width groups), integer-exact in
+    any engine — unlike HLL, whose register layout is
+    implementation-defined."""
+    from ..functions.text import poly_hash, tokens as _tokens
+
+    toks = docs.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("token")
+    ).select(poly_hash(F.col("token")).alias("h"))
+    buckets = F.array(*[_cms_bucket(F.col("h"), r, width) for r in range(depth)])
+    grid = toks.select(F.posexplode(buckets).alias("row", "bucket"))
+    return (
+        grid.groupBy(F.col("row").cast("int").alias("row"), "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_token_estimates(
+    docs: DataFrame,
+    query_docs: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """CMS point queries: estimated corpus frequency of every distinct
+    token appearing in the first ``query_docs`` documents. est_count =
+    min over rows of the token's counter — always >= the true count
+    (collision error is additive, bounded by ~total_tokens/width per
+    row; the min over ``depth`` independent rows drives the overshoot
+    probability down exponentially). The probe side broadcasts; the
+    sketch side is the depth*width grid."""
+    from ..functions.text import poly_hash, tokens as _tokens
+
+    sketch = cms_token_sketch(docs, depth=depth, width=width)
+    probes = (
+        docs.filter(F.col("doc_id") < query_docs)
+        .select(F.explode(_tokens(F.lower(F.col("text")))).alias("token"))
+        .distinct()
+        .select("token", poly_hash(F.col("token")).alias("h"))
+        .select(
+            "token",
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("h"), r, width) for r in range(depth)])
+            ).alias("row", "bucket"),
+        )
+        .select("token", F.col("row").cast("int").alias("row"), "bucket")
+    )
+    return (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+    )

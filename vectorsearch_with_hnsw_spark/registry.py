@@ -3384,6 +3384,41 @@ GROUP BY c_custkey, c_name
 """
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import cms_token_estimates
+
+    return cms_token_estimates(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_cms_token_counts() -> str:
+    from .operators.textpipe import CMS_DEPTH, CMS_MOD, CMS_WIDTH
+
+    def bucket(h: str) -> str:
+        return f"((({h}) * (2*r + 1) + (7919*r + 1)) % {CMS_MOD}) % {CMS_WIDTH}"
+
+    return f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKS_LOWER}) AS token FROM documents
+), th AS (
+  SELECT {sql_poly_hash('token')} AS h FROM tok
+), rows_ AS (
+  SELECT unnest(range(0, {CMS_DEPTH})) AS r
+), sketch AS (
+  SELECT CAST(r AS INTEGER) AS row, {bucket('h')} AS bucket, COUNT(*) AS cnt
+  FROM th CROSS JOIN rows_
+  GROUP BY 1, 2
+), ptok AS (
+  SELECT DISTINCT unnest({SQL_TOKS_LOWER}) AS token FROM documents WHERE doc_id < 20
+), pb AS (
+  SELECT token, CAST(r AS INTEGER) AS row, {bucket(sql_poly_hash('token'))} AS bucket
+  FROM ptok CROSS JOIN rows_
+)
+SELECT pb.token, MIN(s.cnt) AS est_count
+FROM pb JOIN sketch s ON s.row = pb.row AND s.bucket = pb.bucket
+GROUP BY pb.token
+"""
+
+
 def q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textpipe import doc_sentences
 
@@ -3587,6 +3622,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bloom_pruned_revenue": (q_bloom_pruned_revenue, SQL_BLOOM_PRUNED_REVENUE),
     "zorder_events": (q_zorder_events, _sql_zorder_events()),
     "doc_sentences": (q_doc_sentences, SQL_DOC_SENTENCES),
+    "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
     "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
