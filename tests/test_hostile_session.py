@@ -26,6 +26,9 @@ HOSTILE_QUERIES = [
     "lm_familiarity",         # left-join count sums under ANSI
     "funnel_steps",           # timestamp ordering + epoch casts — tz-sensitive
     "signup_cohorts",         # week truncation + datediff — tz-sensitive
+    "zorder_events",          # epoch-day bit interleave — tz-sensitive
+    "cms_token_counts",       # big-int row-salted hashing under ANSI
+    "pq_refine_ann",          # ADC shortlist + exact L2 re-rank under ANSI
 ]
 
 
