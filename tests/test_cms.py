@@ -54,3 +54,22 @@ def test_cms_sketches_merge_by_addition(spark, sf_smoke):
         .count()
     )
     assert diff == 0
+
+
+def test_cms_stream_matches_batch(spark, sf_smoke):
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        cms_sketch_stream,
+        read_documents_stream,
+    )
+    from vectorsearch_with_hnsw_spark.streaming.events import run_stream_to_memory
+
+    got = run_stream_to_memory(
+        cms_sketch_stream(read_documents_stream(spark, sf_smoke)),
+        "cms_stream_test",
+        mode="complete",
+    )
+    want = cms_token_sketch(load_table(spark, sf_smoke, "documents"))
+    cols = ["row", "bucket", "cnt"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )

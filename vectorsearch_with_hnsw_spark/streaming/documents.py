@@ -140,3 +140,20 @@ def lm_familiarity_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_sketch_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of textpipe.cms_token_sketch: the running corpus
+    token-frequency sketch maintained incrementally as documents arrive.
+
+    This is the sketch family's killer property as a stream: the
+    aggregation state is EXACTLY depth x width counters (4 KiB-scale)
+    no matter how large the vocabulary grows — a streaming groupBy on
+    raw tokens would hold state per distinct token (unbounded), while
+    this holds a fixed grid forever, and the grid merges with any batch
+    or per-shard sketch by bucket-wise addition. Same plan as the batch
+    operator (explode -> row-salted bucket -> count), so complete-mode
+    output equals the batch sketch over the same rows bit-for-bit."""
+    from ..operators.textpipe import cms_token_sketch
+
+    return cms_token_sketch(docs_stream)
