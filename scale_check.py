@@ -1,0 +1,115 @@
+"""Scale-stress check: the same operators bench.py times at sf0.1, run
+at 50-100x the vector volume and 10x the document volume (synthetic),
+to verify the partition strategy — not just the semantics — holds as
+data grows. Prints ONE JSON line.
+
+What it demonstrates (the 100 TB design claims, empirically):
+- HNSW build throughput stays flat per core as the vector count grows
+  64x (partition-local kernels: more data = more partitions, same
+  per-partition work shape, one shuffle).
+- The exact-kNN scale path (BLAS partial top-k) scans 64x the rows with
+  shuffle volume still O(P * Q * k).
+- MinHash LSH dedup's pair-join grows with true duplicate density, not
+  quadratically with corpus size.
+- The CMS sketch aggregates 10x the tokens into the same fixed
+  depth*width grid.
+
+Run: python scale_check.py  (~3-5 min on local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectorsearch_with_hnsw_spark.session import get_spark  # noqa: E402
+from vectorsearch_with_hnsw_spark.index.build import HnswParams, hnsw_build  # noqa: E402
+from vectorsearch_with_hnsw_spark.index.query import knn_hnsw  # noqa: E402
+from vectorsearch_with_hnsw_spark.operators.knn import knn_exact_fast  # noqa: E402
+from vectorsearch_with_hnsw_spark.operators.synth import synthetic_vectors  # noqa: E402
+from vectorsearch_with_hnsw_spark.operators import dedup as D  # noqa: E402
+from vectorsearch_with_hnsw_spark.operators.textpipe import cms_token_sketch  # noqa: E402
+from vectorsearch_with_hnsw_spark.sources import load_table  # noqa: E402
+
+N_VECTORS = 128_000  # 64x the sf0.1 embeddings table
+DOC_COPIES = 10      # 10x the sf0.1 documents table
+N_QUERIES = 100
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="scale_check", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"metric": "scale_check", "n_vectors": N_VECTORS, "doc_copies": DOC_COPIES}
+
+    # --- vectors at 64x -------------------------------------------------
+    vecs = synthetic_vectors(spark, n=N_VECTORS, dim=64, seed=7).select("id", "vec").persist()
+    vecs.count()  # generation outside the timed region
+    queries = (
+        vecs.filter(F.col("id") < N_QUERIES)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("query_vec"))
+        .persist()
+    )
+    queries.count()
+
+    t0 = time.perf_counter()
+    idx = hnsw_build(vecs, HnswParams(dim=64, metric="l2"), num_partitions=cpus)
+    idx.edges.count()
+    t_build = time.perf_counter() - t0
+    out["hnsw_build_sec"] = round(t_build, 2)
+    out["hnsw_build_vecs_per_sec"] = round(N_VECTORS / t_build, 1)
+    out["hnsw_build_vecs_per_sec_per_core"] = round(N_VECTORS / t_build / cpus, 1)
+
+    t0 = time.perf_counter()
+    ann = {(r["query_id"], r["neighbor_id"]) for r in knn_hnsw(idx, queries, k=10).collect()}
+    out["hnsw_probe_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact_fast(
+            vecs, queries, k=10, metric="l2", id_col="id", vec_col="vec"
+        ).collect()
+    }
+    out["exact_knn_sec"] = round(time.perf_counter() - t0, 2)
+    out["hnsw_recall_at_10"] = round(len(ann & exact) / max(1, len(exact)), 4)
+    vecs.unpersist()
+
+    # --- documents at 10x ----------------------------------------------
+    docs = load_table(spark, sf_dir, "documents")
+    big_docs = (
+        docs.crossJoin(F.broadcast(spark.range(DOC_COPIES).select(F.col("id").alias("_c"))))
+        .select(
+            (F.col("doc_id") + F.col("_c") * 10_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .persist()
+    )
+    n_docs = big_docs.count()
+    out["n_docs"] = n_docs
+
+    t0 = time.perf_counter()
+    out["minhash_pairs"] = D.minhash_lsh_pairs(big_docs).count()
+    out["minhash_pairs_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    sketch_rows = cms_token_sketch(big_docs).count()
+    out["cms_sketch_sec"] = round(time.perf_counter() - t0, 2)
+    out["cms_grid_rows"] = sketch_rows  # fixed <= depth*width regardless of volume
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

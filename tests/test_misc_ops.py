@@ -232,3 +232,51 @@ def test_signup_cohorts_semantics(spark, tmp_path):
     assert out[("2024-01-01", 2)] == 1   # user 1 returns in week 2
     assert ("2023-12-25", 0) not in out, "pre-signup activity excluded"
     assert sum(v for (_, off), v in out.items() if off < 0) == 0
+
+
+def test_session_newest_ops_on_empty_inputs(spark):
+    """Empty-input totality for this session's operators: sentence
+    segmentation, CMS, z-order write, bloom pruning, embedding outliers,
+    and the refine search families all return empty/sane results on
+    empty frames instead of raising."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.ann import binary_refine_knn
+    from vectorsearch_with_hnsw_spark.operators.ivf import embedding_outliers
+    from vectorsearch_with_hnsw_spark.operators.pq import pq_refine_knn
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        cms_token_estimates,
+        cms_token_sketch,
+        doc_sentences,
+    )
+    from vectorsearch_with_hnsw_spark.plans.bloom import bloom_build, bloom_pruned_join, might_contain
+    from vectorsearch_with_hnsw_spark.plans.layout import zorder_value
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert doc_sentences(empty_docs).count() == 0
+    assert cms_token_sketch(empty_docs).count() == 0
+    assert cms_token_estimates(empty_docs).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    assert embedding_outliers(empty_emb, dim=4).count() == 0
+    assert pq_refine_knn(empty_emb, empty_q, dim=8, m=2).count() == 0
+    assert binary_refine_knn(empty_emb, empty_q, dim=32).count() == 0
+
+    # bloom of an empty dim set admits nothing -> join is empty
+    words = bloom_build(spark.createDataFrame([], "k long"), "k")
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    assert probe.filter(might_contain(words, F.col("k"))).count() == 0
+    fact = spark.range(10).select(F.col("id").alias("fk"))
+    dim_df = spark.createDataFrame([], "dk long")
+    assert bloom_pruned_join(fact, dim_df, "fk", "dk").count() == 0
+
+    # zorder_value on an empty frame is a plain projection
+    assert (
+        spark.createDataFrame([], "a long, b long")
+        .select(zorder_value(F.col("a"), F.col("b")).alias("z"))
+        .count()
+        == 0
+    )
