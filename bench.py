@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "binary_refine_ann",
     "ivf_pq_refine_ann",
     "cms_token_counts",
+    "boilerplate_sentences",
 ]
 
 

@@ -3441,6 +3441,41 @@ FROM s
 """
 
 
+def q_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: sentences (lowercased) shared by >= 3
+    distinct documents — the sentence-level dedup signal (license
+    headers, navigation chrome, templated intros) that doc-level
+    near-dup misses. Composes doc_sentences; one count shuffle keyed by
+    the sentence text (at 100 TB: key by fingerprint hash instead —
+    same plan shape, 8-byte keys)."""
+    from .operators.textpipe import doc_sentences
+
+    sents = doc_sentences(load_table(spark, sf_dir, "documents"))
+    return (
+        sents.select("doc_id", F.lower(F.col("sentence")).alias("sent"))
+        .groupBy("sent")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+SQL_BOILERPLATE_SENTENCES = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\s+'),
+                                    x -> trim(x)), x -> x != '') AS sents
+  FROM documents
+), flat AS (
+  SELECT doc_id, lower(unnest(sents)) AS sent FROM s
+)
+SELECT sent, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM flat GROUP BY sent HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) clustering key over events(user_id, epoch-day):
     the integer bit-interleave that plans/layout.py::zorder_write sorts
@@ -3623,6 +3658,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_events": (q_zorder_events, _sql_zorder_events()),
     "doc_sentences": (q_doc_sentences, SQL_DOC_SENTENCES),
     "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
+    "boilerplate_sentences": (q_boilerplate_sentences, SQL_BOILERPLATE_SENTENCES),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
     "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
