@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "ivf_pq_refine_ann",
     "cms_token_counts",
     "boilerplate_sentences",
+    "user_activity_anomalies",
 ]
 
 

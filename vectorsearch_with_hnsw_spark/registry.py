@@ -3441,6 +3441,60 @@ FROM s
 """
 
 
+def q_user_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate anomaly days: a user's daily event count
+    z-scored against their own history, mean/std from EXACT integer
+    moment sums (the doc_len_outliers shape, grouped) so the only float
+    ops are a fixed divide/sqrt/subtract expression. The integer guard
+    ``s2*nd > s1*s1`` excludes zero-variance users without ever touching
+    float equality. Both aggregations shuffle on user_id — the second is
+    a near-free re-use of the first's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    mom = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nd").cast("double")
+    var = F.col("s2").cast("double") / F.col("nd").cast("double") - mean * mean
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(mom, "user_id")
+        .filter(
+            (F.col("nd") >= 3)
+            & (F.col("s2") * F.col("nd") > F.col("s1") * F.col("s1"))
+        )
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("user_id", "day", "n_events", "z")
+    )
+
+
+SQL_USER_ACTIVITY_ANOMALIES = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT user_id, COUNT(*) AS nd,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+), scored AS (
+  SELECT d.user_id, d.day, d.n_events,
+    (CAST(d.n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+      / sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))) AS z
+  FROM daily d JOIN mom USING (user_id)
+  WHERE nd >= 3 AND s2 * nd > s1 * s1
+)
+SELECT user_id, day, n_events, z FROM scored WHERE abs(z) > 2.0
+"""
+
+
 def q_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate: sentences (lowercased) shared by >= 3
     distinct documents — the sentence-level dedup signal (license
@@ -3659,6 +3713,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_sentences": (q_doc_sentences, SQL_DOC_SENTENCES),
     "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
     "boilerplate_sentences": (q_boilerplate_sentences, SQL_BOILERPLATE_SENTENCES),
+    "user_activity_anomalies": (q_user_activity_anomalies, SQL_USER_ACTIVITY_ANOMALIES),
     "hnsw_stats": (q_hnsw_stats, None),  # index internals: rows-only check
     "approx_top_tokens": (q_approx_top_tokens, None),  # sketch: rows-only; bound in tests
 }
