@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "cms_token_counts",
     "boilerplate_sentences",
     "user_activity_anomalies",
+    "knn_triangles",
 ]
 
 

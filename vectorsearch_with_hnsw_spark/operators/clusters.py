@@ -155,3 +155,51 @@ def knn_pagerank(
             .localCheckpoint(eager=False)
         )
     return p.select(F.col("node_id").alias("vec_id"), "pr")
+
+
+def knn_triangles(
+    emb: DataFrame, k: int = 5, metric: str = "l2"
+) -> DataFrame:
+    """Per-node triangle count over the undirected exact kNN graph —
+    the local-clustering-density signal (a vector whose neighbors are
+    also each other's neighbors sits inside a tight manifold cluster;
+    triangle-free nodes are bridges or outliers). Complements the
+    other two graph ops (connected components, PageRank) with the
+    classic third one.
+
+    Standard distributed formulation: orient every edge low-id ->
+    high-id, then one self-join builds the open wedges and a second
+    closes them — each triangle (a < b < c) is produced exactly once,
+    and both joins shuffle on node keys the kNN-graph output already
+    carries. Nodes in no triangle surface with 0 via the left join
+    (totality over the whole vector table)."""
+    from .retrieval import knn_graph
+
+    g = knn_graph(emb, k=k, metric=metric).select("src_id", "dst_id")
+    und = (
+        g.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tri = wedges.join(
+        e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(per_node, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_triangles"),
+        )
+    )

@@ -2540,6 +2540,37 @@ SELECT src_id, dst_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 
 """
 
 
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clusters import knn_triangles
+
+    return knn_triangles(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+SQL_KNN_TRIANGLES = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id, {sql_l2("a.v", "c.v")} AS dist
+  FROM b a CROSS JOIN b c WHERE a.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY dist, dst_id) AS rn FROM pairs
+), g AS (
+  SELECT src_id, dst_id FROM ranked WHERE rn <= 5
+), und AS (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS bb FROM g
+), tri AS (
+  SELECT e1.a AS x, e1.bb AS y, e2.bb AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.bb
+  JOIN und e3 ON e3.a = e1.a AND e3.bb = e2.bb
+), nodes AS (
+  SELECT unnest([x, y, z]) AS vec_id FROM tri
+)
+SELECT b.vec_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles
+FROM b LEFT JOIN (SELECT vec_id, COUNT(*) AS n FROM nodes GROUP BY 1) t USING (vec_id)
+"""
+
+
 PAGERANK_ITERS = 3
 PAGERANK_SCALE = 10**12
 PAGERANK_DAMP = 85
@@ -3689,6 +3720,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "range_search": (q_range_search, SQL_RANGE_SEARCH),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank()),
+    "knn_triangles": (q_knn_triangles, SQL_KNN_TRIANGLES),
     "bm25_doc_rank": (
         q_bm25_doc_rank,
         _sql_bm25_rank(BM25_TERMS, BM25_K1, BM25_B, 20),
