@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "boilerplate_sentences",
     "user_activity_anomalies",
     "knn_triangles",
+    "knn_label_vote",
 ]
 
 

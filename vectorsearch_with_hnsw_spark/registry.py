@@ -2571,6 +2571,79 @@ FROM b LEFT JOIN (SELECT vec_id, COUNT(*) AS n FROM nodes GROUP BY 1) t USING (v
 """
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier sweep over the whole embeddings table: every
+    vector's label predicted by majority vote of its 5 nearest
+    neighbors (self excluded), reported against its true label — the
+    standard embedding-quality evaluation (the reference eyeballs
+    label coherence of top-5 results, CIFAR notebook cell 4/5; this is
+    that check made exhaustive and exact). Vote ties break to the
+    smaller label id. Plan: kNN graph (BLAS partial top-k) -> broadcast
+    label lookup -> one (vec, label) count shuffle -> per-vec argmax
+    window over <= k rows."""
+    from pyspark.sql.window import Window
+
+    from .operators.retrieval import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=5).select("src_id", "dst_id")
+    votes = (
+        g.join(
+            F.broadcast(emb.select(F.col("vec_id").alias("dst_id"), "label")),
+            "dst_id",
+        )
+        .groupBy("src_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("src_id").alias("vec_id"),
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "predicted_label",
+            "votes",
+            (F.col("label") == F.col("predicted_label")).alias("correct"),
+        )
+    )
+
+
+SQL_KNN_LABEL_VOTE = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id, {sql_l2("a.v", "c.v")} AS dist
+  FROM b a CROSS JOIN b c WHERE a.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY dist, dst_id) AS rn FROM pairs
+), g AS (
+  SELECT src_id, dst_id FROM ranked WHERE rn <= 5
+), votes AS (
+  SELECT g.src_id, b.label, COUNT(*) AS votes
+  FROM g JOIN b ON b.vec_id = g.dst_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT src_id AS vec_id, label AS predicted_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY votes DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, e.label, p.predicted_label, p.votes,
+       e.label = p.predicted_label AS correct
+FROM b e JOIN pred p USING (vec_id)
+"""
+
+
 PAGERANK_ITERS = 3
 PAGERANK_SCALE = 10**12
 PAGERANK_DAMP = 85
@@ -3721,6 +3794,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank()),
     "knn_triangles": (q_knn_triangles, SQL_KNN_TRIANGLES),
+    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "bm25_doc_rank": (
         q_bm25_doc_rank,
         _sql_bm25_rank(BM25_TERMS, BM25_K1, BM25_B, 20),
