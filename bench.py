@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "user_activity_anomalies",
     "knn_triangles",
     "knn_label_vote",
+    "customer_value_percentile",
+    "user_event_sequences",
 ]
 
 

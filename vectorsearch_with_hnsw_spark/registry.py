@@ -2540,6 +2540,70 @@ SELECT src_id, dst_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 
 """
 
 
+def q_customer_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows (PERCENT_RANK + CUME_DIST) per nation:
+    where each customer's balance sits within their nation — the two
+    ranking-window shapes the rest of the surface doesn't cover. Both
+    are rational functions of integer ranks, so cross-engine float
+    equality is exact."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+SQL_CUSTOMER_VALUE_PERCENTILE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS bal_percent_rank,
+       cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS bal_cume_dist
+FROM customer
+"""
+
+
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered behavior sequences: the first 10 event types in
+    (ts, event_id) order as one array column — the sequence-mining /
+    next-event-model training prep. Determinism without a sort-within-
+    groups shuffle trick: collect structs, array_sort (struct ordering =
+    field order), then project the type — one groupBy shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.slice(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").cast("long").alias("ep"),
+                        "event_id",
+                        "event_type",
+                    )
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+        1,
+        10,
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(seq, "|").alias("first_events"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_USER_EVENT_SEQUENCES = """
+SELECT user_id,
+       array_to_string((list(event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id))[1:10], '|') AS first_events,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clusters import knn_triangles
 
@@ -3795,6 +3859,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank()),
     "knn_triangles": (q_knn_triangles, SQL_KNN_TRIANGLES),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
+    "customer_value_percentile": (q_customer_value_percentile, SQL_CUSTOMER_VALUE_PERCENTILE),
+    "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
     "bm25_doc_rank": (
         q_bm25_doc_rank,
         _sql_bm25_rank(BM25_TERMS, BM25_K1, BM25_B, 20),
