@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "knn_label_vote",
     "customer_value_percentile",
     "user_event_sequences",
+    "doc_token_counts",
 ]
 
 

@@ -216,3 +216,25 @@ def shingle_hash_array(text: Column, n: int = 3) -> Column:
         return acc
 
     return F.transform(z, combine)
+
+
+# GPT-2-style pretokenizer, simplified to the subset RE2 (DuckDB) and
+# Java regex (Spark) match identically: contraction suffixes, optional-
+# space letter runs, digit runs, punctuation runs, whitespace runs. The
+# upstream pattern's (?!\S) lookahead is dropped — RE2 has no lookaround
+# — which only changes how trailing spaces glue to the next token.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokenization (the unit a byte-pair encoder would then
+    merge within) — the token-budget currency of real training
+    pipelines, where whitespace counts undercount punctuation-heavy
+    text. Engine-portable by construction (verified: identical token
+    streams from Java regex and RE2 on mixed punctuation/contraction
+    input)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))

@@ -2540,6 +2540,37 @@ SELECT src_id, dst_id, dist, CAST(rn AS INTEGER) AS rnk FROM ranked WHERE rn <= 
 """
 
 
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the north star asks for: whitespace
+    tokens AND BPE-ish pretokens (the budget currency real pipelines
+    use — punctuation-heavy text costs more BPE tokens than whitespace
+    counting admits). Map-only; both counts from one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        (
+            T.bpe_token_count(F.col("text")).cast("double")
+            / T.token_count(F.col("text")).cast("double")
+        ).alias("bpe_per_word"),
+    ).filter(F.col("ws_tokens") > 0)
+
+
+def _sql_doc_token_counts() -> str:
+    from .functions.text import BPE_PRETOKEN_RE
+
+    ws = r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))"
+    bpe = f"len(regexp_extract_all(text, '{BPE_PRETOKEN_RE.replace(chr(39), chr(39) * 2)}'))"
+    return f"""
+SELECT doc_id,
+       CAST({ws} AS INTEGER) AS ws_tokens,
+       CAST({bpe} AS INTEGER) AS bpe_tokens,
+       CAST({bpe} AS DOUBLE) / CAST({ws} AS DOUBLE) AS bpe_per_word
+FROM documents WHERE {ws} > 0
+"""
+
+
 def q_customer_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank windows (PERCENT_RANK + CUME_DIST) per nation:
     where each customer's balance sits within their nation — the two
@@ -3860,6 +3891,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_triangles": (q_knn_triangles, SQL_KNN_TRIANGLES),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "customer_value_percentile": (q_customer_value_percentile, SQL_CUSTOMER_VALUE_PERCENTILE),
+    "doc_token_counts": (q_doc_token_counts, _sql_doc_token_counts()),
     "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
     "bm25_doc_rank": (
         q_bm25_doc_rank,
