@@ -383,3 +383,63 @@ def test_lm_familiarity_stream_matches_batch(spark, sf_smoke, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in lm_score(new, lm_model(ref)).collect()}
     assert got == want
+
+
+def test_anomaly_score_stream_matches_batch(spark, sf_smoke, tmp_path):
+    """Stream scored against static per-user history moments == the same
+    scoring applied in batch (fixed float expression over integer
+    moments, so set equality is exact)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        anomaly_score_stream,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    history = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "landing")
+    new.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(src + "/*.parquet")
+    )
+    out = str(tmp_path / "scores")
+    q = anomaly_score_stream(stream, history, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    daily_hist = history.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    mom = (
+        daily_hist.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_events").alias("s1"),
+            F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        )
+        .filter(
+            (F.col("nd") >= 3) & (F.col("s2") * F.col("nd") > F.col("s1") * F.col("s1"))
+        )
+    )
+    daily_new = new.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    mean = F.col("s1").cast("double") / F.col("nd").cast("double")
+    var = F.col("s2").cast("double") / F.col("nd").cast("double") - mean * mean
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    want = {
+        (r["user_id"], str(r["day"]), r["n_events"], r["z"])
+        for r in daily_new.join(mom, "user_id")
+        .withColumn("z", z)
+        .select("user_id", "day", "n_events", "z")
+        .collect()
+    }
+    got = {
+        (r["user_id"], str(r["day"]), r["n_events"], r["z"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want and len(got) > 0

@@ -218,3 +218,60 @@ def view_purchase_attribution_stream(
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "p_user", "p_ts", "v_ts", "view_value")
+
+
+def anomaly_score_stream(
+    events_stream: DataFrame,
+    history_events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """Streaming twin of the per-user rate-anomaly query: incoming
+    events are bucketed to (user, day) per micro-batch and z-scored
+    against per-user moments trained ONCE on the static history — the
+    deploy shape for anomaly alerting at ingest (the moments table is
+    the persisted model artifact; the stream pays one broadcast join).
+    Same integer-moment arithmetic as the batch operator, so a day's
+    score is identical whether it arrives in a stream or a backfill.
+    foreachBatch + checkpointed sink = exactly-once, like the other
+    incremental twins here.
+
+    Returns the started StreamingQuery; callers await it."""
+    from pyspark.sql import functions as F
+
+    daily_hist = history_events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    moments = (
+        daily_hist.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_events").alias("s1"),
+            F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        )
+        .filter(
+            (F.col("nd") >= 3) & (F.col("s2") * F.col("nd") > F.col("s1") * F.col("s1"))
+        )
+        .persist()
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        daily = batch_df.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        mean = F.col("s1").cast("double") / F.col("nd").cast("double")
+        var = F.col("s2").cast("double") / F.col("nd").cast("double") - mean * mean
+        z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+        out = (
+            daily.join(F.broadcast(moments), "user_id")
+            .withColumn("z", z)
+            .select("user_id", "day", "n_events", "z")
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
