@@ -34,6 +34,12 @@ def __getattr__(name):
         "lm_familiarity": ("operators.textpipe", "lm_familiarity"),
         "knn_pagerank": ("operators.clusters", "knn_pagerank"),
         "hashed_doc_vectors": ("operators.textpipe", "hashed_doc_vectors"),
+        "bloom_pruned_join": ("plans.bloom", "bloom_pruned_join"),
+        "zorder_write": ("plans.layout", "zorder_write"),
+        "doc_sentences": ("operators.textpipe", "doc_sentences"),
+        "cms_token_sketch": ("operators.textpipe", "cms_token_sketch"),
+        "embedding_outliers": ("operators.ivf", "embedding_outliers"),
+        "knn_triangles": ("operators.clusters", "knn_triangles"),
         "load_table": ("sources", "load_table"),
         "get_spark": ("session", "get_spark"),
         "queries": ("registry", "queries"),
