@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "customer_value_percentile",
     "user_event_sequences",
     "doc_token_counts",
+    "pretrain_sequences",
 ]
 
 

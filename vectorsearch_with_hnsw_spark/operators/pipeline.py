@@ -63,3 +63,33 @@ def curate(
     for lang, pct in sorted(rates_pct.items()):
         rate = F.when(F.col("lang_pred") == lang, F.lit(pct)).otherwise(rate)
     return keepers.filter(mix % 100 < rate)
+
+
+def pretrain_sequences(
+    docs: DataFrame,
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 20,
+    min_quality: float = 0.5,
+    window: int = 128,
+    stride: int = 64,
+    budget: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Raw corpus -> training sequences, one call: curate (score ->
+    gate -> dedup -> sample) then chunk the survivors into token
+    windows and pack them into ~budget-token shards — the whole
+    pretraining data-prep path as a single composed plan, verified
+    end-to-end against one DuckDB statement (not just per stage).
+
+    Shuffle ledger at 100 TB: curation's fingerprint window, the
+    doc_id join back for text (co-keyed with the window output), and
+    pack's per-shard cumulative sum. Chunking stays map-side."""
+    from .textpipe import pack_chunks
+
+    kept = curate(
+        docs, rates_pct=rates_pct, default_pct=default_pct, min_quality=min_quality
+    ).select("doc_id")
+    src = docs.join(kept, "doc_id").select("doc_id", "text")
+    return pack_chunks(
+        src, window=window, stride=stride, budget=budget, n_shards=n_shards
+    )

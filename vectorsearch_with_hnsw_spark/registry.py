@@ -2159,10 +2159,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_curation_pipeline() -> str:
-    """The full curation composition (score -> gate -> dedup-keeper ->
-    sample) as one SQL statement — checks the end-to-end pipeline, not
-    just its pieces."""
+def q_pretrain_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import pretrain_sequences
+
+    return pretrain_sequences(
+        load_table(spark, sf_dir, "documents"),
+        rates_pct=CURATE_RATES,
+        min_quality=CURATE_MIN_QUALITY,
+    )
+
+
+def _curation_ctes() -> str:
+    """WITH-body of the curation composition (score -> gate ->
+    dedup-keeper -> sample), ending in a ``curated`` CTE of surviving
+    doc_ids — shared by the standalone pipeline oracle and the
+    end-to-end pretrain_sequences oracle."""
     from .operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
 
     stop = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
@@ -2209,12 +2220,47 @@ WITH t AS (
   SELECT doc_id, lang_pred, n_tokens, quality_score,
          row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
   FROM gated
+), curated AS (
+  SELECT doc_id, lang_pred, n_tokens, quality_score
+  FROM keyed
+  WHERE rn = 1
+    AND (doc_id * {SAMPLE_MIX}) % {SAMPLE_MOD} % 100 < CASE {rate_cases} ELSE 20 END
+)"""
+
+
+def _sql_curation_pipeline() -> str:
+    return (
+        _curation_ctes()
+        + "\nSELECT doc_id, lang_pred, n_tokens, quality_score FROM curated"
+    )
+
+
+def _sql_pretrain_sequences() -> str:
+    """curate -> chunk -> pack, one statement: the curated doc_ids feed
+    the tokenizer, and the chunk/pack CTEs are the same shapes as the
+    standalone oracles."""
+    return f"""{{ctes}},
+pt AS (
+  SELECT d.doc_id, {{toks}} AS toks
+  FROM documents d JOIN curated USING (doc_id)
+), ps AS (
+  SELECT doc_id, toks, CAST(i AS INTEGER) AS chunk_id, CAST(i * 64 AS INTEGER) AS start
+  FROM pt, unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS u(i)
+), pch AS (
+  SELECT CAST(doc_id % 32 AS INTEGER) AS shard, doc_id, chunk_id,
+         CAST(len(toks[start + 1 : start + 128]) AS INTEGER) AS n_chunk_tokens
+  FROM ps
+), ppacked AS (
+  SELECT shard, doc_id, chunk_id, n_chunk_tokens,
+    COALESCE(CAST(SUM(n_chunk_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id, chunk_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+  FROM pch
 )
-SELECT doc_id, lang_pred, n_tokens, quality_score
-FROM keyed
-WHERE rn = 1
-  AND (doc_id * {SAMPLE_MIX}) % {SAMPLE_MOD} % 100 < CASE {rate_cases} ELSE 20 END
-"""
+SELECT shard, doc_id, chunk_id, n_chunk_tokens,
+  CAST(shard AS BIGINT) * 1000000 + CAST(floor(cum_before / 2048) AS BIGINT) AS pack_id
+FROM ppacked
+""".format(ctes=_curation_ctes(), toks="{SQL_TOKS_LOWER}").format(SQL_TOKS_LOWER=SQL_TOKS_LOWER)
 
 
 SQL_DATASET_SPLIT = """
@@ -3829,6 +3875,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "purchase_view_window": (R.purchase_view_window, SQL_PURCHASE_VIEW_WINDOW),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
+    "pretrain_sequences": (q_pretrain_sequences, _sql_pretrain_sequences()),
     "quantity_order_stats": (R.quantity_order_stats, SQL_QUANTITY_ORDER_STATS),
     "customer_running_total": (R.customer_running_total, SQL_CUSTOMER_RUNNING_TOTAL),
     "nation_trade_volume": (R.nation_trade_volume, SQL_NATION_TRADE_VOLUME),
