@@ -40,6 +40,7 @@ def __getattr__(name):
         "cms_token_sketch": ("operators.textpipe", "cms_token_sketch"),
         "embedding_outliers": ("operators.ivf", "embedding_outliers"),
         "knn_triangles": ("operators.clusters", "knn_triangles"),
+        "pretrain_sequences": ("operators.pipeline", "pretrain_sequences"),
         "load_table": ("sources", "load_table"),
         "get_spark": ("session", "get_spark"),
         "queries": ("registry", "queries"),

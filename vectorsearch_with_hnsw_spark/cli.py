@@ -93,6 +93,18 @@ def main(argv: list[str] | None = None) -> None:
     ck.add_argument("--budget", type=int, default=2048)
     ck.add_argument("--shards", type=int, default=32)
 
+    pt = sub.add_parser(
+        "pretrain",
+        help="curate -> chunk -> pack: raw corpus to training sequences",
+    )
+    pt.add_argument("--sf-dir", required=True)
+    pt.add_argument("--out", required=True)
+    pt.add_argument("--window", type=int, default=128)
+    pt.add_argument("--stride", type=int, default=64)
+    pt.add_argument("--budget", type=int, default=2048)
+    pt.add_argument("--shards", type=int, default=32)
+    pt.add_argument("--min-quality", type=float, default=0.5)
+
     s = sub.add_parser(
         "search",
         help="similarity search over the embeddings table (any family) "
@@ -197,6 +209,21 @@ def main(argv: list[str] | None = None) -> None:
                 )
             out.write.mode("overwrite").parquet(args.out)
             print(f"dedup[{args.method}]: {out.count()} rows -> {args.out}")
+        elif args.cmd == "pretrain":
+            from .operators.pipeline import pretrain_sequences
+            from .sources import load_table as _lt
+
+            docs = _lt(spark, args.sf_dir, "documents")
+            out = pretrain_sequences(
+                docs,
+                min_quality=args.min_quality,
+                window=args.window,
+                stride=args.stride,
+                budget=args.budget,
+                n_shards=args.shards,
+            )
+            out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+            print(f"pretrain: {out.count()} sequence rows -> {args.out}")
         elif args.cmd == "chunk":
             from .operators.textpipe import chunk_documents, pack_chunks
 
