@@ -542,9 +542,8 @@ WITH b AS (
          {_bucket_sql("embedding::DOUBLE[]")} AS bucket
   FROM embeddings WHERE vec_id < {N_QUERIES}
 ), q AS (
-  -- multi-probe: home bucket + every 1-bit flip (mirrors the Spark op)
-  SELECT query_id, qv, unnest(list_prepend(bucket,
-           list_transform(range(0, 8), i -> xor(bucket, 1 << CAST(i AS INTEGER))))) AS bucket
+  -- multi-probe: home bucket + every bucket within Hamming distance 2
+  SELECT query_id, qv, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128), xor(bucket, 3), xor(bucket, 5), xor(bucket, 9), xor(bucket, 17), xor(bucket, 33), xor(bucket, 65), xor(bucket, 129), xor(bucket, 6), xor(bucket, 10), xor(bucket, 18), xor(bucket, 34), xor(bucket, 66), xor(bucket, 130), xor(bucket, 12), xor(bucket, 20), xor(bucket, 36), xor(bucket, 68), xor(bucket, 132), xor(bucket, 24), xor(bucket, 40), xor(bucket, 72), xor(bucket, 136), xor(bucket, 48), xor(bucket, 80), xor(bucket, 144), xor(bucket, 96), xor(bucket, 160), xor(bucket, 192)]) AS bucket
   FROM q0
 ), cand AS (
   SELECT q.query_id, b.neighbor_id, {_COS_DIST_SQL} AS dist
