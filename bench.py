@@ -132,7 +132,7 @@ BENCH_QUERIES = [
     "dominant_suppliers",
     "ivf_pq_ann",
     "matryoshka_ann",
-    "dup_spans",
+    "dup_spans_capped",
     "lm_familiarity",
     "fuzzy_dedup",
     "doc_hash_vectors",

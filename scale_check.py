@@ -80,6 +80,23 @@ def main() -> None:
     }
     out["exact_knn_sec"] = round(time.perf_counter() - t0, 2)
     out["hnsw_recall_at_10"] = round(len(ann & exact) / max(1, len(exact)), 4)
+
+    # recall-vs-partition-count curve: probe-all merges per-partition
+    # top-k lists, so per-partition graph quality is the only recall
+    # risk as P grows (each local graph sees 1/P of the data). If the
+    # P=128 point ever drops below ~0.9 the optional stitch pass
+    # (SURVEY §7 risk 1) becomes worth wiring; measured here so the
+    # decision is data, not guesswork.
+    for p_parts in (8, 128):
+        idx_p = hnsw_build(vecs, HnswParams(dim=64, metric="l2"), num_partitions=p_parts)
+        got_p = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_hnsw(idx_p, queries, k=10).collect()
+        }
+        out[f"hnsw_recall_at_10_p{p_parts}"] = round(
+            len(got_p & exact) / max(1, len(exact)), 4
+        )
+    out["hnsw_recall_at_10_p32"] = out["hnsw_recall_at_10"]
     vecs.unpersist()
 
     # --- documents at 10x ----------------------------------------------
@@ -106,6 +123,29 @@ def main() -> None:
     sketch_rows = cms_token_sketch(big_docs).count()
     out["cms_sketch_sec"] = round(time.perf_counter() - t0, 2)
     out["cms_grid_rows"] = sketch_rows  # fixed <= depth*width regardless of volume
+
+    # semantic near-dup at 10x docs: per-task work is bounded by the
+    # banded-LSH bucket population, NOT by language share (the old
+    # per-lang blocking would put ~all of a monolingual corpus in one
+    # task). Report the largest (band, bucket) group so the bound is a
+    # measured number; the kernel additionally chunks its GEMM mask, so
+    # peak task memory is O(chunk * block) even for the max bucket.
+    from vectorsearch_with_hnsw_spark.operators.ann import lsh_band_bucket
+    from vectorsearch_with_hnsw_spark.operators.textpipe import hashed_doc_vectors
+
+    t0 = time.perf_counter()
+    out["semantic_neardup_pairs"] = D.semantic_neardup_pairs(big_docs).count()
+    out["semantic_neardup_sec"] = round(time.perf_counter() - t0, 2)
+    hv = hashed_doc_vectors(big_docs, 64)
+    bucket_sizes = (
+        hv.select(lsh_band_bucket(F.col("vec"), 64, 0, 4).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"))
+        .collect()[0]
+    )
+    out["semantic_neardup_max_block"] = int(bucket_sizes["max_n"])
+    out["semantic_neardup_max_block_frac"] = round(bucket_sizes["max_n"] / n_docs, 4)
 
     print(json.dumps(out))
     spark.stop()

@@ -18,17 +18,41 @@ from vectorsearch_with_hnsw_spark.sources import load_table
 
 def test_no_false_negatives(spark):
     keys = spark.range(0, 5000).select((F.col("id") * 37 + 11).alias("k"))
-    words = bloom_build(keys, "k")
-    missed = keys.filter(~might_contain(words, F.col("k"))).count()
+    bf = bloom_build(keys, "k")
+    missed = keys.filter(~might_contain(bf, F.col("k"))).count()
     assert missed == 0
+
+
+def test_build_params_travel_with_filter(spark):
+    """The artifact carries num_bits/num_hashes, so probing can never
+    use different parameters than the build (the false-negative trap)."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bf = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
+    assert bf.num_bits == 1 << 12 and bf.num_hashes == 3
+    assert len(bf.words) == (1 << 12) // 64
+    assert keys.filter(~might_contain(bf, F.col("k"))).count() == 0
+
+
+def test_pruned_join_rejects_outer_joins(spark):
+    """Outer/anti joins must keep unmatched fact rows; pre-filtering
+    would drop them, so the API refuses instead of silently corrupting."""
+    import pytest
+
+    fact = spark.range(0, 10).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 3).select(F.col("id").alias("dk"))
+    for how in ("left", "left_outer", "full", "left_anti", "right"):
+        with pytest.raises(ValueError, match="inner/semi"):
+            bloom_pruned_join(fact, dim, "fk", "dk", how=how)
+    for how in ("inner", "semi", "left_semi", "leftsemi"):
+        bloom_pruned_join(fact, dim, "fk", "dk", how=how)
 
 
 def test_false_positive_rate_bounded(spark):
     keys = spark.range(0, 5000).select((F.col("id") * 37 + 11).alias("k"))
-    words = bloom_build(keys, "k")
+    bf = bloom_build(keys, "k")
     # probe with keys guaranteed disjoint from the build set (different residue)
     probes = spark.range(0, 20000).select((F.col("id") * 37 + 12).alias("k"))
-    fp = probes.filter(might_contain(words, F.col("k"))).count()
+    fp = probes.filter(might_contain(bf, F.col("k"))).count()
     # 5000 keys in 2^17 bits, 5 hashes -> theoretical fpp ~0.03%; allow 1%
     assert fp / 20000 < 0.01
 

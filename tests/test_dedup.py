@@ -164,15 +164,17 @@ def test_dup_spans_max_df_drops_boilerplate(spark):
 
 
 def test_semantic_neardup_pairs_semantics(spark):
-    """Identical texts pair at cosine 1.0; near-identical texts score
-    high; different-language docs never pair (block key); disjoint
-    vocabulary docs stay below threshold."""
+    """Identical texts pair at cosine 1.0 (identical vectors always share
+    every LSH band bucket, so blocking can never miss them);
+    near-identical texts score high; disjoint-vocabulary docs stay below
+    threshold. Language no longer blocks — an identical doc in another
+    language row is still a semantic dup."""
     rows = [
         (0, "spark shuffles the big hash join across executors", "en"),
         (1, "spark shuffles the big hash join across executors", "en"),   # exact dup
         (2, "spark shuffles the big hash join across workers", "en"),     # near dup
         (3, "completely unrelated words about gardens and tulips", "en"),
-        (4, "spark shuffles the big hash join across executors", "de"),   # other block
+        (4, "spark shuffles the big hash join across executors", "de"),   # same text, other lang
     ]
     docs = spark.createDataFrame(
         [(i, t, l, "src0", len(t)) for i, t, l in rows],
@@ -182,4 +184,26 @@ def test_semantic_neardup_pairs_semantics(spark):
     assert out[(0, 1)] == 1.0
     assert out[(0, 2)] > 0.5
     assert not any(3 in p for p in out), "unrelated doc pairs with nothing"
-    assert not any(4 in p for p in out), "cross-language pairs blocked"
+    assert out[(0, 4)] == 1.0, "identical text pairs across languages now"
+
+
+def test_semantic_neardup_chunked_mask_matches_unchunked(spark):
+    """The chunked candidate mask (chunk smaller than the block) must
+    produce exactly the same pairs and sims as one-shot blocks."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    for i in range(12):
+        rows.append((i, base + f" extra{i % 3}", "en"))
+    docs = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    big = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5, chunk=4096).collect()
+    }
+    small = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5, chunk=3).collect()
+    }
+    assert big == small and len(big) > 0

@@ -90,29 +90,46 @@ class LocalHNSW:
         self.graph: list[dict[int, list[int]]] = []
         self.entry_point: int | None = None
         self.max_layer: int = -1
-        self._mat: np.ndarray | None = None  # cached (n, dim) matrix
+        self._mat: np.ndarray | None = None  # cached (n, dim) f32 matrix
+        # scoring matrix: f64 twin for L2 (exact expanded-form
+        # accumulation), the f4 matrix itself for cosine — see
+        # _refresh_cache for the numerics/throughput rationale
+        self._matc: np.ndarray | None = None
         self._norms: np.ndarray | None = None
 
     # -- vectorized distance of one query against a set of stored rows --
     def _dists(self, vec: np.ndarray, rows: np.ndarray, inv_qn: float | None = None) -> np.ndarray:
         """Distances of one query vector to a set of stored rows.
 
+        Same formulation and dtype as _query_dists_all and _pairwise —
+        every scoring path in the file uses ONE formulation, so graph
+        structure cannot depend on which path scored an insert. L2 runs
+        the expanded form in float64 (float32 expanded-form cancels
+        catastrophically for near-dup vectors: measured 0.0073 vs a
+        true 0.0013 distance; float64 products of float32 inputs are
+        exact, leaving ~1 ulp error); cosine runs float32 dots, whose
+        error is relative (~1e-7), not cancellation-amplified.
+
         Cosine uses precomputed reciprocal norms (zero norm -> 0), so the
         zero-norm guard falls out arithmetically: sim becomes 0 and the
         distance exactly 1.0 (reference contract, hsnw_trial.py:51-52) —
         no per-call errstate/where needed (those were ~25% of build time).
         """
-        mat = self._mat[rows]
+        mat = self._matc[rows]
+        vec = np.asarray(vec, dtype=mat.dtype)
+        dots = mat @ vec
         if self.p.metric == "l2":
-            diff = mat - vec
-            return np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            vec64 = vec.astype(np.float64, copy=False)
+            qq = float(vec64 @ vec64)
+            return np.sqrt(np.maximum(self._sq_norms[rows] - 2.0 * dots + qq, 0.0))
         if inv_qn is None:
             inv_qn = self._inv_norm_of(vec)
-        sim = (mat @ vec) * (self._inv_norms[rows] * inv_qn)
+        sim = dots * (self._inv_norms[rows] * inv_qn)
         return 1.0 - sim
 
     @staticmethod
     def _inv_norm_of(vec: np.ndarray) -> float:
+        vec = np.asarray(vec, dtype=np.float64)
         qn = float(np.sqrt(vec @ vec))
         return 0.0 if qn == 0.0 else 1.0 / qn
 
@@ -120,9 +137,9 @@ class LocalHNSW:
         """All-pairs distances among a candidate set in one BLAS call —
         feeds the diversity-selection loop without per-pair numpy
         overhead."""
-        mat = self._mat[rows]
+        mat = self._matc[rows]
         if self.p.metric == "l2":
-            sq = np.einsum("ij,ij->i", mat, mat)
+            sq = self._sq_norms[rows]
             d2 = sq[:, None] - 2.0 * (mat @ mat.T) + sq[None, :]
             return np.sqrt(np.maximum(d2, 0.0))
         inv = self._inv_norms[rows]
@@ -130,13 +147,22 @@ class LocalHNSW:
         return 1.0 - sim
 
     def _refresh_cache(self) -> None:
-        # float32 storage AND float32 math (reference stores float32,
-        # hsnw_trial.py:201): halves memory bandwidth of every distance
+        # float32 STORAGE (reference stores float32, hsnw_trial.py:201).
+        # L2 scoring additionally caches a float64 twin: the expanded
+        # form ||x||^2 - 2<x,q> + ||q||^2 cancels catastrophically in
+        # float32 for near-duplicate vectors (measured 5.6x distance
+        # error on a 1e-3-apart pair), while float64 products of float32
+        # inputs are exact (~1 ulp total). Cosine keeps float32 BLAS —
+        # its 1-dot*inv error is relative, not cancellation-amplified,
+        # and the f4->f8 switch measured 2.2x slower on the dim-512
+        # cosine build (fancy-index copies and gemms are bandwidth-bound
+        # at these sizes). sq-norms always accumulate in float64.
         self._mat = (
             np.vstack(self.vectors) if self.vectors else np.empty((0, self.p.dim), np.float32)
         )
-        self._norms = np.linalg.norm(self._mat, axis=1)
-        self._sq_norms = np.einsum("ij,ij->i", self._mat, self._mat)
+        self._matc = self._mat.astype(np.float64) if self.p.metric == "l2" else self._mat
+        self._sq_norms = np.einsum("ij,ij->i", self._mat, self._mat, dtype=np.float64)
+        self._norms = np.sqrt(self._sq_norms)
         with np.errstate(divide="ignore"):
             self._inv_norms = np.where(self._norms == 0.0, 0.0, 1.0 / self._norms)
 
@@ -155,9 +181,11 @@ class LocalHNSW:
             return None
         if self.p.dim < 128 and n > 16 * self.p.ef_construction:
             return None
-        dots = self._mat @ vec
+        vec = np.asarray(vec, dtype=self._matc.dtype)
+        dots = self._matc @ vec
         if self.p.metric == "l2":
-            qq = float(vec @ vec)
+            vec64 = vec.astype(np.float64, copy=False)
+            qq = float(vec64 @ vec64)
             return np.sqrt(np.maximum(self._sq_norms - 2.0 * dots + qq, 0.0))
         inv_qn = self._inv_norm_of(vec)
         return 1.0 - dots * (self._inv_norms * inv_qn)
@@ -257,7 +285,7 @@ class LocalHNSW:
             self._insert_row(row)
 
     def _insert_row(self, row: int) -> None:
-        vec = self._mat[row]
+        vec = self._matc[row]
         lvl = self.levels[row]
         if self.entry_point is None:
             self.entry_point = row
@@ -279,7 +307,7 @@ class LocalHNSW:
                 if len(lst) > cap:
                     # re-prune by distance to the overflowing node
                     arr = np.array(lst)
-                    ds = self._dists(self._mat[n], arr)
+                    ds = self._dists(self._matc[n], arr)
                     order = np.argsort(ds, kind="stable")[:cap]
                     self.graph[n][layer] = [int(arr[i]) for i in order]
             if cands:

@@ -12,8 +12,9 @@ Five families, each shuffle-aware (SURVEY.md §7 P5 / north star):
 - SimHash: per-bit majority vote aggregated JVM-side; near-dup pairs by
   banded Hamming join (pigeonhole: hamming<=3 over 4 bands guarantees a
   shared band).
-- embedding near-dup: blocked cosine pairs (block = label here; at
-  scale the blocking key is an LSH bucket — see operators/ann.py).
+- embedding near-dup: exact cosine pairs blocked by banded
+  random-hyperplane LSH buckets over the vectors themselves
+  (operators/ann.py) — no data-dependent degenerate blocks.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.vector import cosine_distance, to_vec
-from ..sources import load_table
+from ..sources import load_table, spread
 
 NUM_MINHASH = 8
 MINHASH_BANDS = 4  # 4 bands x 2 rows
@@ -47,7 +48,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on a normalized-text fingerprint: keeper = min doc_id
     per group (deterministic), plus group size."""
     return (
-        docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        spread(docs).select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -70,7 +71,8 @@ def ngram_jaccard_pairs(
     scale this is the difference between one pass over the corpus and
     five."""
     sh = (
-        docs.select(
+        spread(docs)
+        .select(
             "doc_id", F.explode(shingle_hash_array(F.col("text"), n)).alias("shingle")
         )
         .distinct()
@@ -116,7 +118,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFr
       character fold, and no repartition barrier is needed because
       explode materializes ``h`` as a concrete attribute (the 8 min
       aggregates reference it instead of re-inlining the fold)."""
-    hashed = docs.select(
+    hashed = spread(docs).select(
         "doc_id", F.explode(shingle_hash_array(F.col("text"), 3)).alias("h")
     )
     mins = [F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("h"), num_hashes))]
@@ -180,7 +182,7 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash per document: per-bit majority vote over token hashes,
     packed into a single integer. Aggregation is JVM-side sums (one
     shuffle on doc_id with map-side combine)."""
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(word_shingles(F.col("text"), 1)).alias("token")
     )
     # same barrier as minhash_signatures: hash once, not once per bit
@@ -239,40 +241,66 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.92, block_col: str = "label"
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    bands: int = 4,
+    planes_per_band: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key.
+    """Embedding-cosine near-duplicate pairs, blocked by banded
+    random-hyperplane LSH buckets over the embeddings themselves.
 
-    Blocking turns the O(n^2) cross join into per-block joins that
-    shuffle on the block key; at 100 TB the block key is an LSH bucket
-    (operators/ann.py) rather than a label."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Precompute each side's norm BEFORE the join: one fold per row
-    # instead of two extra folds per PAIR (3x fewer fold evaluations in
-    # the O(pairs) hot path; values identical, so the oracle still
-    # matches bit-for-bit).
+    Each vector lands in ``bands`` buckets (disjoint hyperplane sets);
+    candidates are the union of per-band bucket equi-joins — never a
+    cross join and never a data-dependent degenerate block (the previous
+    label blocking pulled an entire label's worth of pairs through one
+    key; at 100 TB a dominant label is most of the corpus). Bucket
+    population ~ n / 2^planes_per_band per band: raise planes_per_band
+    as the corpus grows to keep blocks bounded, raise bands to push
+    recall (miss prob = (1 - p^planes)^bands for a pair with per-plane
+    collision prob p).
+
+    Candidate pairs then get the exact cosine via the same sequential
+    double fold the oracle uses, so the DuckDB twin is bit-exact."""
     from ..functions.vector import dot, l2_norm
+    from .ann import lsh_band_bucket
 
-    withn = emb.select(
-        F.col(block_col).alias("blk"),
+    emb = load_table(spark, sf_dir, "embeddings")
+    withv = emb.select(
         F.col("vec_id"),
         to_vec("embedding").alias("v"),
         l2_norm(to_vec("embedding")).alias("nrm"),
     )
-    a = withn.select(
-        "blk", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    banded = withv.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_band_bucket(F.col("v"), 64, b, planes_per_band).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        "band", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    b = withn.select(
-        "blk", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    b = banded.select(
+        "band", "bucket", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    cos_dist = F.when(
-        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(1.0)
-    ).otherwise(F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-    sim = F.lit(1.0) - cos_dist
+    sim = F.when(
+        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     return (
-        a.join(b, "blk")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("blk", "id_a", "id_b", sim.alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
 
@@ -312,11 +340,14 @@ def dup_span_pairs(
     character (each character would be folded n times across the
     overlapping shingles). Measured 9.7 -> 6.8 s warm at sf0.1 (the
     remaining cost is the join + windows, not hashing)."""
-    sh = docs.select(
+    sh = spread(docs).select(
         "doc_id",
         F.posexplode(shingle_hash_array(F.col("text"), n)).alias("pos", "h"),
     )
     if max_df is not None:
+        # inner join on the kept set (measured faster than the
+        # anti-join-on-drops alternative: count_distinct's expand and
+        # the anti side defeat exchange reuse)
         keep = (
             sh.select("doc_id", "h")
             .distinct()
@@ -366,7 +397,7 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     from ..functions.text import quality_features
 
     feats = quality_features(F.col("text"))
-    scored = docs.select(
+    scored = spread(docs).select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         feats["quality_score"].alias("q"),
@@ -452,7 +483,7 @@ def decontaminate(
     and the benchmark side (small) broadcasts. n=8 keeps collisions
     meaningful (8-gram matches are near-certain leaks, the
     industry-standard window)."""
-    doc_sh = docs.select(
+    doc_sh = spread(docs).select(
         "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
     ).distinct()
     bench_sh = benchmark.select(
@@ -484,10 +515,10 @@ def dedup_incremental(
     ingesting a batch never rescans the corpus text — shuffle volume
     tracks the batch size plus key cardinality. No pairwise comparison
     anywhere."""
-    fp_new = new_docs.select(
+    fp_new = spread(new_docs).select(
         "doc_id", "lang", "source", fingerprint(F.col("text")).alias("_fp")
     )
-    fp_corpus = corpus_docs.select(fingerprint(F.col("text")).alias("_fp")).distinct()
+    fp_corpus = spread(corpus_docs).select(fingerprint(F.col("text")).alias("_fp")).distinct()
     exact_surv = fp_new.join(fp_corpus, "_fp", "left_anti")
 
     rows_per_band = num_hashes // bands
@@ -521,63 +552,102 @@ def dedup_incremental(
 
 
 def semantic_neardup_pairs(
-    docs: DataFrame, dim: int = 64, threshold: float = 0.8
+    docs: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.8,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    chunk: int = 4096,
 ) -> DataFrame:
     """Model-free semantic near-dup: cosine pairs over the feature-hashed
-    document vectors (textpipe.hashed_doc_vectors), blocked by language —
-    the text-side twin of embedding_neardup_pairs that needs no embedding
+    document vectors (textpipe.hashed_doc_vectors), blocked by banded
+    random-hyperplane LSH buckets over those same vectors — the
+    text-side twin of embedding_neardup_pairs that needs no embedding
     model. Unit vectors make cosine a plain dot fold; zero-vector docs
     (no tokens) score 0 against everything and never pair.
 
-    Blocking bounds the pair set (per-language blocks here; at 100 TB the
-    block key is an LSH bucket of the same hashed vector — ann.lsh_bucket
-    composes directly because the bridge output is an ordinary vector
-    column). Same scale shape as the other pair ops: equi-join on the
-    block key, no cross join."""
+    Scale shape: each doc lands in ``bands`` buckets (disjoint plane
+    sets); per-(band, bucket) groups run the exact pair kernel, then
+    pairs found in several bands dedup to one row. No data-dependent
+    degenerate block (the previous per-language blocking put an entire
+    language — most of a real corpus — in ONE task); bucket population
+    is ~n / 2^planes_per_band per band, and the kernel's candidate mask
+    is computed in row chunks of ``chunk`` so per-task temp memory is
+    O(chunk * block) regardless of block size. For a pair with
+    per-plane collision prob p (= 1 - theta/pi), miss prob is
+    (1 - p^planes_per_band)^bands — at threshold 0.8 and the 4x8
+    default, ~1.7% miss.
+
+    All-pairs dots within a block are vectorized-but-bit-exact: a GEMM
+    candidate mask (1e-9 slack, lossless for unit vectors), then exact
+    dots for kept pairs accumulated per dimension ascending — the
+    sequential-fold order — so cos_sim is bit-identical to the
+    zip_with/aggregate shape and the SQL oracle. The oracle computes
+    the SAME banded buckets (deterministic integer-seeded planes), so
+    blocking parity is exact, not just approximate."""
+    from .ann import lsh_band_bucket
     from .textpipe import hashed_doc_vectors
 
-    vecs = docs.select("doc_id", "lang").join(hashed_doc_vectors(docs, dim), "doc_id")
+    vecs = hashed_doc_vectors(docs, dim)
+    banded = vecs.select(
+        "doc_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_band_bucket(F.col("vec"), dim, b, planes_per_band).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # All-pairs dots per block, vectorized-but-bit-exact: accumulate one
-    # rank-1 outer product per dimension, ascending. Every pair's sum is
-    # then added in EXACTLY the sequential-fold order (acc + x_d*y_d for
-    # d = 0..dim-1 in float64), so the kernel's cos_sim is bit-identical
-    # to the declarative zip_with/aggregate shape and the SQL oracle —
-    # no rescore pass needed. A plain GEMM would be faster still but its
-    # partial-sum order is unspecified; the 64 rank-1 updates replace
-    # millions of interpreted HOF folds (measured 30s -> ~3s at sf0.1).
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "cos_sim": pd.Series([], dtype=np.float64),
+        }
+    )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"lang": pd.Series([], dtype=str),
-                 "doc_a": pd.Series([], dtype=np.int64),
-                 "doc_b": pd.Series([], dtype=np.int64),
-                 "cos_sim": pd.Series([], dtype=np.float64)}
-            )
+        n = len(ids)
+        if n < 2:
+            return empty
         mat = np.array(list(pdf["vec"]), dtype=np.float64)
-        # candidate mask via one GEMM (order-unspecified partial sums);
-        # 1e-9 slack makes the prune lossless for unit vectors
-        approx = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(approx >= threshold - 1e-9, k=1))
-        # exact dots for the kept pairs only, accumulated per dimension
-        # ascending — the sequential-fold order, vectorized across pairs
-        sims = np.zeros(len(ii), dtype=np.float64)
-        for d in range(mat.shape[1]):
-            sims += mat[ii, d] * mat[jj, d]
-        keep = sims >= threshold
-        ii, jj, sims = ii[keep], jj[keep], sims[keep]
-        lo, hi = np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame(
-            {
-                "lang": pdf["lang"].iloc[0],
-                "doc_a": lo,
-                "doc_b": hi,
-                "cos_sim": sims,
-            }
-        )
+        parts: list[pd.DataFrame] = []
+        # chunked candidate mask: bounds temp memory at chunk*n floats
+        # even if a bucket is hot (the 100 TB guard the per-lang version
+        # lacked); exactness is unaffected — the mask only prunes.
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            approx = mat[c0:c1] @ mat.T
+            ii, jj = np.nonzero(approx >= threshold - 1e-9)
+            ii = ii + c0
+            keep = ii < jj  # global upper triangle
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            # exact dots for the kept pairs only, accumulated per
+            # dimension ascending — the sequential-fold order,
+            # vectorized across pairs
+            sims = np.zeros(len(ii), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                sims += mat[ii, d] * mat[jj, d]
+            kf = sims >= threshold
+            ii, jj, sims = ii[kf], jj[kf], sims[kf]
+            lo, hi = np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])
+            parts.append(pd.DataFrame({"doc_a": lo, "doc_b": hi, "cos_sim": sims}))
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
 
-    return vecs.groupBy("lang").applyInPandas(
-        block_pairs, "lang string, doc_a long, doc_b long, cos_sim double"
+    pairs = banded.groupBy("band", "bucket").applyInPandas(
+        block_pairs, "doc_a long, doc_b long, cos_sim double"
     )
+    # a pair found in k bands yields k bit-identical rows — keep one
+    return pairs.dropDuplicates(["doc_a", "doc_b"])

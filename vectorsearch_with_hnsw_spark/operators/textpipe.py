@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import token_count, tokens
+from ..sources import spread
 
 # Knuth multiplicative-hash constant; doc_id mix for sampling
 SAMPLE_MIX = 2_654_435_761
@@ -29,7 +30,7 @@ SAMPLE_MOD = 2_147_483_647
 def doc_tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, token) relation, lowercased; distinct=True gives the
     document-frequency relation (one row per doc/token)."""
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     return tok.distinct() if distinct else tok
@@ -481,7 +482,7 @@ def lm_model(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
     from ..functions.text import poly_hash, word_shingles
 
     return (
-        docs.filter(F.col("lang") == ref_lang)
+        spread(docs).filter(F.col("lang") == ref_lang)
         .select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
         .select(poly_hash(F.col("bg")).alias("h"))
         .groupBy("h")
@@ -495,7 +496,7 @@ def lm_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     contract)."""
     from ..functions.text import poly_hash, word_shingles
 
-    bg = docs.select(
+    bg = spread(docs).select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
     ).select("doc_id", poly_hash(F.col("bg")).alias("h"))
     scored = (
@@ -540,7 +541,7 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
     from ..functions.text import poly_hash, tokens
     from ..functions.vector import l2_normalize
 
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     ).select("doc_id", poly_hash(F.col("token")).alias("h"))
     signed = tok.select(
@@ -639,7 +640,7 @@ def cms_token_sketch(
     implementation-defined."""
     from ..functions.text import poly_hash, tokens as _tokens
 
-    toks = docs.select(
+    toks = spread(docs).select(
         F.explode(_tokens(F.lower(F.col(text_col)))).alias("token")
     ).select(poly_hash(F.col("token")).alias("h"))
     buckets = F.array(*[_cms_bucket(F.col("h"), r, width) for r in range(depth)])

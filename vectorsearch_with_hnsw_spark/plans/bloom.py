@@ -24,11 +24,32 @@ broadcast semi-join).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_BITS = 1 << 17
 DEFAULT_NUM_HASHES = 5
+
+# join types for which pre-filtering the fact side cannot change the
+# result: every dropped fact row would have found no partner anyway.
+# Outer/anti joins must KEEP unmatched fact rows, so pruning them first
+# silently corrupts the output — rejected, not silently allowed.
+_PRUNABLE_JOINS = {"inner", "semi", "left_semi", "leftsemi"}
+
+
+class BloomFilter(NamedTuple):
+    """A built Bloom filter plus the parameters it was built with.
+
+    Carrying ``num_hashes`` in the artifact makes build/probe parameter
+    divergence impossible: probing with more hashes than the build used
+    would produce false NEGATIVES — silently dropped rows, the one
+    failure mode the design promises can't happen."""
+
+    words: list[int]
+    num_bits: int
+    num_hashes: int
 
 
 def _bit_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -44,11 +65,11 @@ def bloom_build(
     key: str,
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
-) -> list[int]:
+) -> BloomFilter:
     """Distributed Bloom-filter build over ``df[key]``: returns the dense
-    ``num_bits / 64``-long word array. One narrow job: project k positions
-    per key, explode, ``bit_or`` per word — only ~num_bits/64 rows ever
-    reach the driver."""
+    ``num_bits / 64``-long word array bundled with its parameters. One
+    narrow job: project k positions per key, explode, ``bit_or`` per word
+    — only ~num_bits/64 rows ever reach the driver."""
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
     pos = F.explode(
@@ -69,21 +90,17 @@ def bloom_build(
     dense = [0] * (num_bits // 64)
     for r in words:
         dense[r["w"]] = r["word"]
-    return dense
+    return BloomFilter(words=dense, num_bits=num_bits, num_hashes=num_hashes)
 
 
-def might_contain(
-    words: list[int],
-    key: Column,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-) -> Column:
+def might_contain(bf: BloomFilter, key: Column) -> Column:
     """Membership-test Column: true iff all k probe bits for ``key`` are
-    set in ``words``. A single ARRAY<BIGINT> literal + integer bit math —
-    fully codegen'd, no UDF."""
-    num_bits = len(words) * 64
-    lit_words = F.lit(words)
+    set in ``bf.words``. A single ARRAY<BIGINT> literal + integer bit
+    math — fully codegen'd, no UDF. Probe parameters come from the
+    filter artifact itself, so they can never diverge from the build."""
+    lit_words = F.lit(bf.words)
     cond = None
-    for pos in _bit_positions(key, num_bits, num_hashes):
+    for pos in _bit_positions(key, bf.num_bits, bf.num_hashes):
         word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
         test = word.bitwiseAND(bit) != 0
@@ -105,13 +122,22 @@ def bloom_pruned_join(
     how)`` for inner/semi joins: the bitmap admits every true match (no
     false negatives) and the broadcast join discards the false positives.
 
+    Only inner/semi ``how`` is accepted — outer, left, and anti joins
+    must keep (or key on) unmatched fact rows, which pre-filtering would
+    silently drop, so those are a ValueError rather than a wrong answer.
+
     The build triggers one small job at plan time (like a broadcast
     exchange); the fact scan then carries the membership filter so
     non-matching rows die before the join — at 100 TB that is the
     difference between shuffling the whole fact table and shuffling only
     the matching slice."""
-    words = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
-    pruned = fact.filter(might_contain(words, F.col(fact_key), num_hashes=num_hashes))
+    if how.lower() not in _PRUNABLE_JOINS:
+        raise ValueError(
+            f"bloom_pruned_join supports only inner/semi joins, got how={how!r}: "
+            "pre-filtering the fact side would drop rows an outer/anti join must keep"
+        )
+    bf = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
+    pruned = fact.filter(might_contain(bf, F.col(fact_key)))
     return pruned.join(
         F.broadcast(dim), pruned[fact_key] == dim[dim_key], how
     )

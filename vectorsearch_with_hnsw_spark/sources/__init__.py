@@ -5,12 +5,13 @@ from .formats import (
     write_jsonl,
     write_parquet_partitioned,
 )
-from .tables import TABLES, load_table, load_tables
+from .tables import TABLES, load_table, load_tables, spread
 
 __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "spread",
     "read_csv",
     "read_jsonl",
     "write_csv",

@@ -71,3 +71,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance to the session's default parallelism when
+    the upstream scan has fewer partitions than cores.
+
+    A small parquet file with one row group scans as ONE partition, so
+    any CPU-heavy narrow stage chained on it (tokenize + explode +
+    hash) runs on one core — measured 6.4s single-task for a 3s-of-CPU
+    explode at sf0.1 while 31 cores idled. One tiny shuffle of the raw
+    rows unlocks full-width execution. At 100 TB the scan already has
+    thousands of splits, the guard is false, and NO shuffle is added —
+    this must never become an unconditional repartition (reshuffling a
+    100 TB fact table to "spread" it would dwarf the work it saves).
+
+    Used by the shingle/token-explode operators (dedup, textpipe), NOT
+    by map-only projections (text_stats, sampling), which keep their
+    exchange-free plans.
+    """
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch sizing is
+        # the stream scheduler's job (and .rdd is illegal here)
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
