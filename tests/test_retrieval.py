@@ -55,6 +55,49 @@ def test_knn_graph_contract(spark, sf_smoke):
     assert len(deg) == 60
 
 
+def test_knn_graph_hnsw_backend_parity(spark, sf_oracle):
+    """ANN backend vs the exact oracle graph at sf0.01: same contract
+    (no self edges, exactly k out-edges per node) and recall-bounded
+    edge agreement — per-partition HNSW graphs are probe-all merged, so
+    graph recall tracks index recall (~1.0 at default ef)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    exact = {(r.src_id, r.dst_id) for r in knn_graph(emb, k=5, metric="l2").collect()}
+    ann_rows = knn_graph(emb, k=5, metric="l2", method="hnsw", num_partitions=4).collect()
+    ann = {(r.src_id, r.dst_id) for r in ann_rows}
+    assert all(s != d for s, d in ann), "no self edges"
+    from collections import Counter
+
+    deg = Counter(s for s, _ in ann)
+    assert set(deg.values()) == {5} and len(deg) == n
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"ANN graph recall {recall:.3f} vs exact"
+
+
+def test_knn_graph_unknown_method_raises(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="unknown knn_graph method"):
+        knn_graph(emb, k=3, method="faiss")
+
+
+def test_graph_analytics_on_hnsw_backend(spark, sf_smoke):
+    """pagerank / triangles / label vote accept the ANN base graph and
+    keep their shape contracts (totality, positive ranks)."""
+    from vectorsearch_with_hnsw_spark.operators.clusters import (
+        knn_label_vote,
+        knn_pagerank,
+        knn_triangles,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(80)
+    pr = knn_pagerank(emb, k=4, iters=2, graph_method="hnsw").collect()
+    assert len(pr) == 80 and all(r.pr > 0 for r in pr)
+    tri = knn_triangles(emb, k=4, graph_method="hnsw").collect()
+    assert len(tri) == 80 and all(r.n_triangles >= 0 for r in tri)
+    lv = knn_label_vote(emb, k=4, graph_method="hnsw").collect()
+    assert len(lv) == 80 and all(1 <= r.votes <= 4 for r in lv)
+
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 

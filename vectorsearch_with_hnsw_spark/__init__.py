@@ -40,6 +40,8 @@ def __getattr__(name):
         "cms_token_sketch": ("operators.textpipe", "cms_token_sketch"),
         "embedding_outliers": ("operators.ivf", "embedding_outliers"),
         "knn_triangles": ("operators.clusters", "knn_triangles"),
+        "knn_label_vote": ("operators.clusters", "knn_label_vote"),
+        "knn_graph": ("operators.retrieval", "knn_graph"),
         "pretrain_sequences": ("operators.pipeline", "pretrain_sequences"),
         "load_table": ("sources", "load_table"),
         "get_spark": ("session", "get_spark"),

@@ -101,6 +101,7 @@ def knn_pagerank(
     metric: str = "l2",
     damping_pct: int = 85,
     scale: int = 10**12,
+    graph_method: str = "exact",
 ) -> DataFrame:
     """PageRank centrality over the exact kNN graph — the graph-side
     curation signal (a document whose neighborhood keeps pointing back
@@ -120,16 +121,18 @@ def knn_pagerank(
     Per iteration: one join (ranks onto edge sources, shuffling on the
     node key) + one sum by destination — the same two co-partitioned
     exchanges as connected_components, with localCheckpoint keeping the
-    unrolled plan linear. The kNN graph build dominates at scale; swap
-    in an ANN graph (embedding_neardup_pairs, index.routed) beyond
-    O(N^2) sizes."""
+    unrolled plan linear. ``graph_method="hnsw"`` swaps the exact
+    O(N^2) base graph for the partitioned-HNSW ANN graph (O(N log N)
+    build + collect-free probe) — the 100 TB path; "exact" stays the
+    oracle setting. Every node still has exactly k out-edges under
+    either backend, so the degree-free per-edge share stays valid."""
     from .retrieval import knn_graph
 
     # checkpoint the graph: every iteration (and the node frame) reads
     # it, and without truncation the exact-kNN build would re-execute
     # once per reference (same rationale as connected_components' edges)
     edges = (
-        knn_graph(emb, k=k, metric=metric)
+        knn_graph(emb, k=k, metric=metric, method=graph_method)
         .select("src_id", "dst_id")
         .localCheckpoint(eager=True)
     )
@@ -158,7 +161,7 @@ def knn_pagerank(
 
 
 def knn_triangles(
-    emb: DataFrame, k: int = 5, metric: str = "l2"
+    emb: DataFrame, k: int = 5, metric: str = "l2", graph_method: str = "exact"
 ) -> DataFrame:
     """Per-node triangle count over the undirected exact kNN graph —
     the local-clustering-density signal (a vector whose neighbors are
@@ -172,10 +175,14 @@ def knn_triangles(
     closes them — each triangle (a < b < c) is produced exactly once,
     and both joins shuffle on node keys the kNN-graph output already
     carries. Nodes in no triangle surface with 0 via the left join
-    (totality over the whole vector table)."""
+    (totality over the whole vector table). ``graph_method="hnsw"``
+    swaps in the ANN base graph for beyond-O(N^2) corpora (see
+    knn_pagerank); "exact" stays the oracle setting."""
     from .retrieval import knn_graph
 
-    g = knn_graph(emb, k=k, metric=metric).select("src_id", "dst_id")
+    g = knn_graph(emb, k=k, metric=metric, method=graph_method).select(
+        "src_id", "dst_id"
+    )
     und = (
         g.select(
             F.least("src_id", "dst_id").alias("a"),
@@ -201,5 +208,56 @@ def knn_triangles(
         .select(
             "vec_id",
             F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_triangles"),
+        )
+    )
+
+
+def knn_label_vote(
+    emb: DataFrame, k: int = 5, metric: str = "l2", graph_method: str = "exact"
+) -> DataFrame:
+    """kNN-classifier sweep over the whole embeddings table: every
+    vector's label predicted by majority vote of its k nearest
+    neighbors (self excluded), reported against its true label — the
+    standard embedding-quality evaluation (the reference eyeballs
+    label coherence of top-5 results, CIFAR notebook cell 4/5; this is
+    that check made exhaustive). Vote ties break to the smaller label
+    id. Plan: kNN graph -> broadcast label lookup -> one (vec, label)
+    count shuffle -> per-vec argmax window over <= k rows.
+    ``graph_method="hnsw"`` swaps in the ANN base graph (see
+    knn_pagerank); "exact" is the oracle setting."""
+    from pyspark.sql.window import Window
+
+    from .retrieval import knn_graph
+
+    g = knn_graph(emb, k=k, metric=metric, method=graph_method).select(
+        "src_id", "dst_id"
+    )
+    votes = (
+        g.join(
+            F.broadcast(emb.select(F.col("vec_id").alias("dst_id"), "label")),
+            "dst_id",
+        )
+        .groupBy("src_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("src_id").alias("vec_id"),
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "predicted_label",
+            "votes",
+            (F.col("label") == F.col("predicted_label")).alias("correct"),
         )
     )

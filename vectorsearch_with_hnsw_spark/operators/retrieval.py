@@ -76,21 +76,43 @@ def knn_graph(
     metric: str = "l2",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    num_partitions: int = 8,
+    ef: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact k-nearest-neighbor graph: for every vector, its k closest
-    other vectors (self excluded) — the all-pairs generalization of the
+    """k-nearest-neighbor graph: for every vector, its k closest other
+    vectors (self excluded) — the all-pairs generalization of the
     reference's single-probe search, and the standard precursor to
     graph-based dedup/clustering. Ties broken by neighbor id.
 
-    Computed through the BLAS partial-top-k kernel (knn_exact_fast) with
-    every vector as a query — ~20x faster than the interpreted HOF fold
-    over the |N|^2 pair set, and bit-identical because winners are
-    rescored with the canonical fold. Asking for k+1 then dropping the
-    self pair is exact in every case: self is either inside the k+1
-    (removed) or displaced only by >= k+1 strictly-preferred non-self
-    rows (kept set already correct). Exact all-pairs is O(N^2) by
-    definition — at billions of rows build the graph with the ANN
-    families (dedup.embedding_neardup_pairs, index.routed) instead."""
+    ``method="exact"`` (the oracle) runs the BLAS partial-top-k kernel
+    (knn_exact_fast) with every vector as a query — ~20x faster than the
+    interpreted HOF fold over the |N|^2 pair set, and bit-identical
+    because winners are rescored with the canonical fold. Asking for k+1
+    then dropping the self pair is exact in every case: self is either
+    inside the k+1 (removed) or displaced only by >= k+1
+    strictly-preferred non-self rows (kept set already correct). Exact
+    all-pairs is O(N^2) by definition — the sf-test oracle and the
+    small-corpus path only.
+
+    ``method="hnsw"`` is the scale path: one partitioned HNSW build
+    (O(N log N) work, one shuffle) then the collect-free distributed
+    probe with the WHOLE table as the query set
+    (index.query.knn_hnsw_distributed) — no driver-side query
+    materialization, merge shuffle O(P * N * k). Per-partition graphs
+    are probe-all, so graph recall tracks the index recall (>= 0.97 at
+    default ef on the testdata; parity-tested vs the exact graph).
+    Same output schema; distances are the same canonical metric, so
+    downstream consumers (pagerank, triangles, label vote) are
+    backend-agnostic."""
+    if method not in ("exact", "hnsw"):
+        raise ValueError(f"unknown knn_graph method {method!r}; expected 'exact' or 'hnsw'")
+    if method == "hnsw":
+        return _knn_graph_hnsw(
+            base, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+            num_partitions=num_partitions, ef=ef, dim=dim,
+        )
     from .knn import knn_exact_fast
 
     q = base.select(
@@ -99,6 +121,48 @@ def knn_graph(
     res = knn_exact_fast(
         base, q, k=k + 1, metric=metric, id_col=id_col, vec_col=vec_col
     )
+    pairs = res.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("dst_id"),
+        "dist",
+    )
+    return topk_per_group(pairs, ["src_id"], ["dist", "dst_id"], k).select(
+        "src_id", "dst_id", "dist", "rnk"
+    )
+
+
+def _knn_graph_hnsw(
+    base: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    num_partitions: int,
+    ef: int | None,
+    dim: int | None,
+) -> DataFrame:
+    """ANN kNN graph over a partitioned HNSW index (see knn_graph).
+
+    The k+1/drop-self trick is recall-preserving here too: self is its
+    own exact nearest neighbor at distance 0, which HNSW finds with
+    near-certainty, so the k+1 probe leaves k real-neighbor slots."""
+    from ..index.build import HnswParams, hnsw_build
+    from ..index.query import knn_hnsw_distributed
+
+    if dim is None:
+        first = base.select(vec_col).first()
+        if first is None:
+            raise ValueError("knn_graph: empty input")
+        dim = len(first[0])
+    idx = hnsw_build(
+        base.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")),
+        HnswParams(dim=int(dim), metric=metric),
+        num_partitions=num_partitions,
+    )
+    q = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    res = knn_hnsw_distributed(idx, q, k=k + 1, ef=ef)
     pairs = res.filter(F.col("neighbor_id") != F.col("query_id")).select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("dst_id"),
