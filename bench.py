@@ -270,6 +270,29 @@ def main() -> None:
     timings["hnsw_build_dim512"] = round(t_build512, 3)
     sv.unpersist()
 
+    # ANN kNN-graph backend (knn_graph method="hnsw"): the beyond-O(N^2)
+    # base for pagerank/triangles/label-vote. Timed like a query
+    # (min-of-2) with edge recall vs the exact graph next to it.
+    from vectorsearch_with_hnsw_spark.operators.retrieval import knn_graph
+
+    exact_edges = {
+        (r["src_id"], r["dst_id"]) for r in knn_graph(emb, k=5, metric="l2").collect()
+    }
+    t_g, ann_edges = None, set()
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ann_edges = {
+            (r["src_id"], r["dst_id"])
+            for r in knn_graph(
+                emb, k=5, metric="l2", method="hnsw", num_partitions=n_parts
+            ).collect()
+        }
+        dt = time.perf_counter() - t0
+        t_g = dt if t_g is None else min(t_g, dt)
+        spark.catalog.clearCache()
+    timings["knn_graph_hnsw"] = round(t_g, 3)
+    graph_recall = round(len(ann_edges & exact_edges) / max(1, len(exact_edges)), 4)
+
     # recall@10 of the other ANN families vs the same exact oracle, on
     # the registry's query set (untimed — quality context for the speeds
     # above; an ANN row without recall next to it is meaningless)
@@ -336,6 +359,7 @@ def main() -> None:
             "build512_vecs_per_sec": round(n512 / t_build512, 2),
             "build512_vecs_per_sec_per_core": round(n512 / t_build512 / cpus, 2),
             "hnsw_recall_at_10": recall,
+            "knn_graph_hnsw_edge_recall": graph_recall,
             **ann_recall,
             "cpus": cpus,
         },

@@ -97,6 +97,19 @@ def main() -> None:
             len(got_p & exact) / max(1, len(exact)), 4
         )
     out["hnsw_recall_at_10_p32"] = out["hnsw_recall_at_10"]
+
+    # ANN kNN graph at 64x vectors: the whole table as the query set,
+    # collect-free — the base graph pagerank/triangles ride beyond
+    # O(N^2) sizes. Exact all-pairs at this N is 16.4e9 pair evals;
+    # the ANN build+probe is O(N log N) + O(N * P) probe rows.
+    from vectorsearch_with_hnsw_spark.operators.retrieval import knn_graph
+
+    t0 = time.perf_counter()
+    out["knn_graph_hnsw_edges"] = knn_graph(
+        vecs, k=5, metric="l2", id_col="id", vec_col="vec",
+        method="hnsw", num_partitions=cpus, dim=64,
+    ).count()
+    out["knn_graph_hnsw_sec"] = round(time.perf_counter() - t0, 2)
     vecs.unpersist()
 
     # --- documents at 10x ----------------------------------------------

@@ -388,7 +388,15 @@ def test_lm_familiarity_stream_matches_batch(spark, sf_smoke, tmp_path):
 def test_anomaly_score_stream_matches_batch(spark, sf_smoke, tmp_path):
     """Stream scored against static per-user history moments == the same
     scoring applied in batch (fixed float expression over integer
-    moments, so set equality is exact)."""
+    moments, so set equality is exact).
+
+    A (user, day) row must be scored on its COMPLETE day count even when
+    the day's events span micro-batches, so the stream runs twice
+    against one checkpoint: run 1 ingests the real events (their final
+    day stays pending — the watermark hasn't passed it), then a sentinel
+    event 30 days later advances the global watermark and run 2 flushes
+    every real day finalized. The sentinel's own user is absent from the
+    history moments, so the broadcast join drops it from the output."""
     from pyspark.sql import functions as F
 
     from vectorsearch_with_hnsw_spark.sources import load_table
@@ -410,6 +418,17 @@ def test_anomaly_score_stream_matches_batch(spark, sf_smoke, tmp_path):
     out = str(tmp_path / "scores")
     q = anomaly_score_stream(stream, history, out, str(tmp_path / "ckpt"))
     q.awaitTermination(180)
+    # watermark-advancing sentinel (user -1 has no trained moments)
+    new.agg(F.max("ts").alias("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("append").parquet(src)
+    q2 = anomaly_score_stream(stream, history, out, str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
 
     daily_hist = history.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")

@@ -127,10 +127,12 @@ def test_synthetic_datasource_stream(spark):
 def test_cli_search_families(spark, capsys, sf_smoke):
     from vectorsearch_with_hnsw_spark import cli
 
+    # "binary" deploys the sketch through the exact re-rank (dist), not
+    # the raw hamming ranking (that stays on operators.ann.binary_sign_knn)
     cli.main(["search", "--method", "binary", "--sf-dir", sf_smoke, "--k", "2", "--max-queries", "2"])
     cli.main(["search", "--method", "bm25", "--sf-dir", sf_smoke, "--k", "3"])
     captured = capsys.readouterr()
-    assert "query_id" in captured.out and "hamming" in captured.out
+    assert "query_id" in captured.out and "dist" in captured.out
     assert "score" in captured.out
 
 

@@ -5,14 +5,18 @@ preprocess -> ResNet-18 embedding, executed one image per forward pass
 (CIFAR notebook cell 2, ``unsqueeze(0)``). Here the Spark-side plumbing
 is real — binary columns, Arrow-batched ``mapInPandas`` kernels, stable
 schemas, per-batch (not per-row) processing — while the actual media
-decoding is STUBBED (image/audio libraries are not in this container):
+decoding is OPTIONAL (image/audio libraries are not in this container):
 
-- ``decode_image`` raises NotImplementedError (clearly-marked stub); at
-  deploy time it becomes Pillow/torchvision inside the same kernel.
-- ``extract_features`` uses a deterministic fake "decoder" (polynomial
-  hash of the payload bytes -> 4 pseudo-features) so the batch shape,
-  schema, and distributed execution path are fully testable — and even
-  oracle-checkable, because the fake is exact integer arithmetic.
+- ``decode_image`` decodes bytes -> HWC uint8 RGB via Pillow when it is
+  importable (reference CIFAR cell 2's PIL entry point), and raises
+  NotImplementedError otherwise — an honest, clearly-marked gate.
+- ``extract_features`` defaults to a deterministic fake "decoder"
+  (polynomial hash of the payload bytes -> 4 pseudo-features) so the
+  batch shape, schema, and distributed execution path are fully
+  testable — and even oracle-checkable, because the fake is exact
+  integer arithmetic. ``decoder="image"`` switches the same kernel to
+  the real Pillow decode (per-channel statistics standing in for the
+  reference's ResNet embedding, whose weights can't ship here).
 
 At 100 TB: payloads stay in executor-side Arrow batches end-to-end; no
 driver collection; model weights would ship via broadcast with lazy
@@ -46,13 +50,40 @@ def _pow31(n: int) -> np.ndarray:
     return _POW31[:n]
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real deployment decodes bytes -> HWC uint8 array (Pillow).
-    Not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/torchvision; wire the real decoder "
-        "here at deploy time — the surrounding Spark plumbing is complete"
-    )
+try:  # optional dependency: the container this engine is tested in has no image libs
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an encoded image payload to an HWC uint8 RGB array —
+    Pillow when importable (the reference's PIL entry point, CIFAR
+    notebook cell 2), else NotImplementedError. The Spark plumbing
+    around this call is complete either way."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires Pillow; install it and this same "
+            "kernel decodes for real — the surrounding Spark plumbing "
+            "is complete"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _image_features(payload: bytes) -> list[float]:
+    """Real-decode features: per-channel means + overall std in [0, 1]
+    — a model-free stand-in for the reference's ResNet-18 embedding
+    (CIFAR cell 2; actual weights would ship via broadcast into this
+    exact kernel)."""
+    arr = decode_image(payload).astype(np.float64)
+    means = arr.mean(axis=(0, 1)) / 255.0
+    return [float(means[0]), float(means[1]), float(means[2]), float(arr.std() / 255.0)]
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -76,16 +107,32 @@ def _fake_features(payload: bytes) -> list[float]:
     return [((h * (i + 1)) % 1009) / 1009.0 for i in range(N_FEATURES)]
 
 
-def extract_features(blobs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+def extract_features(
+    blobs: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
     """Batched feature extraction over a binary column via mapInPandas.
 
     One Python call per Arrow batch (not per row) — the shape a real
     embedding model needs (contrast the reference's batch-size-1 forward
-    passes, CIFAR notebook cell 2)."""
+    passes, CIFAR notebook cell 2).
+
+    ``decoder="fake"`` (default) is the deterministic byte-hash decoder
+    — exact integer arithmetic, oracle-checkable on any payload.
+    ``decoder="image"`` runs the real Pillow decode in the same kernel
+    (requires Pillow and genuinely encoded image payloads); failing the
+    import raises NotImplementedError up front, not per task."""
+    if decoder not in ("fake", "image"):
+        raise ValueError(f"unknown decoder {decoder!r}; expected 'fake' or 'image'")
+    if decoder == "image" and not HAS_PIL:
+        decode_image(b"")  # raises the canonical NotImplementedError
+    per_payload = _fake_features if decoder == "fake" else _image_features
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(p) for p in pdf[payload_col]]
+            feats = [per_payload(p) for p in pdf[payload_col]]
             out = {id_col: pdf[id_col].to_numpy()}
             for i in range(N_FEATURES):
                 out[f"f{i}"] = [f[i] for f in feats]

@@ -139,7 +139,11 @@ def minhash_lsh_pairs(
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.concat_ws("_", *[p.cast("string") for p in parts]).alias(f"band{b}"))
+        # 8-byte xxhash64 band key instead of a variable-width string
+        # concat: the bucket join shuffles a fixed-width long. A 2^-64
+        # key collision could only ADD a candidate pair, which the
+        # est_jaccard from the full signatures then scores honestly.
+        band_cols.append(F.xxhash64(*parts).alias(f"band{b}"))
     # persist: each band join references this frame twice (4 bands x 2
     # sides = 8 recomputations of the signature pipeline otherwise)
     banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols).persist()
@@ -528,14 +532,15 @@ def dedup_incremental(
         frames = []
         for b in range(bands):
             parts = [
-                F.col(f"mh{i}").cast("string")
+                F.col(f"mh{i}")
                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)
             ]
+            # fixed-width 8-byte band key (band index folded in because
+            # all bands share one bucket column here); vs the previous
+            # string concat the corpus bucket artifact shrinks to
+            # 8 bytes/row and the join shuffles longs
             frames.append(
-                sig.select(
-                    "doc_id",
-                    F.concat_ws("_", F.lit(str(b)), *parts).alias("bucket"),
-                )
+                sig.select("doc_id", F.xxhash64(F.lit(b), *parts).alias("bucket"))
             )
         out = frames[0]
         for fr in frames[1:]:

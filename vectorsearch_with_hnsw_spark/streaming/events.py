@@ -225,16 +225,29 @@ def anomaly_score_stream(
     history_events: DataFrame,
     out_path: str,
     checkpoint: str,
+    watermark: str = "1 hour",
 ):
-    """Streaming twin of the per-user rate-anomaly query: incoming
-    events are bucketed to (user, day) per micro-batch and z-scored
-    against per-user moments trained ONCE on the static history — the
-    deploy shape for anomaly alerting at ingest (the moments table is
-    the persisted model artifact; the stream pays one broadcast join).
-    Same integer-moment arithmetic as the batch operator, so a day's
-    score is identical whether it arrives in a stream or a backfill.
-    foreachBatch + checkpointed sink = exactly-once, like the other
-    incremental twins here.
+    """Streaming twin of the per-user rate-anomaly query: a watermarked
+    stateful aggregation counts each (user, day) window and — only once
+    the watermark passes the day's end, i.e. the count is COMPLETE —
+    z-scores it against per-user moments trained ONCE on the static
+    history (the moments table is the persisted model artifact; the
+    stream pays one broadcast join per finalized row).
+
+    Correctness under micro-batch boundaries: the day-window state
+    accumulates across however many micro-batches a day's events span,
+    and append mode emits one finalized row per (user, day) — so the
+    emitted score equals the batch backfill's bit-for-bit (same integer
+    moments, same float expression). Events later than ``watermark``
+    past the day's end are dropped by the watermark, the explicit
+    late-data contract. A day emits only after the GLOBAL watermark
+    passes its end — on an idle stream the newest day stays pending
+    until later data (or a restart with newer data) advances it.
+
+    Sink: foreachBatch writes each batch to a ``_batch_id=<n>``
+    partition with dynamic partition overwrite, so a retried batch
+    REPLACES its own partition instead of appending twice —
+    exactly-once output on top of the checkpointed source offsets.
 
     Returns the started StreamingQuery; callers await it."""
     from pyspark.sql import functions as F
@@ -255,22 +268,34 @@ def anomaly_score_stream(
         .persist()
     )
 
+    # complete-day counts: watermarked day windows, finalized on emit
+    daily_stream = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 day").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.to_date(F.col("_w.start")).alias("day"), "n_events")
+    )
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        daily = batch_df.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-            F.count(F.lit(1)).alias("n_events")
-        )
         mean = F.col("s1").cast("double") / F.col("nd").cast("double")
         var = F.col("s2").cast("double") / F.col("nd").cast("double") - mean * mean
         z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
         out = (
-            daily.join(F.broadcast(moments), "user_id")
+            batch_df.join(F.broadcast(moments), "user_id")
             .withColumn("z", z)
             .select("user_id", "day", "n_events", "z")
+            .withColumn("_batch_id", F.lit(batch_id))
         )
-        out.write.mode("append").parquet(out_path)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
 
     return (
-        events_stream.writeStream.foreachBatch(apply_batch)
+        daily_stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
