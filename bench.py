@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "dup_spans_capped",
     "lm_familiarity",
     "fuzzy_dedup",
+    # semantic_dedup: oracle-checked (driver window) but not timed here —
+    # its cost is the same connected-components loop fuzzy_dedup and
+    # dedup_clusters already time, on a pair set the synthetic corpus
+    # makes pathologically dense (most docs share the tiny vocabulary)
     "doc_hash_vectors",
     "knn_pagerank",
     "funnel_steps",

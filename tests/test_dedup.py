@@ -142,6 +142,25 @@ def test_fuzzy_dedup_end_to_end_verdicts(docs_with_dups):
     assert singles and all(r.is_keeper for r in singles)
 
 
+def test_semantic_dedup_end_to_end_verdicts(docs_with_dups):
+    """The semantic twin of fuzzy_dedup: identical-token docs have
+    identical hashed unit vectors (cosine 1.0 >= threshold), so the
+    planted variants cluster together; one keeper per cluster, every
+    doc gets a verdict, singletons keep."""
+    out = D.semantic_dedup(docs_with_dups).collect()
+    assert len(out) == docs_with_dups.count(), "one verdict per document"
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        assert sum(r.is_keeper for r in rows) == 1, f"cluster {cid}"
+    dup_cluster = next(r.cluster_id for r in out if r.doc_id == 10_000)
+    members = {r.doc_id for r in by_cluster[dup_cluster]}
+    assert {0, 10_000, 20_000} <= members
+    keeper = next(r for r in by_cluster[dup_cluster] if r.is_keeper)
+    assert keeper.quality_score == max(r.quality_score for r in by_cluster[dup_cluster])
+
+
 def test_dup_spans_max_df_drops_boilerplate(spark):
     """A boilerplate 10-token passage shared by many docs is excluded by
     the df cap, while a passage shared by just two docs still surfaces;

@@ -29,6 +29,8 @@ HOSTILE_QUERIES = [
     "zorder_events",          # epoch-day bit interleave — tz-sensitive
     "cms_token_counts",       # big-int row-salted hashing under ANSI
     "pq_refine_ann",          # ADC shortlist + exact L2 re-rank under ANSI
+    "lsh_ann_cosine",         # banded sign-bit buckets + xor probes under ANSI
+    "binary_refine_ann",      # bit-pack/popcount shortlist + cosine re-rank under ANSI
 ]
 
 

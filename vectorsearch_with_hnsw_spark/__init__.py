@@ -30,6 +30,7 @@ def __getattr__(name):
         "IvfIndex": ("operators.ivf", "IvfIndex"),
         "knn_hnsw": ("index.query", "knn_hnsw"),
         "fuzzy_dedup": ("operators.dedup", "fuzzy_dedup"),
+        "semantic_dedup": ("operators.dedup", "semantic_dedup"),
         "dup_span_pairs": ("operators.dedup", "dup_span_pairs"),
         "lm_familiarity": ("operators.textpipe", "lm_familiarity"),
         "knn_pagerank": ("operators.clusters", "knn_pagerank"),

@@ -66,14 +66,14 @@ def main(argv: list[str] | None = None) -> None:
 
     dd = sub.add_parser(
         "dedup",
-        help="dedup the documents table (fuzzy | exact | spans | incremental) -> parquet",
+        help="dedup the documents table (fuzzy | semantic | exact | spans | incremental) -> parquet",
     )
     dd.add_argument("--sf-dir", required=True)
     dd.add_argument("--out", required=True)
     dd.add_argument(
         "--method",
         default="fuzzy",
-        choices=("fuzzy", "exact", "spans", "incremental"),
+        choices=("fuzzy", "semantic", "exact", "spans", "incremental"),
     )
     dd.add_argument(
         "--split",
@@ -198,6 +198,8 @@ def main(argv: list[str] | None = None) -> None:
             docs = load_table(spark, args.sf_dir, "documents")
             if args.method == "fuzzy":
                 out = D.fuzzy_dedup(docs)
+            elif args.method == "semantic":
+                out = D.semantic_dedup(docs, threshold=0.9)
             elif args.method == "exact":
                 out = D.dedup_exact(docs)
             elif args.method == "spans":

@@ -45,7 +45,7 @@ def hnsw_build_routed(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<float>").alias("vec"),
         (
-            F.pmod(lsh_bucket(F.col(vec_col).cast("array<double>"), params.dim, n_planes), F.lit(num_partitions))
+            F.pmod(lsh_bucket(f"cast(`{vec_col}` as array<double>)", params.dim, n_planes), F.lit(num_partitions))
         ).cast("int").alias("partition"),
     )
 
@@ -83,7 +83,7 @@ def hnsw_build_routed(
 
 
 def route_partitions(
-    qvec: F.Column, dim: int, num_partitions: int, n_planes: int = 8, radius: int = 2
+    qvec: F.Column | str, dim: int, num_partitions: int, n_planes: int = 8, radius: int = 2
 ) -> F.Column:
     """Array of candidate partitions for a query: its own bucket plus all
     Hamming<=radius flips (multi-probe LSH), deduplicated after mod P.
@@ -125,7 +125,7 @@ def knn_hnsw_routed(
         F.col(query_vec_col).cast("array<float>").alias("vec"),
         F.explode(
             route_partitions(
-                F.col(query_vec_col).cast("array<double>"), params.dim, int(num_partitions), n_planes
+                f"cast(`{query_vec_col}` as array<double>)", params.dim, int(num_partitions), n_planes
             )
         ).alias("partition"),
     )

@@ -267,7 +267,7 @@ def embedding_neardup_pairs(
     Candidate pairs then get the exact cosine via the same sequential
     double fold the oracle uses, so the DuckDB twin is bit-exact."""
     from ..functions.vector import dot, l2_norm
-    from .ann import lsh_band_bucket
+    from .ann import banded_bucket_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
     withv = emb.select(
@@ -275,22 +275,7 @@ def embedding_neardup_pairs(
         to_vec("embedding").alias("v"),
         l2_norm(to_vec("embedding")).alias("nrm"),
     )
-    banded = withv.select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        lsh_band_bucket(F.col("v"), 64, b, planes_per_band).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_bucket_frame(withv, "v", 64, bands, planes_per_band)
     a = banded.select(
         "band", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -446,6 +431,16 @@ def fuzzy_dedup(docs: DataFrame) -> DataFrame:
     from .clusters import connected_components
 
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return _cluster_keeper_verdict(docs, pairs)
+
+
+def _cluster_keeper_verdict(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the end-to-end dedup pipelines: near-dup pairs ->
+    connected components -> quality-aware keeper per cluster, a verdict
+    row for EVERY document (singletons keep)."""
+    from ..functions.text import quality_features
+    from .clusters import connected_components
+
     cc = connected_components(pairs)
     feats = quality_features(F.col("text"))
     scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
@@ -471,6 +466,27 @@ def fuzzy_dedup(docs: DataFrame) -> DataFrame:
         "quality_score",
         (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
     )
+
+
+def semantic_dedup(docs: DataFrame, dim: int = 64, threshold: float = 0.8) -> DataFrame:
+    """SemDeDup-style end-to-end semantic dedup in one call:
+    feature-hashed unit vectors -> banded-LSH cosine near-dup pairs ->
+    connected components -> quality-aware keeper per cluster. Returns
+    the same verdict schema as fuzzy_dedup ((doc_id, cluster_id,
+    quality_score, is_keeper)); the two differ only in the pair
+    generator — lexical (MinHash over shingles) vs semantic (cosine
+    over hashed vectors), and a real deployment runs both gates.
+
+    Scale: pair generation is the banded LSH equi-join of
+    semantic_neardup_pairs (per-task work bounded by bucket population,
+    chunked GEMM — never per-language/all-pairs), the closure is the
+    co-partitioned label-propagation loop, keeper is one max-struct
+    agg. With model embeddings swap ``hashed_doc_vectors`` for the
+    embedding column; the chain is unchanged."""
+    pairs = semantic_neardup_pairs(docs, dim=dim, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    return _cluster_keeper_verdict(docs, pairs)
 
 
 def decontaminate(
@@ -590,25 +606,11 @@ def semantic_neardup_pairs(
     zip_with/aggregate shape and the SQL oracle. The oracle computes
     the SAME banded buckets (deterministic integer-seeded planes), so
     blocking parity is exact, not just approximate."""
-    from .ann import lsh_band_bucket
+    from .ann import banded_bucket_frame
     from .textpipe import hashed_doc_vectors
 
     vecs = hashed_doc_vectors(docs, dim)
-    banded = vecs.select(
-        "doc_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        lsh_band_bucket(F.col("vec"), dim, b, planes_per_band).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_bucket_frame(vecs, "vec", dim, bands, planes_per_band)
 
     empty = pd.DataFrame(
         {
