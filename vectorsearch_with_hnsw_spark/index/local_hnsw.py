@@ -168,18 +168,20 @@ class LocalHNSW:
 
     # Precompute the query's distance to EVERY stored row when one BLAS
     # matvec beats the ~ef·degree tiny per-pop scoring calls the graph
-    # walk would otherwise make. Worth it when vectors are wide (per-call
-    # fancy-index copies dominate: measured +21% at dim 512, the headline
-    # config) or when the walk covers a big fraction of the partition
-    # (n within ~16·efc). At narrow dims with large n the walk touches a
-    # vanishing fraction of rows and on-demand scoring wins — fall back.
+    # walk would otherwise make. Python per-call overhead (~12 us of
+    # fancy-index + small matvec per frontier pop) dwarfs the O(n*dim)
+    # BLAS flops far past where intuition says the walk "touches a
+    # vanishing fraction of rows": an earlier dim<128 cutoff at
+    # n = 16*efc made a 16k-row dim-64 partition build take 146 s
+    # (9.2 ms/vec) where the full precompute runs it at ~3 ms/vec.
+    # Both paths score with the SAME formulation/dtype, so the cutoff
+    # is purely a speed knob — the cap below only bounds the O(n)
+    # per-insert allocation (64k f64 rows = 512 KB, still trivial).
     _PRECOMPUTE_MAX_ROWS = 65536
 
     def _query_dists_all(self, vec: np.ndarray) -> np.ndarray | None:
         n = len(self.ids)
         if n == 0 or n > self._PRECOMPUTE_MAX_ROWS:
-            return None
-        if self.p.dim < 128 and n > 16 * self.p.ef_construction:
             return None
         vec = np.asarray(vec, dtype=self._matc.dtype)
         dots = self._matc @ vec
