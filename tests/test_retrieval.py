@@ -74,6 +74,26 @@ def test_knn_graph_hnsw_backend_parity(spark, sf_oracle):
     assert recall >= 0.9, f"ANN graph recall {recall:.3f} vs exact"
 
 
+def test_knn_graph_routed_backend(spark, sf_oracle):
+    """Routed backend: probe cost bounded by the Hamming ball instead
+    of P. Looser contract than probe-all (boundary neighbors can sit in
+    un-probed partitions): no self edges, <= k out-edges, edge recall
+    >= 0.75 vs exact at the small-P test setting."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {(r.src_id, r.dst_id) for r in knn_graph(emb, k=5, metric="l2").collect()}
+    ann_rows = knn_graph(
+        emb, k=5, metric="l2", method="hnsw_routed", num_partitions=4
+    ).collect()
+    ann = {(r.src_id, r.dst_id) for r in ann_rows}
+    assert all(s != d for s, d in ann), "no self edges"
+    from collections import Counter
+
+    deg = Counter(r.src_id for r in ann_rows)
+    assert max(deg.values()) <= 5
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.75, f"routed graph recall {recall:.3f} vs exact"
+
+
 def test_knn_graph_unknown_method_raises(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="unknown knn_graph method"):

@@ -105,13 +105,25 @@ def knn_graph(
     default ef on the testdata; parity-tested vs the exact graph).
     Same output schema; distances are the same canonical metric, so
     downstream consumers (pagerank, triangles, label vote) are
-    backend-agnostic."""
-    if method not in ("exact", "hnsw"):
-        raise ValueError(f"unknown knn_graph method {method!r}; expected 'exact' or 'hnsw'")
-    if method == "hnsw":
+    backend-agnostic.
+
+    ``method="hnsw_routed"`` bounds probe cost at cluster partition
+    counts: the index is partitioned by the vectors' own LSH bucket
+    (likely neighbors co-locate) and each node probes only its
+    multi-probe Hamming ball — <= 37 partitions REGARDLESS of P, vs
+    probe-all's O(P) per query. The recall trade (boundary neighbors
+    in un-probed partitions; cosine/l2-valid since routing only picks
+    partitions) is measured in tests (>= 0.75 edge recall at defaults
+    vs exact; probe-all >= 0.9)."""
+    if method not in ("exact", "hnsw", "hnsw_routed"):
+        raise ValueError(
+            f"unknown knn_graph method {method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
+        )
+    if method in ("hnsw", "hnsw_routed"):
         return _knn_graph_hnsw(
             base, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
             num_partitions=num_partitions, ef=ef, dim=dim,
+            routed=(method == "hnsw_routed"),
         )
     from .knn import knn_exact_fast
 
@@ -140,12 +152,15 @@ def _knn_graph_hnsw(
     num_partitions: int,
     ef: int | None,
     dim: int | None,
+    routed: bool = False,
 ) -> DataFrame:
     """ANN kNN graph over a partitioned HNSW index (see knn_graph).
 
     The k+1/drop-self trick is recall-preserving here too: self is its
     own exact nearest neighbor at distance 0, which HNSW finds with
-    near-certainty, so the k+1 probe leaves k real-neighbor slots."""
+    near-certainty, so the k+1 probe leaves k real-neighbor slots
+    (routed mode always probes the query's own home bucket, where self
+    lives by construction)."""
     from ..index.build import HnswParams, hnsw_build
     from ..index.query import knn_hnsw_distributed
 
@@ -154,15 +169,19 @@ def _knn_graph_hnsw(
         if first is None:
             raise ValueError("knn_graph: empty input")
         dim = len(first[0])
-    idx = hnsw_build(
-        base.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")),
-        HnswParams(dim=int(dim), metric=metric),
-        num_partitions=num_partitions,
-    )
+    src = base.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
     q = base.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    res = knn_hnsw_distributed(idx, q, k=k + 1, ef=ef)
+    params = HnswParams(dim=int(dim), metric=metric)
+    if routed:
+        from ..index.routed import hnsw_build_routed, knn_hnsw_routed
+
+        idx = hnsw_build_routed(src, params, num_partitions=num_partitions)
+        res = knn_hnsw_routed(idx, q, k=k + 1, ef=ef)
+    else:
+        idx = hnsw_build(src, params, num_partitions=num_partitions)
+        res = knn_hnsw_distributed(idx, q, k=k + 1, ef=ef)
     pairs = res.filter(F.col("neighbor_id") != F.col("query_id")).select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("dst_id"),
