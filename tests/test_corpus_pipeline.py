@@ -50,6 +50,45 @@ def test_connected_components_deep_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """connected_components_star == connected_components on chains,
+    islands, cliques, and a random graph — same (node, cluster_id)
+    relation, different round complexity."""
+    import random
+
+    from vectorsearch_with_hnsw_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        [(i, i + 1) for i in range(12)],                      # deep chain
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],  # clique
+        [(7, 7), (8, 9)],                                     # self-loop edge
+    ]
+    rng = random.Random(7)
+    cases.append([(rng.randrange(40), rng.randrange(40)) for _ in range(60)])
+    for pairs_list in cases:
+        pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
+        want = {(r["node"], r["cluster_id"]) for r in connected_components(pairs).collect()}
+        got = {(r["node"], r["cluster_id"]) for r in connected_components_star(pairs).collect()}
+        assert got == want, pairs_list
+
+
+def test_dedup_clusters_star_backend(spark):
+    from vectorsearch_with_hnsw_spark.operators.clusters import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    want = {(r["doc_id"], r["cluster_id"], r["is_keeper"]) for r in dedup_clusters(pairs).collect()}
+    got = {
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert got == want
+
+
 def test_vocab_and_tfidf_semantics(spark):
     docs = spark.createDataFrame(
         [

@@ -42,6 +42,8 @@ def __getattr__(name):
         "embedding_outliers": ("operators.ivf", "embedding_outliers"),
         "knn_triangles": ("operators.clusters", "knn_triangles"),
         "knn_label_vote": ("operators.clusters", "knn_label_vote"),
+        "connected_components": ("operators.clusters", "connected_components"),
+        "connected_components_star": ("operators.clusters", "connected_components_star"),
         "knn_graph": ("operators.retrieval", "knn_graph"),
         "pretrain_sequences": ("operators.pipeline", "pretrain_sequences"),
         "load_table": ("sources", "load_table"),

@@ -82,11 +82,106 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the same
+    (node, cluster_id = component min) output as connected_components,
+    in O(log^2 n) rounds instead of O(component diameter).
+
+    Per round over the symmetric edge list:
+    - large-star: every node links its LARGER neighbors to the min of
+      its closed neighborhood — long chains collapse toward minima.
+    - small-star: every node links its smaller-or-equal neighbors (and
+      itself) to that min — stars re-center on the true minimum.
+    Both are one groupBy-min + one join over the edge relation, same
+    co-partitioned shuffle shape as the label-propagation loop; edges
+    strictly contract toward (node, component-min) stars, and the
+    driver-side convergence probe is a LIMIT-1 count of non-star
+    edges. Use this backend when components can be deep (general
+    graphs); near-dup clusters are shallow quasi-cliques, where the
+    default label loop converges in ~diameter+1 rounds anyway."""
+    raw = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # every endpoint gets a verdict row — including nodes whose only
+    # edge is a self-loop (they are their own singleton component,
+    # matching connected_components' semantics)
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("b"), F.greatest("a", "b").alias("a"))
+        .select("a", "b")  # a = hi, b = lo
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prev = e
+        # large-star over the symmetric adjacency
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+        )
+        # small-star: key every edge by its larger endpoint
+        keyed = (
+            large.filter(F.col("hi") != F.col("lo"))
+            .select(F.greatest("hi", "lo").alias("a"), F.least("hi", "lo").alias("b"))
+            .distinct()
+        )
+        smins = keyed.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            keyed.join(smins, "a")
+            .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smins.select(F.col("a").alias("hi"), F.col("m").alias("lo")))
+        )
+        e = (
+            small.filter(F.col("hi") != F.col("lo"))
+            .select(F.greatest("hi", "lo").alias("a"), F.least("hi", "lo").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the (distinct, normalized) edge set is stable:
+        # equal cardinality + empty one-sided difference. Two cheap jobs
+        # over checkpointed frames; rounds are O(log^2 n) so this probe
+        # runs a handful of times total.
+        if e.count() == prev.count() and e.exceptAll(prev).limit(1).count() == 0:
+            break
+    labels = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 25, algorithm: str = "label"
+) -> DataFrame:
     """Cluster assignment for near-dup pairs: (doc_id, cluster_id,
     is_keeper). Keeper = the min doc_id of each component (deterministic
-    canonical representative)."""
-    cc = connected_components(pairs, max_iter=max_iter)
+    canonical representative). ``algorithm="star"`` swaps the
+    O(diameter) label-propagation loop for O(log^2 n) star contraction
+    (same output; see connected_components_star)."""
+    if algorithm == "star":
+        cc = connected_components_star(pairs, max_iter=max_iter)
+    else:
+        cc = connected_components(pairs, max_iter=max_iter)
     return cc.select(
         F.col("node").alias("doc_id"),
         "cluster_id",
