@@ -96,7 +96,7 @@ def main() -> None:
         out[f"hnsw_recall_at_10_p{p_parts}"] = round(
             len(got_p & exact) / max(1, len(exact)), 4
         )
-    out["hnsw_recall_at_10_p32"] = out["hnsw_recall_at_10"]
+    out[f"hnsw_recall_at_10_p{cpus}"] = out["hnsw_recall_at_10"]  # first build used P=cpus
 
     # ANN kNN graph at 64x vectors: the whole table as the query set,
     # collect-free — the base graph pagerank/triangles ride beyond

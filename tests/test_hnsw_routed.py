@@ -69,3 +69,59 @@ def test_routed_self_match(spark, emb, queries):
     assert rows
     for r in rows:
         assert r["neighbor_id"] == r["query_id"]
+
+
+def test_routed_modulus_survives_empty_partitions(spark, emb, queries):
+    """Routing must use the BUILD modulus even when some build
+    partitions end up with 0/1 nodes (no edge rows -> no meta row): a
+    meta-derived modulus would shift every pmod route. 40 vectors
+    across 64 partitions guarantees empty partitions and 1-node
+    partitions; self-match must still hold for every query."""
+    small = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = hnsw_build_routed(small, HnswParams(dim=DIM, metric="cosine"), num_partitions=64)
+    assert idx.num_partitions == 64
+    assert idx.meta.count() < 64  # the failure precondition: sparse meta
+    q = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = knn_hnsw_routed(idx, q, k=1).filter(F.col("rnk") == 1).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["neighbor_id"] == r["query_id"] and abs(r["dist"]) < 1e-6
+
+
+def test_single_node_partition_is_searchable(spark, emb):
+    """A 1-node local graph emits no edges and no meta row; the probe
+    kernel's fallback entry point must still surface that node
+    (probe-all index, 3 vectors across 8 partitions)."""
+    from vectorsearch_with_hnsw_spark.index.build import hnsw_build
+    from vectorsearch_with_hnsw_spark.index.query import knn_hnsw
+
+    tiny = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = hnsw_build(tiny, HnswParams(dim=DIM, metric="l2"), num_partitions=8)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn_hnsw(idx, q, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q == {i: {0, 1, 2} for i in range(3)}, "every node reachable from every query"
+
+
+def test_num_partitions_survives_save_load(spark, emb, tmp_path):
+    idx = hnsw_build_routed(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=8,
+    )
+    from vectorsearch_with_hnsw_spark.index.build import HnswIndex
+
+    idx.save(str(tmp_path / "ridx"))
+    loaded = HnswIndex.load(spark, str(tmp_path / "ridx"))
+    assert loaded.num_partitions == 8
+    assert loaded.params.dim == DIM

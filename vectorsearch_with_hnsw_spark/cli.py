@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     cl.add_argument("--sf-dir", required=True)
     cl.add_argument("--out", required=True)
+    cl.add_argument("--algorithm", default="label", choices=("label", "star"))
 
     dd = sub.add_parser(
         "dedup",
@@ -177,7 +178,7 @@ def main(argv: list[str] | None = None) -> None:
             from .operators.clusters import dedup_clusters
 
             docs = load_table(spark, args.sf_dir, "documents")
-            cc = dedup_clusters(D.minhash_lsh_pairs(docs))
+            cc = dedup_clusters(D.minhash_lsh_pairs(docs), algorithm=args.algorithm)
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
         elif args.cmd == "explain":

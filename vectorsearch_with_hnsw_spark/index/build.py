@@ -42,13 +42,26 @@ META_SCHEMA = "partition int, entry_point long, max_layer int, n_nodes long"
 
 
 class HnswIndex:
-    """Handle to the three index tables + params."""
+    """Handle to the three index tables + params.
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame, meta: DataFrame, params: HnswParams):
+    ``num_partitions`` records the BUILD modulus. The routed probe must
+    route with exactly this value — deriving it from meta.count() is
+    wrong when a partition ends up with 0/1 nodes (no edge rows -> no
+    meta row), which would silently shift every query's pmod routing."""
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        meta: DataFrame,
+        params: HnswParams,
+        num_partitions: int | None = None,
+    ):
         self.nodes = nodes
         self.edges = edges
         self.meta = meta
         self.params = params
+        self.num_partitions = num_partitions
         self.kernel_out: DataFrame | None = None  # set by hnsw_build
 
     def save(self, path: str) -> None:
@@ -61,7 +74,10 @@ class HnswIndex:
         self.edges.write.mode("overwrite").partitionBy("partition").parquet(f"{path}/edges")
         self.meta.write.mode("overwrite").parquet(f"{path}/meta")
         spark = self.nodes.sparkSession
-        params_df = spark.createDataFrame([(json.dumps(asdict(self.params)),)], "params_json string")
+        payload = dict(asdict(self.params))
+        if self.num_partitions is not None:
+            payload["num_partitions"] = self.num_partitions
+        params_df = spark.createDataFrame([(json.dumps(payload),)], "params_json string")
         params_df.coalesce(1).write.mode("overwrite").json(f"{path}/params")
 
     @classmethod
@@ -69,12 +85,14 @@ class HnswIndex:
         """Re-open a persisted index (reference load(), hsnw_trial.py:
         344-376, including params defaulting via HnswParams defaults)."""
         raw = json.loads(spark.read.json(f"{path}/params").first()["params_json"])
+        num_partitions = raw.pop("num_partitions", None)
         params = HnswParams(**raw)
         return cls(
             spark.read.parquet(f"{path}/nodes"),
             spark.read.parquet(f"{path}/edges"),
             spark.read.parquet(f"{path}/meta"),
             params,
+            num_partitions=num_partitions,
         )
 
     def delete(self, ids_df: DataFrame) -> "HnswIndex":
@@ -87,7 +105,7 @@ class HnswIndex:
             .withColumn("deleted", F.col("deleted") | F.col("_del_id").isNotNull())
             .drop("_del_id")
         )
-        return HnswIndex(nodes, self.edges, self.meta, self.params)
+        return HnswIndex(nodes, self.edges, self.meta, self.params, num_partitions=self.num_partitions)
 
     def rebuild(self, num_partitions: int | None = None) -> "HnswIndex":
         """Compaction: rebuild from the alive subset only (reference
@@ -104,7 +122,10 @@ class HnswIndex:
         form of the reference's lock-guarded real-time insert
         (hsnw_trial.py:197-203; SURVEY.md §2 row 18) — run ``rebuild``
         periodically to re-mix partitions."""
-        offset = self.meta.agg(F.max("partition")).first()[0] + 1
+        # offset from the NODES table: meta lacks rows for 0/1-node
+        # partitions, and a colliding partition id would merge two
+        # unrelated local graphs into one probe group
+        offset = self.nodes.agg(F.max("partition")).first()[0] + 1
         fresh = hnsw_build(vectors_df, self.params, num_partitions=num_partitions,
                            id_col=id_col, vec_col=vec_col)
         shift = lambda df: df.withColumn("partition", (F.col("partition") + F.lit(offset)).cast("int"))  # noqa: E731
@@ -113,6 +134,7 @@ class HnswIndex:
             self.edges.unionByName(shift(fresh.edges)),
             self.meta.unionByName(shift(fresh.meta)),
             self.params,
+            num_partitions=(None if self.num_partitions is None else self.num_partitions + num_partitions),
         )
 
 
@@ -196,7 +218,7 @@ def hnsw_build(
         _level_expr(F.col("id"), pickled).alias("level"),
         F.lit(False).alias("deleted"),
     )
-    idx = HnswIndex(nodes, edges, meta, params)
+    idx = HnswIndex(nodes, edges, meta, params, num_partitions=num_partitions)
     # the persisted kernel output, exposed so callers (bench, repeated
     # rebuilds) can release exactly this cache entry — edges/meta are
     # projections of it and unpersisting those is a no-op

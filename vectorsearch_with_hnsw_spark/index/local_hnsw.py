@@ -388,7 +388,20 @@ class LocalHNSW:
         rowof = {gid: r for r, gid in enumerate(idx.ids)}
         for layer, s, t in zip(edge_layer, edge_src, edge_dst):
             idx.graph[rowof[int(s)]].setdefault(int(layer), []).append(rowof[int(t)])
-        idx.entry_point = rowof[int(entry_point)] if entry_point is not None else None
-        idx.max_layer = int(max_layer)
+        if entry_point is not None:
+            idx.entry_point = rowof[int(entry_point)]
+            idx.max_layer = int(max_layer)
+        elif idx.ids:
+            # A partition can carry nodes but no meta row (a 0/1-node
+            # local graph emits no edges, and meta derives from the edge
+            # table) — without a fallback entry its nodes are silently
+            # unsearchable. Mirror the build's entry rule: the
+            # highest-level node, lowest id on ties.
+            best = max(range(len(idx.ids)), key=lambda r: (idx.levels[r], -idx.ids[r]))
+            idx.entry_point = best
+            idx.max_layer = idx.levels[best]
+        else:
+            idx.entry_point = None
+            idx.max_layer = int(max_layer)
         idx._refresh_cache()
         return idx

@@ -79,7 +79,7 @@ def hnsw_build_routed(
     nodes = src.select(
         "partition", "id", "vec", _level_expr(F.col("id"), pickled).alias("level"), F.lit(False).alias("deleted")
     )
-    return HnswIndex(nodes, edges, meta, params)
+    return HnswIndex(nodes, edges, meta, params, num_partitions=num_partitions)
 
 
 def route_partitions(
@@ -119,7 +119,12 @@ def knn_hnsw_routed(
     import pandas as pd
 
     params = index.params
-    num_partitions = index.meta.count()
+    # route with the BUILD modulus: meta.count() undercounts when a
+    # build partition carried 0/1 nodes (no edges -> no meta row), and a
+    # wrong modulus silently routes queries away from their home bucket
+    num_partitions = index.num_partitions
+    if num_partitions is None:
+        num_partitions = index.meta.count()
     routed = queries_df.select(
         F.col(query_id_col).alias("id"),
         F.col(query_vec_col).cast("array<float>").alias("vec"),

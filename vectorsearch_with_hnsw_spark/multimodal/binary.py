@@ -122,8 +122,11 @@ def extract_features(
     ``decoder="fake"`` (default) is the deterministic byte-hash decoder
     — exact integer arithmetic, oracle-checkable on any payload.
     ``decoder="image"`` runs the real Pillow decode in the same kernel
-    (requires Pillow and genuinely encoded image payloads); failing the
-    import raises NotImplementedError up front, not per task."""
+    (requires Pillow on the driver AND every executor, plus genuinely
+    encoded image payloads). The driver-side gate catches the common
+    local-mode miss up front; a cluster whose worker images lack
+    Pillow still fails per task at decode — environment parity is the
+    deployer's contract, as with any Python dependency in a kernel."""
     if decoder not in ("fake", "image"):
         raise ValueError(f"unknown decoder {decoder!r}; expected 'fake' or 'image'")
     if decoder == "image" and not HAS_PIL:

@@ -178,6 +178,8 @@ def dedup_clusters(
     canonical representative). ``algorithm="star"`` swaps the
     O(diameter) label-propagation loop for O(log^2 n) star contraction
     (same output; see connected_components_star)."""
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}; expected 'label' or 'star'")
     if algorithm == "star":
         cc = connected_components_star(pairs, max_iter=max_iter)
     else:
@@ -328,10 +330,12 @@ def knn_label_vote(
         "src_id", "dst_id"
     )
     votes = (
-        g.join(
-            F.broadcast(emb.select(F.col("vec_id").alias("dst_id"), "label")),
-            "dst_id",
-        )
+        # no broadcast hint: the label lookup is the WHOLE corpus — at
+        # the beyond-O(N^2) sizes the hnsw backend targets, forcing a
+        # broadcast would collect billions of rows to the driver. The
+        # graph is already keyed on dst_id, so this is one shuffle join
+        # (AQE still auto-broadcasts when the table is genuinely small).
+        g.join(emb.select(F.col("vec_id").alias("dst_id"), "label"), "dst_id")
         .groupBy("src_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

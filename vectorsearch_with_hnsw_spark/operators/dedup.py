@@ -164,8 +164,17 @@ def minhash_lsh_pairs(
             *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
             F.col(f"band{b}").alias("bucket"),
         )
+        # re-verify the band's actual signature rows after the hash-key
+        # join (map-side, no extra shuffle): a 2^-64 xxhash64 collision
+        # would otherwise fabricate a candidate pair, and downstream
+        # consumers (fuzzy_dedup's transitive closure) take pairs as-is
+        band_eq = F.lit(True)
+        for i in range(b * rows_per_band, (b + 1) * rows_per_band):
+            band_eq = band_eq & (F.col(f"a_mh{i}") == F.col(f"b_mh{i}"))
         pair_frames.append(
-            l.join(r, "bucket").filter(F.col("doc_a") < F.col("doc_b")).drop("bucket")
+            l.join(r, "bucket")
+            .filter((F.col("doc_a") < F.col("doc_b")) & band_eq)
+            .drop("bucket")
         )
     pairs = pair_frames[0]
     for pf in pair_frames[1:]:
@@ -247,9 +256,10 @@ def simhash_pairs(
 def embedding_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.45,
+    threshold: float = 0.92,
     bands: int = 4,
     planes_per_band: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by banded
     random-hyperplane LSH buckets over the embeddings themselves.
@@ -265,17 +275,32 @@ def embedding_neardup_pairs(
     collision prob p).
 
     Candidate pairs then get the exact cosine via the same sequential
-    double fold the oracle uses, so the DuckDB twin is bit-exact."""
+    double fold the oracle uses, so the DuckDB twin is bit-exact.
+
+    The 0.92 default is a genuine near-duplicate bar for real embedding
+    spaces (unrelated sentence/image pairs routinely sit at 0.4-0.6 —
+    a loose default would silently chain most of a corpus into
+    mega-clusters downstream); the registry's oracle row uses a lower
+    threshold only because the synthetic gaussian testdata has no true
+    near-dups to find. ``dim`` is inferred from the first row when not
+    given — a wrong dim would NULL-pad every plane dot and collapse
+    all vectors into bucket 0 (one O(n^2) block)."""
     from ..functions.vector import dot, l2_norm
     from .ann import banded_bucket_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if dim is None:
+        first = emb.select("embedding").first()
+        if first is None:
+            dim = 0
+        else:
+            dim = len(first[0])
     withv = emb.select(
         F.col("vec_id"),
         to_vec("embedding").alias("v"),
         l2_norm(to_vec("embedding")).alias("nrm"),
     )
-    banded = banded_bucket_frame(withv, "v", 64, bands, planes_per_band)
+    banded = banded_bucket_frame(withv, "v", int(dim), bands, planes_per_band)
     a = banded.select(
         "band", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -407,7 +432,7 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_dedup(docs: DataFrame) -> DataFrame:
+def fuzzy_dedup(docs: DataFrame, cc_algorithm: str = "label") -> DataFrame:
     """The canonical end-to-end fuzzy-dedup pipeline in one call:
     MinHash signatures -> LSH band buckets -> candidate pairs ->
     connected components (transitive closure) -> quality-aware keeper
@@ -431,17 +456,28 @@ def fuzzy_dedup(docs: DataFrame) -> DataFrame:
     from .clusters import connected_components
 
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    return _cluster_keeper_verdict(docs, pairs)
+    return _cluster_keeper_verdict(docs, pairs, cc_algorithm)
 
 
-def _cluster_keeper_verdict(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def _cluster_keeper_verdict(
+    docs: DataFrame, pairs: DataFrame, cc_algorithm: str = "label"
+) -> DataFrame:
     """Shared tail of the end-to-end dedup pipelines: near-dup pairs ->
-    connected components -> quality-aware keeper per cluster, a verdict
-    row for EVERY document (singletons keep)."""
+    connected components ("label" propagation or "star" contraction) ->
+    quality-aware keeper per cluster, a verdict row for EVERY document
+    (singletons keep)."""
     from ..functions.text import quality_features
-    from .clusters import connected_components
+    from .clusters import connected_components, connected_components_star
 
-    cc = connected_components(pairs)
+    if cc_algorithm not in ("label", "star"):
+        raise ValueError(
+            f"unknown cc_algorithm {cc_algorithm!r}; expected 'label' or 'star'"
+        )
+    cc = (
+        connected_components_star(pairs)
+        if cc_algorithm == "star"
+        else connected_components(pairs)
+    )
     feats = quality_features(F.col("text"))
     scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
     labeled = scored.join(cc, scored.doc_id == cc.node, "left").select(
@@ -468,7 +504,9 @@ def _cluster_keeper_verdict(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def semantic_dedup(docs: DataFrame, dim: int = 64, threshold: float = 0.8) -> DataFrame:
+def semantic_dedup(
+    docs: DataFrame, dim: int = 64, threshold: float = 0.8, cc_algorithm: str = "label"
+) -> DataFrame:
     """SemDeDup-style end-to-end semantic dedup in one call:
     feature-hashed unit vectors -> banded-LSH cosine near-dup pairs ->
     connected components -> quality-aware keeper per cluster. Returns
@@ -486,7 +524,7 @@ def semantic_dedup(docs: DataFrame, dim: int = 64, threshold: float = 0.8) -> Da
     pairs = semantic_neardup_pairs(docs, dim=dim, threshold=threshold).select(
         "doc_a", "doc_b"
     )
-    return _cluster_keeper_verdict(docs, pairs)
+    return _cluster_keeper_verdict(docs, pairs, cc_algorithm)
 
 
 def decontaminate(
@@ -551,12 +589,20 @@ def dedup_incremental(
                 F.col(f"mh{i}")
                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)
             ]
-            # fixed-width 8-byte band key (band index folded in because
-            # all bands share one bucket column here); vs the previous
-            # string concat the corpus bucket artifact shrinks to
-            # 8 bytes/row and the join shuffles longs
+            # fixed-width 16-byte band key: two independently-salted
+            # xxhash64 columns (vs the previous variable-width string
+            # concat the corpus bucket artifact is still ~10x smaller
+            # and the join shuffles longs). Two hashes because a bucket
+            # match DROPS a new doc outright with no signature rescore
+            # available — a single 64-bit key has ~2^-64-per-pair
+            # collisions, measurable at the trillion-doc design target;
+            # the 128-bit pair does not.
             frames.append(
-                sig.select("doc_id", F.xxhash64(F.lit(b), *parts).alias("bucket"))
+                sig.select(
+                    "doc_id",
+                    F.xxhash64(F.lit(b), *parts).alias("bucket"),
+                    F.xxhash64(F.lit(b + 7919), *parts).alias("bucket2"),
+                )
             )
         out = frames[0]
         for fr in frames[1:]:
@@ -564,8 +610,12 @@ def dedup_incremental(
         return out
 
     new_buckets = banded_buckets(new_docs)
-    corpus_buckets = banded_buckets(corpus_docs).select("bucket").distinct()
-    flagged = new_buckets.join(corpus_buckets, "bucket").select("doc_id").distinct()
+    corpus_buckets = banded_buckets(corpus_docs).select("bucket", "bucket2").distinct()
+    flagged = (
+        new_buckets.join(corpus_buckets, ["bucket", "bucket2"])
+        .select("doc_id")
+        .distinct()
+    )
     return (
         exact_surv.join(flagged, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")

@@ -482,7 +482,11 @@ def lm_model(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
     from ..functions.text import poly_hash, word_shingles
 
     return (
-        spread(docs).filter(F.col("lang") == ref_lang)
+        # filter BEFORE the round-robin rebalance: spread() shuffles the
+        # rows it is given, and shuffling the non-reference languages
+        # only to drop them is pure wasted exchange on a multilingual
+        # corpus
+        spread(docs.filter(F.col("lang") == ref_lang))
         .select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
         .select(poly_hash(F.col("bg")).alias("h"))
         .groupBy("h")

@@ -252,8 +252,19 @@ def anomaly_score_stream(
     Returns the started StreamingQuery; callers await it."""
     from pyspark.sql import functions as F
 
+    def epoch_day(ts_col):
+        # UTC epoch-day as a DATE, computed from the instant itself —
+        # F.window() buckets on epoch-aligned UTC days, so the history
+        # side must bucket identically. to_date() would use the SESSION
+        # timezone and silently shift labels/counts in any non-UTC
+        # driver session (the engine pins UTC, user sessions may not).
+        return F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(F.unix_timestamp(ts_col) / F.lit(86400)).cast("int"),
+        )
+
     daily_hist = history_events.groupBy(
-        "user_id", F.to_date("ts").alias("day")
+        "user_id", epoch_day(F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     moments = (
         daily_hist.groupBy("user_id")
@@ -273,7 +284,7 @@ def anomaly_score_stream(
         events_stream.withWatermark("ts", watermark)
         .groupBy("user_id", F.window("ts", "1 day").alias("_w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", F.to_date(F.col("_w.start")).alias("day"), "n_events")
+        .select("user_id", epoch_day(F.col("_w.start")).alias("day"), "n_events")
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
