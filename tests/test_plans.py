@@ -339,6 +339,24 @@ def test_binary_sign_plan_no_shuffle_before_topk(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_banded_lsh_plan_index_side_map_only(spark, sf_smoke):
+    """Banded LSH: the index side computes its sign signature and band
+    buckets MAP-SIDE (scan -> project -> explode -> broadcast join, no
+    exchange below the join); queries broadcast; the only hash
+    exchanges are the candidate distinct (2: partial+final agg) and the
+    per-query top-k window (1)."""
+    from vectorsearch_with_hnsw_spark.registry import q_lsh_ann_cosine
+
+    df = q_lsh_ann_cosine(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1, "query side broadcasts once"
+    assert plan.count("Exchange hashpartitioning") <= 3, plan.count(
+        "Exchange hashpartitioning"
+    )
+    # the join must be on the (band, bucket) hash keys, never a pair scan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dup_spans_no_cartesian_anywhere(spark, sf_smoke):
     """The shared-passage join must be an equi-join on the n-gram hash
     — a cartesian or broadcast-nested-loop pair scan would be quadratic
