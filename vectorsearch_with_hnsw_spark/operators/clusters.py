@@ -46,10 +46,14 @@ def connected_components(
     ).distinct()
     edges = edges.localCheckpoint(eager=True)  # pair-generation plan runs ONCE
 
+    # initialize labels at the ITERATION-1 state directly: label(u) =
+    # min(u, neighbors(u)) is one aggregation over the edge relation
+    # (labels are identity at that point, so the loop's join adds
+    # nothing) — saves a full join+agg+checkpoint round
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .withColumnRenamed("src", "node")
         .localCheckpoint(eager=True)
     )
 
