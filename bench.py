@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "ivf_kmeans_ann",
     "binary_sign_ann",
     "mix_corpus",
+    "mix_corpus_temperature",
     "dedup_incremental",
     "approx_top_tokens",
     "min_cost_supplier",

@@ -117,3 +117,39 @@ def test_approx_top_tokens_error_bound(spark, sf_smoke):
     # the single most frequent true token must be found
     top_true = max(exact, key=lambda t: (exact[t], t))
     assert top_true in est
+
+
+def test_mix_corpus_temperature_flattening(spark, sf_smoke):
+    """alpha=0.5 sampling: the smallest source keeps 100%, every other
+    source keeps ~sqrt(n_b/n_s) of its rows (flattening the size
+    distribution halfway), selection is deterministic, and invalid
+    alpha raises."""
+    import math
+
+    import pytest
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import mix_corpus_temperature
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = mix_corpus_temperature(docs).collect()
+    b = mix_corpus_temperature(docs).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    from collections import Counter
+
+    kept = Counter(r.source for r in a)
+    n_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    nb = min(n_src.values())
+    binding = min(s for s, n in n_src.items() if n == nb)
+    assert kept[binding] == nb, "smallest source keeps every row"
+    for s, n in n_src.items():
+        expected = n * math.sqrt(nb / n)
+        assert abs(kept.get(s, 0) - expected) <= max(4, 0.45 * expected), (
+            s, kept.get(s), expected,
+        )
+    with pytest.raises(ValueError):
+        mix_corpus_temperature(docs, alpha=0.0)
+    with pytest.raises(ValueError):
+        mix_corpus_temperature(docs, alpha=1.5)

@@ -46,6 +46,7 @@ def __getattr__(name):
         "connected_components_star": ("operators.clusters", "connected_components_star"),
         "knn_graph": ("operators.retrieval", "knn_graph"),
         "pretrain_sequences": ("operators.pipeline", "pretrain_sequences"),
+        "mix_corpus_temperature": ("operators.textpipe", "mix_corpus_temperature"),
         "load_table": ("sources", "load_table"),
         "get_spark": ("session", "get_spark"),
         "queries": ("registry", "queries"),

@@ -199,6 +199,61 @@ def mix_corpus(
     )
 
 
+def mix_corpus_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    salt: int = 424_243,
+) -> DataFrame:
+    """Temperature (alpha) sampling across sources — the standard
+    multilingual/multi-source LLM data recipe: target share of source s
+    is proportional to ``n_s ** alpha``, flattening the natural size
+    distribution (alpha=1 keeps it, alpha=0 would equalize sources).
+    The smallest source becomes the binding one (kept at 100%) and
+    every other source down-samples by
+    ``(n_s^alpha * n_b) / (n_b^alpha * n_s)`` — at the alpha=0.5
+    default simply ``sqrt(n_b / n_s)``.
+
+    Same two-pass scale shape as mix_corpus: one |sources|-row count
+    agg broadcast back, then a map-only deterministic hash gate — no
+    corpus-sized shuffle, reproducible under any partitioning. The
+    alpha=0.5 default computes weights with sqrt (correctly-rounded
+    IEEE on every engine, so the oracle matches bit-for-bit); other
+    alphas use pow(), which engines may round 1 ulp apart — fine in
+    production, not oracle-exact."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+    def weight(col):
+        n = col.cast("double")
+        return F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+
+    w = Window.orderBy(
+        F.col("n").cast("double") / weight(F.col("n")), F.col("source")
+    )
+    binding = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("n").alias("nb"))
+    )
+    ppm = F.least(
+        F.lit(1_000_000),
+        F.floor(
+            (weight(F.col("n")) * F.col("nb").cast("double") * F.lit(1000000.0))
+            / (weight(F.col("nb")) * F.col("n").cast("double"))
+        ),
+    ).cast("long")
+    rates = counts.crossJoin(F.broadcast(binding)).select("source", ppm.alias("ppm"))
+    gate = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(
+        SAMPLE_MOD
+    ) % F.lit(1_000_000)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("ppm"))
+        .select("doc_id", "source", "lang")
+    )
+
+
 def approx_top_tokens(
     docs: DataFrame, k: int = 20, capacity: int = 64, text_col: str = "text"
 ) -> DataFrame:
