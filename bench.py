@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "matryoshka_ann",
     "dup_spans_capped",
     "lm_familiarity",
+    "familiarity_buckets",
     "fuzzy_dedup",
     # semantic_dedup: oracle-checked (driver window) but not timed here —
     # its cost is the same connected-components loop fuzzy_dedup and

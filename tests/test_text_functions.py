@@ -120,3 +120,42 @@ def test_hashed_doc_vectors_bridge_semantics(spark):
     )
     top = {r.rnk: r.neighbor_id for r in knn_exact(emb, q, k=2, metric="l2").collect()}
     assert set(top.values()) == {0, 1}, "dup doc is the nearest neighbor at dist 0"
+
+
+def test_familiarity_buckets_semantics(spark, sf_smoke):
+    """CCNet buckets: within a language, higher familiarity rate never
+    lands in a later bucket; bucket sizes are within one quantized-rate
+    group of equal frequency; bucket ids span [1, n]; deterministic."""
+    from collections import Counter
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import familiarity_buckets
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = familiarity_buckets(docs, ref_lang="en", n_buckets=3).collect()
+    assert len(rows) == docs.count()
+    assert {r.bucket for r in rows} <= {1, 2, 3}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (-r.rate_ppm, r.doc_id))
+        buckets = [r.bucket for r in rs]
+        assert buckets == sorted(buckets), f"{lang}: bucket not monotone in rate"
+        sizes = Counter(buckets)
+        n = len(rs)
+        if n >= 6:
+            for b, c in sizes.items():
+                assert c <= n, (lang, b, c)
+        # docs sharing a quantized rate share a bucket
+        seen = {}
+        for r in rs:
+            if r.rate_ppm in seen:
+                assert seen[r.rate_ppm] == r.bucket
+            seen[r.rate_ppm] = r.bucket
+    again = familiarity_buckets(docs, ref_lang="en", n_buckets=3).collect()
+    assert {(r.doc_id, r.bucket) for r in again} == {(r.doc_id, r.bucket) for r in rows}
+    import pytest
+
+    with pytest.raises(ValueError):
+        familiarity_buckets(docs, n_buckets=0)

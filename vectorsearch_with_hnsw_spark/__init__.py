@@ -33,6 +33,7 @@ def __getattr__(name):
         "semantic_dedup": ("operators.dedup", "semantic_dedup"),
         "dup_span_pairs": ("operators.dedup", "dup_span_pairs"),
         "lm_familiarity": ("operators.textpipe", "lm_familiarity"),
+        "familiarity_buckets": ("operators.textpipe", "familiarity_buckets"),
         "knn_pagerank": ("operators.clusters", "knn_pagerank"),
         "hashed_doc_vectors": ("operators.textpipe", "hashed_doc_vectors"),
         "bloom_pruned_join": ("plans.bloom", "bloom_pruned_join"),

@@ -254,6 +254,51 @@ def mix_corpus_temperature(
     )
 
 
+def familiarity_buckets(
+    docs: DataFrame, ref_lang: str = "en", n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style quality buckets: rank every document by its bigram-LM
+    familiarity RATE within its language and split each language into
+    ``n_buckets`` equal-frequency buckets — bucket 1 = head (most
+    familiar to the reference-language model), n = tail. The standard
+    perplexity-bucket curation step (CCNet keeps head+middle, inspects
+    tail), built on lm_familiarity's integer-exact scoring.
+
+    Scale shape — the crucial part: NO window ever runs over the
+    corpus. Rates quantize to integer ppm (``(fam*1e6) div n_bigrams``,
+    pure integer arithmetic), the per-(lang, ppm) HISTOGRAM is one
+    corpus shuffle, and the cumulative ranking window runs over that
+    histogram (<= 1e6+1 rows per language, regardless of corpus size);
+    bucket ids broadcast back onto docs by (lang, ppm). Bucket of a
+    quantized rate = ceil(cum_docs_at_or_above * n / N) — all-integer,
+    so the DuckDB oracle matches bit-for-bit, and docs with equal
+    quantized rates always share a bucket (deterministic under any
+    partitioning)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    scored = lm_familiarity(docs, ref_lang=ref_lang).withColumn(
+        "rate_ppm", F.expr("(fam * 1000000) div greatest(n_bigrams, 1)")
+    )
+    hist = scored.groupBy("lang", "rate_ppm").agg(F.count(F.lit(1)).alias("_cnt"))
+    wl = Window.partitionBy("lang").orderBy(F.col("rate_ppm").desc())
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(wl))
+    tot = hist.groupBy("lang").agg(F.sum("_cnt").alias("_n"))
+    buckets = (
+        cum.join(tot, "lang")
+        .select(
+            "lang",
+            "rate_ppm",
+            F.least(
+                F.lit(n_buckets),
+                F.expr(f"cast((_cum * {n_buckets} + _n - 1) div _n as int)"),
+            ).alias("bucket"),
+        )
+    )
+    return scored.join(buckets, ["lang", "rate_ppm"]).select(
+        "doc_id", "lang", "n_bigrams", "fam", "rate_ppm", "bucket"
+    )
+
+
 def approx_top_tokens(
     docs: DataFrame, k: int = 20, capacity: int = 64, text_col: str = "text"
 ) -> DataFrame:
