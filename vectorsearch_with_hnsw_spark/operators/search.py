@@ -51,14 +51,18 @@ def similarity_search(
     n_probe: int = 3,
     index=None,
     num_partitions: int = 4,
+    ef: int | None = None,
 ) -> DataFrame:
     """Dispatch to one similarity-search family by name.
 
     ``dim`` is required for the hyperplane/centroid methods (lsh, ivf,
     ivf_sq8, hnsw without a prebuilt index); pass ``index`` (an
     ``HnswIndex``) to probe an existing HNSW artifact instead of
-    building one per call. Unknown methods raise ValueError, mirroring
-    the reference's unknown-metric error (hsnw_trial.py:88-89)."""
+    building one per call; ``ef`` is the hnsw search-breadth knob
+    (the reference's ef_search, hsnw_trial.py:274 — defaults to the
+    index params' ef_search, clamped to >= k). Unknown methods raise
+    ValueError, mirroring the reference's unknown-metric error
+    (hsnw_trial.py:88-89)."""
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
     if method == "exact":
@@ -132,7 +136,7 @@ def similarity_search(
             HnswParams(dim=_dim(dim, method), metric=metric),
             num_partitions=num_partitions,
         )
-    return knn_hnsw(index, queries, k=k)
+    return knn_hnsw(index, queries, k=k, ef=ef)
 
 
 def _dim(dim: int | None, method: str) -> int:
