@@ -280,3 +280,61 @@ def test_session_newest_ops_on_empty_inputs(spark):
         .count()
         == 0
     )
+
+
+def test_bucket_sql_forms_match_column_form(spark, sf_smoke):
+    """The three construction paths for LSH buckets — per-plane Column
+    expressions, the one-string band_bucket_sql, and the signature+fold
+    pair banded_bucket_frame uses — must produce IDENTICAL bucket
+    integers for every vector and band (they are speed knobs, not
+    semantic variants; the DuckDB oracle mirrors one shape)."""
+    from vectorsearch_with_hnsw_spark.operators.ann import (
+        band_bucket_sql,
+        bands_from_signature_sql,
+        lsh_band_bucket,
+        sign_signature_sql,
+    )
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = (
+        load_table(spark, sf_smoke, "embeddings")
+        .limit(80)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    bands, ppb, dim = 3, 8, 64
+    cols = {"vec_id": F.col("vec_id")}
+    for b in range(bands):
+        cols[f"col_{b}"] = lsh_band_bucket(F.col("v"), dim, b, ppb)       # Column path
+        cols[f"sql_{b}"] = F.expr(band_bucket_sql("v", dim, b, ppb))      # one-string path
+    folded = F.expr(bands_from_signature_sql(sign_signature_sql("v", bands * ppb, dim), bands, ppb))
+    rows = emb.select(
+        *[c.alias(name) for name, c in cols.items()], folded.alias("fold")
+    ).collect()
+    for r in rows:
+        for b in range(bands):
+            assert r[f"col_{b}"] == r[f"sql_{b}"], (r["vec_id"], b)
+            assert r[f"col_{b}"] == r["fold"][b]["bucket"], (r["vec_id"], b)
+            assert r["fold"][b]["band"] == b
+
+
+def test_mix_corpus_temperature_pow_path_runs(spark, sf_smoke):
+    """alpha != 0.5 takes the pow() weight path (production-fine, not
+    oracle-exact): still deterministic, still keeps the smallest source
+    whole, and flattens less at alpha closer to 1."""
+    from collections import Counter
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import mix_corpus_temperature
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    half = Counter(r.source for r in mix_corpus_temperature(docs, alpha=0.5).collect())
+    mild = Counter(r.source for r in mix_corpus_temperature(docs, alpha=0.9).collect())
+    n_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    nb = min(n_src.values())
+    biggest = max(n_src, key=lambda s: (n_src[s], s))
+    assert mild[biggest] >= half[biggest], "alpha→1 keeps more of the big source"
+    binding = min(s for s, n in n_src.items() if n == nb)
+    assert mild[binding] == nb
