@@ -113,6 +113,41 @@ def test_single_node_partition_is_searchable(spark, emb):
     assert by_q == {i: {0, 1, 2} for i in range(3)}, "every node reachable from every query"
 
 
+def test_routed_probe_after_append(spark, emb, tmp_path):
+    """append must NOT change the routing modulus (appended partitions
+    are hash-placed, outside the LSH layout): originals keep routing
+    correctly AND appended vectors are reachable (their partitions are
+    probed unconditionally). Also round-trips through save/load."""
+    from vectorsearch_with_hnsw_spark.index.build import HnswIndex
+
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    idx = hnsw_build_routed(
+        old.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=8,
+    )
+    appended = idx.append(
+        new.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        num_partitions=2,
+    )
+    assert appended.num_partitions == 8  # modulus frozen at build value
+    assert len(appended.appended_partitions) == 2
+    appended.save(str(tmp_path / "aidx"))
+    loaded = HnswIndex.load(spark, str(tmp_path / "aidx"))
+    assert loaded.num_partitions == 8
+    assert loaded.appended_partitions == appended.appended_partitions
+    q = emb.filter(F.col("vec_id") < 450).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = knn_hnsw_routed(loaded, q, k=1).filter(F.col("rnk") == 1).collect()
+    assert len(rows) == 450
+    for r in rows:  # every vector (original AND appended) finds itself
+        assert r["neighbor_id"] == r["query_id"], (
+            f"query {r['query_id']} routed to {r['neighbor_id']}"
+        )
+
+
 def test_num_partitions_survives_save_load(spark, emb, tmp_path):
     idx = hnsw_build_routed(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),

@@ -118,6 +118,42 @@ def test_graph_analytics_on_hnsw_backend(spark, sf_smoke):
     assert len(lv) == 80 and all(1 <= r.votes <= 4 for r in lv)
 
 
+def test_graph_analytics_on_routed_backend(spark, sf_smoke):
+    """The routed ANN graph can emit FEWER than k out-edges per node:
+    pagerank divides shares by actual out-degree (no leaked rank mass
+    beyond integer flooring) and label vote left-joins (every vector
+    gets a verdict row even with zero surviving edges)."""
+    from vectorsearch_with_hnsw_spark.operators.clusters import (
+        knn_label_vote,
+        knn_pagerank,
+        knn_triangles,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(80)
+    pr = knn_pagerank(emb, k=4, iters=2, graph_method="hnsw_routed").collect()
+    assert len(pr) == 80 and all(r.pr > 0 for r in pr)
+    tri = knn_triangles(emb, k=4, graph_method="hnsw_routed").collect()
+    assert len(tri) == 80
+    lv = knn_label_vote(emb, k=4, graph_method="hnsw_routed").collect()
+    assert len(lv) == 80, "left join keeps totality under routed pruning"
+    for r in lv:
+        if r.predicted_label is None:
+            assert r.correct is False
+
+
+def test_graph_analytics_unknown_method_raises(spark, sf_smoke):
+    from vectorsearch_with_hnsw_spark.operators.clusters import (
+        knn_label_vote,
+        knn_pagerank,
+        knn_triangles,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(10)
+    for fn in (knn_pagerank, knn_triangles, knn_label_vote):
+        with pytest.raises(ValueError, match="unknown graph_method"):
+            fn(emb, k=3, graph_method="faiss")
+
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 

@@ -47,7 +47,12 @@ class HnswIndex:
     ``num_partitions`` records the BUILD modulus. The routed probe must
     route with exactly this value — deriving it from meta.count() is
     wrong when a partition ends up with 0/1 nodes (no edge rows -> no
-    meta row), which would silently shift every query's pmod routing."""
+    meta row), which would silently shift every query's pmod routing.
+    ``append`` therefore NEVER bumps it: appended partitions are
+    hash-placed (not LSH-placed), so they live outside the routing
+    space and are tracked in ``appended_partitions`` — the routed probe
+    adds them to every query's candidate set (probe-all for the
+    appended tail, routed for the original build)."""
 
     def __init__(
         self,
@@ -56,12 +61,14 @@ class HnswIndex:
         meta: DataFrame,
         params: HnswParams,
         num_partitions: int | None = None,
+        appended_partitions: list[int] | None = None,
     ):
         self.nodes = nodes
         self.edges = edges
         self.meta = meta
         self.params = params
         self.num_partitions = num_partitions
+        self.appended_partitions = list(appended_partitions or [])
         self.kernel_out: DataFrame | None = None  # set by hnsw_build
 
     def save(self, path: str) -> None:
@@ -77,6 +84,8 @@ class HnswIndex:
         payload = dict(asdict(self.params))
         if self.num_partitions is not None:
             payload["num_partitions"] = self.num_partitions
+        if self.appended_partitions:
+            payload["appended_partitions"] = self.appended_partitions
         params_df = spark.createDataFrame([(json.dumps(payload),)], "params_json string")
         params_df.coalesce(1).write.mode("overwrite").json(f"{path}/params")
 
@@ -86,6 +95,7 @@ class HnswIndex:
         344-376, including params defaulting via HnswParams defaults)."""
         raw = json.loads(spark.read.json(f"{path}/params").first()["params_json"])
         num_partitions = raw.pop("num_partitions", None)
+        appended = raw.pop("appended_partitions", None)
         params = HnswParams(**raw)
         return cls(
             spark.read.parquet(f"{path}/nodes"),
@@ -93,6 +103,7 @@ class HnswIndex:
             spark.read.parquet(f"{path}/meta"),
             params,
             num_partitions=num_partitions,
+            appended_partitions=appended,
         )
 
     def delete(self, ids_df: DataFrame) -> "HnswIndex":
@@ -105,7 +116,11 @@ class HnswIndex:
             .withColumn("deleted", F.col("deleted") | F.col("_del_id").isNotNull())
             .drop("_del_id")
         )
-        return HnswIndex(nodes, self.edges, self.meta, self.params, num_partitions=self.num_partitions)
+        return HnswIndex(
+            nodes, self.edges, self.meta, self.params,
+            num_partitions=self.num_partitions,
+            appended_partitions=self.appended_partitions,
+        )
 
     def rebuild(self, num_partitions: int | None = None) -> "HnswIndex":
         """Compaction: rebuild from the alive subset only (reference
@@ -121,7 +136,15 @@ class HnswIndex:
         untouched; probe-all keeps results correct. This is the batch
         form of the reference's lock-guarded real-time insert
         (hsnw_trial.py:197-203; SURVEY.md §2 row 18) — run ``rebuild``
-        periodically to re-mix partitions."""
+        periodically to re-mix partitions.
+
+        ``num_partitions`` (the routing modulus) is deliberately NOT
+        bumped: the fresh partitions are hash-placed by hnsw_build, not
+        LSH-placed, so folding them into the modulus would misroute
+        every routed probe (wrong pmod) AND leave the appended vectors
+        unreachable by routing. They are recorded in
+        ``appended_partitions`` instead; knn_hnsw_routed probes them
+        unconditionally (probe-all for the appended tail)."""
         # offset from the NODES table: meta lacks rows for 0/1-node
         # partitions, and a colliding partition id would merge two
         # unrelated local graphs into one probe group
@@ -134,7 +157,9 @@ class HnswIndex:
             self.edges.unionByName(shift(fresh.edges)),
             self.meta.unionByName(shift(fresh.meta)),
             self.params,
-            num_partitions=(None if self.num_partitions is None else self.num_partitions + num_partitions),
+            num_partitions=self.num_partitions,
+            appended_partitions=self.appended_partitions
+            + [int(offset) + i for i in range(num_partitions)],
         )
 
 

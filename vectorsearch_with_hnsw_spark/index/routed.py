@@ -114,7 +114,12 @@ def knn_hnsw_routed(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Multi-probe routed query: each query is replicated only to its
-    candidate partitions (<= n_planes+1 of them, independent of P)."""
+    candidate partitions (<= n_planes+1 of them, independent of P).
+
+    Partitions added by ``HnswIndex.append`` are hash-placed, outside
+    the LSH routing space — every query probes ALL of them in addition
+    to its routed candidates (correctness over the appended tail;
+    ``rebuild`` re-mixes them into the routed layout)."""
     import numpy as np
     import pandas as pd
 
@@ -125,14 +130,18 @@ def knn_hnsw_routed(
     num_partitions = index.num_partitions
     if num_partitions is None:
         num_partitions = index.meta.count()
+    route = route_partitions(
+        f"cast(`{query_vec_col}` as array<double>)", params.dim, int(num_partitions), n_planes
+    )
+    appended = getattr(index, "appended_partitions", None) or []
+    if appended:
+        route = F.array_distinct(
+            F.concat(route, F.array(*[F.lit(int(p)).cast("int") for p in appended]))
+        )
     routed = queries_df.select(
         F.col(query_id_col).alias("id"),
         F.col(query_vec_col).cast("array<float>").alias("vec"),
-        F.explode(
-            route_partitions(
-                f"cast(`{query_vec_col}` as array<double>)", params.dim, int(num_partitions), n_planes
-            )
-        ).alias("partition"),
+        F.explode(route).alias("partition"),
     )
     tagged = index.nodes.select(
         "partition", "id", "vec", "level", "deleted", F.lit(False).alias("is_query")

@@ -105,8 +105,11 @@ def connected_components_star(
     Both are one groupBy-min + one join over the edge relation, same
     co-partitioned shuffle shape as the label-propagation loop; edges
     strictly contract toward (node, component-min) stars, and the
-    driver-side convergence probe is a LIMIT-1 count of non-star
-    edges. Use this backend when components can be deep (general
+    driver-side convergence probe is a fixpoint check on the
+    (distinct, normalized) edge set — equal cardinality plus an empty
+    one-sided ``exceptAll`` difference, two cheap jobs over
+    checkpointed frames run O(log^2 n) times total. Use this backend
+    when components can be deep (general
     graphs); near-dup clusters are shallow quasi-cliques, where the
     default label loop converges in ~diameter+1 rounds anyway."""
     raw = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -211,36 +214,45 @@ def knn_pagerank(
     wants to drop).
 
     All arithmetic is INTEGER: ranks live in fixed-point units of
-    1/scale, the damped share is ``(pr * damping_pct) div 100 div k``
-    (every node has exactly k out-edges by construction, so the
-    per-edge share needs no degree join), and the teleport term is
-    ``scale * (100 - damping_pct) div 100``. Integer div is
-    engine-identical where double division would drift above 2^53 —
-    same rationale as the fixed-point k-means sums. Mass lost to
-    flooring is deterministic and identical in the oracle.
+    1/scale, the damped share is ``(pr * damping_pct) div 100 div
+    out_deg`` (out-degree joined onto the edge relation ONCE before the
+    loop — with the exact backend out_deg == k everywhere, so the
+    result is bit-identical to the degree-free form the oracle mirrors),
+    and the teleport term is ``scale * (100 - damping_pct) div 100``.
+    Integer div is engine-identical where double division would drift
+    above 2^53 — same rationale as the fixed-point k-means sums. Mass
+    lost to flooring is deterministic and identical in the oracle.
 
     Per iteration: one join (ranks onto edge sources, shuffling on the
     node key) + one sum by destination — the same two co-partitioned
     exchanges as connected_components, with localCheckpoint keeping the
     unrolled plan linear. ``graph_method="hnsw"`` swaps the exact
     O(N^2) base graph for the partitioned-HNSW ANN graph (O(N log N)
-    build + collect-free probe) — the 100 TB path; "exact" stays the
-    oracle setting. Every node still has exactly k out-edges under
-    either backend, so the degree-free per-edge share stays valid."""
+    build + collect-free probe); ``"hnsw_routed"`` bounds probe cost at
+    cluster partition counts and may emit FEWER than k out-edges per
+    node — the per-edge share divides by the ACTUAL out-degree, so no
+    rank mass leaks under any backend. "exact" stays the oracle
+    setting."""
     from .retrieval import knn_graph
 
+    if graph_method not in ("exact", "hnsw", "hnsw_routed"):
+        raise ValueError(
+            f"unknown graph_method {graph_method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
+        )
     # checkpoint the graph: every iteration (and the node frame) reads
     # it, and without truncation the exact-kNN build would re-execute
-    # once per reference (same rationale as connected_components' edges)
-    edges = (
-        knn_graph(emb, k=k, metric=metric, method=graph_method)
-        .select("src_id", "dst_id")
-        .localCheckpoint(eager=True)
+    # once per reference (same rationale as connected_components' edges).
+    # out-degree rides the edge rows from the start — one setup agg +
+    # join, zero per-iteration cost.
+    raw = knn_graph(emb, k=k, metric=metric, method=graph_method).select(
+        "src_id", "dst_id"
     )
+    deg = raw.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = raw.join(deg, "src_id").localCheckpoint(eager=True)
     nodes = emb.select(F.col("vec_id").alias("node_id"))
     base = (scale * (100 - damping_pct)) // 100
     p = nodes.select("node_id", F.lit(scale).cast("long").alias("pr"))
-    share = F.expr(f"((pr * {damping_pct}) div 100) div {k}")
+    share = F.expr(f"((pr * {damping_pct}) div 100) div out_deg")
     for _ in range(iters):
         contrib = (
             edges.join(p, edges.src_id == p.node_id)
@@ -276,11 +288,16 @@ def knn_triangles(
     closes them — each triangle (a < b < c) is produced exactly once,
     and both joins shuffle on node keys the kNN-graph output already
     carries. Nodes in no triangle surface with 0 via the left join
-    (totality over the whole vector table). ``graph_method="hnsw"``
-    swaps in the ANN base graph for beyond-O(N^2) corpora (see
-    knn_pagerank); "exact" stays the oracle setting."""
+    (totality over the whole vector table). ``graph_method="hnsw"`` /
+    ``"hnsw_routed"`` swap in the ANN base graphs for beyond-O(N^2)
+    corpora (triangle counting is degree-agnostic, so routed's <= k
+    out-edges need no correction); "exact" stays the oracle setting."""
     from .retrieval import knn_graph
 
+    if graph_method not in ("exact", "hnsw", "hnsw_routed"):
+        raise ValueError(
+            f"unknown graph_method {graph_method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
+        )
     g = knn_graph(emb, k=k, metric=metric, method=graph_method).select(
         "src_id", "dst_id"
     )
@@ -324,12 +341,20 @@ def knn_label_vote(
     that check made exhaustive). Vote ties break to the smaller label
     id. Plan: kNN graph -> broadcast label lookup -> one (vec, label)
     count shuffle -> per-vec argmax window over <= k rows.
-    ``graph_method="hnsw"`` swaps in the ANN base graph (see
-    knn_pagerank); "exact" is the oracle setting."""
+    ``graph_method="hnsw"`` / ``"hnsw_routed"`` swap in the ANN base
+    graphs (see knn_pagerank); "exact" is the oracle setting. The
+    prediction join is LEFT so a routed node whose edges all got pruned
+    still surfaces (null prediction, correct = false) — with the exact
+    backend every node has k out-edges and the left join is row-for-row
+    the inner join the oracle runs."""
     from pyspark.sql.window import Window
 
     from .retrieval import knn_graph
 
+    if graph_method not in ("exact", "hnsw", "hnsw_routed"):
+        raise ValueError(
+            f"unknown graph_method {graph_method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
+        )
     g = knn_graph(emb, k=k, metric=metric, method=graph_method).select(
         "src_id", "dst_id"
     )
@@ -355,12 +380,12 @@ def knn_label_vote(
     )
     return (
         emb.select("vec_id", "label")
-        .join(pred, "vec_id")
+        .join(pred, "vec_id", "left")
         .select(
             "vec_id",
             "label",
             "predicted_label",
             "votes",
-            (F.col("label") == F.col("predicted_label")).alias("correct"),
+            F.col("label").eqNullSafe(F.col("predicted_label")).alias("correct"),
         )
     )
