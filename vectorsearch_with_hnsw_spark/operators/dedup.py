@@ -354,10 +354,18 @@ def dup_span_pairs(
     character (each character would be folded n times across the
     overlapping shingles). Measured 9.7 -> 6.8 s warm at sf0.1 (the
     remaining cost is the join + windows, not hashing)."""
+    # persist: the positional-shingle relation feeds BOTH sides of the
+    # self-join (and, under max_df, the document-frequency filter) — 2-3
+    # recomputations of the explode+hash pass otherwise. The persisted
+    # relation is (doc_id, pos, h): three 8-byte columns, no strings —
+    # at 100 TB this is the intermediate a pipeline would write to a
+    # shuffle-store anyway before a self-join. Eager count to avoid the
+    # two join sides racing to populate the cache.
     sh = spread(docs).select(
         "doc_id",
         F.posexplode(shingle_hash_array(F.col("text"), n)).alias("pos", "h"),
-    )
+    ).persist()
+    sh.count()
     if max_df is not None:
         # inner join on the kept set (measured faster than the
         # anti-join-on-drops alternative: count_distinct's expand and
@@ -480,11 +488,18 @@ def _cluster_keeper_verdict(
     )
     feats = quality_features(F.col("text"))
     scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
+    # persist: labeled feeds both the keeper agg and the final verdict
+    # join — without it the quality_features pass over the full corpus
+    # (regex-heavy) and the cc join run twice. The persisted relation is
+    # three scalar columns per document (no text), the natural
+    # checkpoint shape at 100 TB as well. Eager count to avoid the
+    # concurrent cache-population race (see minhash_lsh_pairs).
     labeled = scored.join(cc, scored.doc_id == cc.node, "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         "quality_score",
-    )
+    ).persist()
+    labeled.count()
     best = (
         labeled.groupBy("cluster_id")
         .agg(

@@ -276,9 +276,18 @@ def familiarity_buckets(
     partitioning)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # persist: the scored frame fans into THREE consumers (histogram ->
+    # cumulative window, per-language totals, and the final bucket
+    # join-back) — without it the whole bigram-LM train+score chain
+    # (two corpus explodes + the model join) re-runs per branch. The
+    # persisted relation is one slim row per document (ids + integer
+    # stats, no text), so it is the natural materialization point at
+    # 100 TB too. Eager count for the same reason as minhash_lsh_pairs:
+    # concurrent branch execution otherwise races to populate the cache.
     scored = lm_familiarity(docs, ref_lang=ref_lang).withColumn(
         "rate_ppm", F.expr("(fam * 1000000) div greatest(n_bigrams, 1)")
-    )
+    ).persist()
+    scored.count()
     hist = scored.groupBy("lang", "rate_ppm").agg(F.count(F.lit(1)).alias("_cnt"))
     wl = Window.partitionBy("lang").orderBy(F.col("rate_ppm").desc())
     cum = hist.withColumn("_cum", F.sum("_cnt").over(wl))
