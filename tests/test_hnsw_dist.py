@@ -165,3 +165,19 @@ def test_hnsw_stats_structure(spark, sf_smoke):
     for r in rows:
         assert r.max_out_degree <= r.degree_cap, (r.layer, r.max_out_degree)
         assert r.n_edges >= r.n_nodes_linked  # every linked node has >= 1 edge
+
+
+def test_rescored_probe_is_bit_identical_to_exact(spark, emb, queries, index):
+    """knn_hnsw_rescored = shortlist at high ef + exact re-score against
+    the ORIGINAL vectors: whenever the shortlist covers the true top-k
+    (the measured regime here), every column — including the float
+    dist — must equal exact kNN bit for bit. This is the contract that
+    makes the driver's knn_hnsw row oracle-checkable."""
+    from vectorsearch_with_hnsw_spark.index.query import knn_hnsw_rescored
+
+    got = knn_hnsw_rescored(index, emb, queries, k=10, shortlist_k=40, ef=200)
+    want = knn_exact(emb, queries, k=10, metric="cosine")
+    cols = ["query_id", "neighbor_id", "dist", "rnk"]
+    g = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    w = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert g == w

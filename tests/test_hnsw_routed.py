@@ -160,3 +160,71 @@ def test_num_partitions_survives_save_load(spark, emb, tmp_path):
     loaded = HnswIndex.load(spark, str(tmp_path / "ridx"))
     assert loaded.num_partitions == 8
     assert loaded.params.dim == DIM
+
+
+def test_routed_probe_refuses_hash_built_index(spark, emb, queries):
+    """Routing over hash placement silently collapses recall at large P
+    — the probe must refuse rather than misroute."""
+    from vectorsearch_with_hnsw_spark.index.build import hnsw_build
+
+    idx = hnsw_build(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=4,
+    )
+    with pytest.raises(ValueError, match="hash-placed"):
+        knn_hnsw_routed(idx, queries, k=5)
+
+
+def test_rebuild_of_routed_index_stays_routed(spark, emb, queries):
+    """rebuild() must dispatch to the routed builder for a routed-built
+    index: the output is LSH-placed again (routed probe allowed, recall
+    preserved) rather than silently hash-placed."""
+    small = emb.filter(F.col("vec_id") < 300)
+    idx = hnsw_build_routed(
+        small.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=4,
+        n_planes=6,
+    )
+    appended = idx.append(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 340)),
+        num_partitions=1,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    rebuilt = appended.rebuild()
+    assert rebuilt.routed and rebuilt.n_planes == 6
+    assert rebuilt.appended_partitions == []
+    # appended vectors are now inside the routed layout and reachable
+    got = {
+        r["neighbor_id"]
+        for r in knn_hnsw_routed(
+            rebuilt,
+            emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 340)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            k=1,
+        ).filter(F.col("rnk") == 1).collect()
+    }
+    assert got >= {i for i in range(300, 340)}, "appended vectors reachable post-rebuild"
+
+
+def test_append_offset_clears_routing_space(spark, emb):
+    """Appended partition ids must never land inside [0, num_partitions)
+    even when trailing build partitions ended up empty (max(partition)
+    can be < P-1)."""
+    tiny = emb.filter(F.col("vec_id") < 3)
+    idx = hnsw_build_routed(
+        tiny.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=DIM, metric="cosine"),
+        num_partitions=16,  # 3 vectors over 16 partitions: most empty
+    )
+    appended = idx.append(
+        emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)),
+        num_partitions=2,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    assert min(appended.appended_partitions) >= 16

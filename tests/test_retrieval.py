@@ -530,3 +530,23 @@ def test_ivf_index_save_load_roundtrip(spark, sf_smoke, tmp_path):
         for r in ivf_kmeans_knn(emb, q, dim=64, k=10, n_probe=2).collect()
     }
     assert got == want
+
+
+def test_label_vote_null_prediction_and_null_label_never_correct(spark):
+    """A missing prediction is ALWAYS incorrect — including when the
+    true label is itself NULL (eqNullSafe would have scored NULL==NULL
+    as a correct vote), and a NULL true label can never be 'correct'."""
+    from vectorsearch_with_hnsw_spark.operators.clusters import knn_label_vote
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [0.0, 1.0], None),  # null true label: neighbors say "a"
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {r["vec_id"]: r for r in knn_label_vote(emb, k=2).collect()}
+    assert got[0]["correct"] is True
+    assert got[2]["predicted_label"] is not None
+    assert got[2]["correct"] is False, "null true label must not score correct"

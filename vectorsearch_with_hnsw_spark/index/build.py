@@ -62,6 +62,8 @@ class HnswIndex:
         params: HnswParams,
         num_partitions: int | None = None,
         appended_partitions: list[int] | None = None,
+        routed: bool = False,
+        n_planes: int | None = None,
     ):
         self.nodes = nodes
         self.edges = edges
@@ -69,6 +71,14 @@ class HnswIndex:
         self.params = params
         self.num_partitions = num_partitions
         self.appended_partitions = list(appended_partitions or [])
+        # placement of the build partitions: hash (hnsw_build) or LSH
+        # (hnsw_build_routed). rebuild() dispatches on this so a routed
+        # index stays routed across compactions; knn_hnsw_routed refuses
+        # hash-placed indexes (routing over hash placement silently
+        # collapses recall — most true neighbors live in un-probed
+        # partitions).
+        self.routed = bool(routed)
+        self.n_planes = n_planes
         self.kernel_out: DataFrame | None = None  # set by hnsw_build
 
     def save(self, path: str) -> None:
@@ -86,6 +96,10 @@ class HnswIndex:
             payload["num_partitions"] = self.num_partitions
         if self.appended_partitions:
             payload["appended_partitions"] = self.appended_partitions
+        if self.routed:
+            payload["routed"] = True
+            if self.n_planes is not None:
+                payload["n_planes"] = self.n_planes
         params_df = spark.createDataFrame([(json.dumps(payload),)], "params_json string")
         params_df.coalesce(1).write.mode("overwrite").json(f"{path}/params")
 
@@ -96,6 +110,8 @@ class HnswIndex:
         raw = json.loads(spark.read.json(f"{path}/params").first()["params_json"])
         num_partitions = raw.pop("num_partitions", None)
         appended = raw.pop("appended_partitions", None)
+        routed = raw.pop("routed", False)
+        n_planes = raw.pop("n_planes", None)
         params = HnswParams(**raw)
         return cls(
             spark.read.parquet(f"{path}/nodes"),
@@ -104,6 +120,8 @@ class HnswIndex:
             params,
             num_partitions=num_partitions,
             appended_partitions=appended,
+            routed=routed,
+            n_planes=n_planes,
         )
 
     def delete(self, ids_df: DataFrame) -> "HnswIndex":
@@ -120,14 +138,27 @@ class HnswIndex:
             nodes, self.edges, self.meta, self.params,
             num_partitions=self.num_partitions,
             appended_partitions=self.appended_partitions,
+            routed=self.routed,
+            n_planes=self.n_planes,
         )
 
     def rebuild(self, num_partitions: int | None = None) -> "HnswIndex":
         """Compaction: rebuild from the alive subset only (reference
-        rebuild(), hsnw_trial.py:381-389)."""
+        rebuild(), hsnw_trial.py:381-389). Dispatches on placement: a
+        routed-built index rebuilds through hnsw_build_routed (same
+        n_planes), so appended hash-placed partitions are re-mixed into
+        the LSH layout and knn_hnsw_routed keeps its recall contract; a
+        hash-built index rebuilds through hnsw_build."""
         alive = self.nodes.filter(~F.col("deleted")).select("id", "vec")
-        nparts = num_partitions or self.meta.count()
-        return hnsw_build(alive, self.params, num_partitions=int(nparts))
+        nparts = int(num_partitions or self.num_partitions or self.meta.count())
+        if self.routed:
+            from .routed import hnsw_build_routed
+
+            return hnsw_build_routed(
+                alive, self.params, num_partitions=nparts,
+                n_planes=int(self.n_planes or 8),
+            )
+        return hnsw_build(alive, self.params, num_partitions=nparts)
 
     def append(self, vectors_df: DataFrame, num_partitions: int = 1,
                id_col: str = "id", vec_col: str = "vec") -> "HnswIndex":
@@ -147,8 +178,13 @@ class HnswIndex:
         unconditionally (probe-all for the appended tail)."""
         # offset from the NODES table: meta lacks rows for 0/1-node
         # partitions, and a colliding partition id would merge two
-        # unrelated local graphs into one probe group
-        offset = self.nodes.agg(F.max("partition")).first()[0] + 1
+        # unrelated local graphs into one probe group. Floor at the
+        # routing modulus so appended ids NEVER land inside
+        # [0, num_partitions) even when trailing build partitions ended
+        # up empty, and tolerate an all-deleted/empty nodes table
+        # (max -> NULL).
+        max_part = self.nodes.agg(F.max("partition")).first()[0]
+        offset = max(int(self.num_partitions or 0), (int(max_part) if max_part is not None else -1) + 1)
         fresh = hnsw_build(vectors_df, self.params, num_partitions=num_partitions,
                            id_col=id_col, vec_col=vec_col)
         shift = lambda df: df.withColumn("partition", (F.col("partition") + F.lit(offset)).cast("int"))  # noqa: E731
@@ -160,6 +196,8 @@ class HnswIndex:
             num_partitions=self.num_partitions,
             appended_partitions=self.appended_partitions
             + [int(offset) + i for i in range(num_partitions)],
+            routed=self.routed,
+            n_planes=self.n_planes,
         )
 
 

@@ -188,3 +188,57 @@ def knn_hnsw(
     return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
+
+
+def knn_hnsw_rescored(
+    index: HnswIndex,
+    base_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    shortlist_k: int = 40,
+    ef: int | None = 200,
+    metric: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """HNSW shortlist -> exact re-score -> top-k: the verified form of
+    the reference's flagship search (hsnw_trial.py:267-294).
+
+    The graph probe produces an over-fetched shortlist (``shortlist_k``
+    candidates per query at high ``ef``); distances are then recomputed
+    EXACTLY against the ORIGINAL vectors in ``base_df`` with the same
+    Catalyst fold knn_exact uses (not the index's float32 copies — the
+    cast would perturb ulps), and the final window keeps the true top
+    ``k`` of the shortlist. Whenever the shortlist covers the true
+    top-k (recall@{shortlist} = 1, the measured regime at ef=200 —
+    BENCH extras track it), the output is BIT-IDENTICAL to exact kNN:
+    the result an exact-kNN SQL oracle can verify, at graph-probe cost.
+
+    Scale shape: probe merge is O(P*Q*k) like knn_hnsw; the re-score
+    joins the (Q * shortlist_k)-row shortlist — broadcast-bounded by
+    the query batch, never the corpus — against base_df on the 8-byte
+    id, computes Q*shortlist_k distance folds, and windows over
+    Q*shortlist_k rows. No cross join, no corpus-sized shuffle."""
+    from ..functions.vector import metric_expr, to_vec
+
+    dist = metric_expr(metric or index.params.metric)
+    shortlist = knn_hnsw(
+        index, queries_df, k=shortlist_k, ef=ef,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id")
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"), to_vec(query_vec_col).alias("_qvec")
+    )
+    base = base_df.select(
+        F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_vec")
+    )
+    pairs = (
+        F.broadcast(shortlist.join(q, "query_id"))
+        .join(base, "neighbor_id")
+        .select("query_id", "neighbor_id", dist(F.col("_vec"), F.col("_qvec")).alias("dist"))
+    )
+    return topk_per_group(pairs, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )

@@ -79,7 +79,10 @@ def hnsw_build_routed(
     nodes = src.select(
         "partition", "id", "vec", _level_expr(F.col("id"), pickled).alias("level"), F.lit(False).alias("deleted")
     )
-    return HnswIndex(nodes, edges, meta, params, num_partitions=num_partitions)
+    return HnswIndex(
+        nodes, edges, meta, params, num_partitions=num_partitions,
+        routed=True, n_planes=n_planes,
+    )
 
 
 def route_partitions(
@@ -109,7 +112,7 @@ def knn_hnsw_routed(
     queries_df: DataFrame,
     k: int = 10,
     ef: int | None = None,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
@@ -119,11 +122,28 @@ def knn_hnsw_routed(
     Partitions added by ``HnswIndex.append`` are hash-placed, outside
     the LSH routing space — every query probes ALL of them in addition
     to its routed candidates (correctness over the appended tail;
-    ``rebuild`` re-mixes them into the routed layout)."""
+    ``rebuild`` dispatches to hnsw_build_routed for routed-built
+    indexes, re-mixing appended vectors into the LSH layout).
+
+    Refuses hash-placed indexes (``hnsw_build`` output): LSH-routing
+    over hash placement silently probes partitions unrelated to the
+    query's true neighbors — at large P recall collapses with no
+    error. Use ``knn_hnsw`` (probe-all) for hash-placed indexes."""
     import numpy as np
     import pandas as pd
 
+    if not getattr(index, "routed", False):
+        raise ValueError(
+            "knn_hnsw_routed requires an index built by hnsw_build_routed "
+            "(LSH placement); this index is hash-placed — use knn_hnsw "
+            "(probe-all) or rebuild with hnsw_build_routed"
+        )
     params = index.params
+    # route with the BUILD's plane count: a query hashed with a
+    # different hyperplane set than the build lands in an unrelated
+    # bucket (explicit arg still wins for experiments)
+    if n_planes is None:
+        n_planes = int(getattr(index, "n_planes", None) or 8)
     # route with the BUILD modulus: meta.count() undercounts when a
     # build partition carried 0/1 nodes (no edges -> no meta row), and a
     # wrong modulus silently routes queries away from their home bucket

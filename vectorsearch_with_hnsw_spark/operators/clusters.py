@@ -230,9 +230,13 @@ def knn_pagerank(
     O(N^2) base graph for the partitioned-HNSW ANN graph (O(N log N)
     build + collect-free probe); ``"hnsw_routed"`` bounds probe cost at
     cluster partition counts and may emit FEWER than k out-edges per
-    node — the per-edge share divides by the ACTUAL out-degree, so no
-    rank mass leaks under any backend. "exact" stays the oracle
-    setting."""
+    node — the per-edge share divides by the ACTUAL out-degree, so
+    out-degree division itself leaks no mass under any backend. (A node
+    with NO surviving out-edges at all — possible only under the ANN
+    backends — still drops its damped mass each iteration, the
+    classic dangling-node loss; kNN graphs emit >=1 edge per node
+    whenever N > 1, so this arises only from probe misses.) "exact"
+    stays the oracle setting."""
     from .retrieval import knn_graph
 
     if graph_method not in ("exact", "hnsw", "hnsw_routed"):
@@ -365,6 +369,11 @@ def knn_label_vote(
         # graph is already keyed on dst_id, so this is one shuffle join
         # (AQE still auto-broadcasts when the table is genuinely small).
         g.join(emb.select(F.col("vec_id").alias("dst_id"), "label"), "dst_id")
+        # unlabeled neighbors don't vote: a NULL "label" would otherwise
+        # form its own vote group and win ties engine-dependently (Spark
+        # windows sort NULL first ascending, DuckDB last — a silent
+        # oracle divergence on any corpus with missing labels)
+        .filter(F.col("label").isNotNull())
         .groupBy("src_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
@@ -386,6 +395,13 @@ def knn_label_vote(
             "label",
             "predicted_label",
             "votes",
-            F.col("label").eqNullSafe(F.col("predicted_label")).alias("correct"),
+            # a missing prediction is ALWAYS incorrect, regardless of
+            # label nullability (eqNullSafe would score NULL==NULL as a
+            # correct vote)
+            F.coalesce(
+                F.col("predicted_label").isNotNull()
+                & (F.col("label") == F.col("predicted_label")),
+                F.lit(False),
+            ).alias("correct"),
         )
     )
