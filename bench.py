@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_langid",
     "doc_quality",
     "multimodal_features",
+    "multimodal_embed",
     "dedup_clusters",
     "vocab_top_tokens",
     "tfidf_top_terms",

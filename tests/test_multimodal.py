@@ -142,3 +142,57 @@ def test_embed_build_query_pipeline_end_to_end(spark, sf_smoke):
         assert r["lang"] is not None  # label joined for every hit
         if r["rnk"] == 1:
             assert r["neighbor_id"] == r["query_id"] and abs(r["dist"]) < 1e-6
+
+
+def test_embed_with_model_broadcast_weights(spark, sf_smoke):
+    """The broadcast-weights inference path: weights ship via
+    sc.broadcast, materialize lazily per executor, and the projection
+    equals the hand-computed integer matmul over the payload-hash
+    feature numerators."""
+    import numpy as np
+
+    from vectorsearch_with_hnsw_spark.multimodal.binary import (
+        N_FEATURES,
+        _payload_hash,
+        embed_with_model,
+        make_projection_weights,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    got = {r["doc_id"]: r for r in embed_with_model(blobs).collect()}
+    W = make_projection_weights()
+    for r in blobs.collect():
+        h = _payload_hash(bytes(r["payload"]))
+        feats = np.array([(h * (i + 1)) % 1009 for i in range(N_FEATURES)], dtype=np.int64)
+        want = feats @ W
+        have = np.array([got[r["doc_id"]][f"e{j}"] for j in range(W.shape[1])])
+        assert np.array_equal(have, want.astype(np.float64)), r["doc_id"]
+
+
+def test_embed_with_model_custom_and_invalid_weights(spark, sf_smoke):
+    import numpy as np
+    import pytest as _pytest
+
+    from vectorsearch_with_hnsw_spark.multimodal.binary import embed_with_model
+
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = embed_with_model(blobs, weights=np.ones((4, 3), dtype=np.int64))
+    assert out.columns == ["doc_id", "e0", "e1", "e2"]
+    # all-ones weights: every output dim equals the feature sum
+    row = out.collect()[0]
+    assert row["e0"] == row["e1"] == row["e2"]
+    with _pytest.raises(ValueError, match="input rows"):
+        embed_with_model(blobs, weights=np.ones((3, 2), dtype=np.int64))
+
+
+def test_projection_weights_deterministic():
+    import numpy as np
+
+    from vectorsearch_with_hnsw_spark.multimodal.binary import make_projection_weights
+
+    a, b = make_projection_weights(), make_projection_weights()
+    assert np.array_equal(a, b)
+    assert a.min() >= -8 and a.max() <= 7
+    assert not np.array_equal(a, make_projection_weights(seed=8))

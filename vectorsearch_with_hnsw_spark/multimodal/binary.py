@@ -19,8 +19,11 @@ decoding is OPTIONAL (image/audio libraries are not in this container):
   reference's ResNet embedding, whose weights can't ship here).
 
 At 100 TB: payloads stay in executor-side Arrow batches end-to-end; no
-driver collection; model weights would ship via broadcast with lazy
-per-executor init (the standard iterator-of-batches pattern).
+driver collection; model weights ship via broadcast with lazy
+per-executor init — ``embed_with_model`` exercises that exact path
+with a numpy projection standing in for the torch state_dict (swap the
+weights and the per-batch compute line; the distribution machinery is
+unchanged).
 """
 
 from __future__ import annotations
@@ -86,10 +89,9 @@ def _image_features(payload: bytes) -> list[float]:
     return [float(means[0]), float(means[1]), float(means[2]), float(arr.std() / 255.0)]
 
 
-def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for decode+embed: polynomial hash of the
-    bytes mapped to N pseudo-features in [0, 1). Exact integer math —
-    reproducible anywhere, including the SQL oracle.
+def _payload_hash(payload: bytes) -> int:
+    """Polynomial byte hash mod HASH_MOD — the exact-integer core of the
+    fake decoder (shared by _fake_features and embed_with_model).
 
     Horner's rule h = ((b0*31 + b1)*31 + b2)... equals
     sum(b_i * 31^(n-1-i)) mod p, computed as a vectorized product-sum.
@@ -98,12 +100,22 @@ def _fake_features(payload: bytes) -> list[float]:
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     n = arr.size
     if n == 0:
-        return [0.0] * N_FEATURES
+        return 0
     pows = _pow31(n)[::-1]  # 31^(n-1), ..., 31^0
     h = 0
     chunk = 1 << 24  # 16M terms per exact int64 partial sum
     for s in range(0, n, chunk):
         h = (h + int(np.dot(arr[s : s + chunk], pows[s : s + chunk]) % HASH_MOD)) % HASH_MOD
+    return h
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode+embed: polynomial hash of the
+    bytes mapped to N pseudo-features in [0, 1). Exact integer math —
+    reproducible anywhere, including the SQL oracle."""
+    if len(payload) == 0:
+        return [0.0] * N_FEATURES
+    h = _payload_hash(payload)
     return [((h * (i + 1)) % 1009) / 1009.0 for i in range(N_FEATURES)]
 
 
@@ -192,4 +204,102 @@ def resize_image(blobs: DataFrame, id_col: str = "img_id", payload_col: str = "p
             )
 
     schema = f"{id_col} long, width int, height int, resized_payload binary"
+    return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-weights model inference (the ResNet-shaped path, numpy-only)
+# ---------------------------------------------------------------------------
+
+# per-worker model cache, keyed by broadcast id: the numpy analog of
+# loading a torch state_dict once per executor process — NOT once per
+# batch and never once per row. mapInPandas kernels are re-invoked per
+# task; this cache makes repeated tasks on the same worker reuse the
+# already-materialized weights.
+_MODEL_CACHE: dict[int, np.ndarray] = {}
+
+EMBED_DIM = 8
+
+
+def make_projection_weights(
+    dim_in: int = N_FEATURES, dim_out: int = EMBED_DIM, seed: int = 7
+) -> np.ndarray:
+    """Deterministic integer projection matrix (dim_in x dim_out), the
+    numpy stand-in for real model weights (reference: ResNet-18 with
+    ``model.fc = Identity()``, CIFAR notebook cell 2 — those weights
+    ship to executors through the exact same broadcast below).
+
+    Weights are splitmix64-mixed ints in [-8, 7] — no RNG state, so the
+    registry can regenerate the identical matrix when rendering the SQL
+    oracle, keeping query and oracle in lockstep by construction."""
+    out = np.empty((dim_in, dim_out), dtype=np.int64)
+    for i in range(dim_in):
+        for j in range(dim_out):
+            z = (seed * 0x9E3779B97F4A7C15 + (i * dim_out + j) * 0xBF58476D1CE4E5B9) % (1 << 64)
+            z = (z ^ (z >> 30)) * 0x94D049BB133111EB % (1 << 64)
+            out[i, j] = ((z ^ (z >> 31)) % 16) - 8
+    return out
+
+
+def _load_model(bc) -> np.ndarray:
+    """Lazy per-executor init: materialize the broadcast weights once
+    per worker process and cache by broadcast id."""
+    key = getattr(bc, "id", None) or id(bc)
+    w = _MODEL_CACHE.get(key)
+    if w is None:
+        w = np.ascontiguousarray(np.asarray(bc.value, dtype=np.int64))
+        _MODEL_CACHE[key] = w
+    return w
+
+
+def embed_with_model(
+    blobs: DataFrame,
+    weights: np.ndarray | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Model inference over a binary column with BROADCAST weights — the
+    distribution pattern the reference's embed-all loop needs at scale
+    (CIFAR notebook cell 3 embeds one image per forward pass on one
+    machine; here the weights ship once per executor and every Arrow
+    batch is one matrix multiply).
+
+    The "model" is an integer linear projection over the deterministic
+    payload-hash features: feature numerators n_i = (h * (i+1)) % 1009
+    (the exact integers behind extract_features' fake decoder), output
+    e_j = sum_i n_i * W[i, j] — all-integer, so the result is
+    bit-reproducible anywhere, including the SQL oracle. Swapping in
+    real weights (a torch state_dict) changes ONLY ``weights`` and the
+    per-batch compute line; broadcast, lazy per-executor init, Arrow
+    batching, and the output contract stay identical.
+
+    Output: (id, e0..e{dim_out-1} double) — integer-valued doubles."""
+    if weights is None:
+        weights = make_projection_weights()
+    weights = np.asarray(weights, dtype=np.int64)
+    if weights.shape[0] != N_FEATURES:
+        raise ValueError(
+            f"weights must have {N_FEATURES} input rows, got {weights.shape}"
+        )
+    dim_out = int(weights.shape[1])
+    spark = blobs.sparkSession
+    bc = spark.sparkContext.broadcast(weights)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W = None  # resolved on the executor, not the driver
+        for pdf in batches:
+            if W is None:
+                W = _load_model(bc)
+            hs = np.array(
+                [_payload_hash(p) for p in pdf[payload_col]], dtype=np.int64
+            )
+            # feature numerators: (h * (i+1)) % 1009, one column per i
+            feats = (hs[:, None] * (np.arange(N_FEATURES, dtype=np.int64) + 1)) % 1009
+            emb = feats @ W  # max |e| < 1009 * 8 * 4 — exact in int64
+            out = {id_col: pdf[id_col].to_numpy()}
+            for j in range(dim_out):
+                out[f"e{j}"] = emb[:, j].astype(np.float64)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"e{j} double" for j in range(dim_out))
     return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)
