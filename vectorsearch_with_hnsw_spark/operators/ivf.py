@@ -169,7 +169,7 @@ def ivf_kmeans_knn(
     queries_df: DataFrame,
     dim: int,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int = 5,
     n_cells: int = 8,
     iters: int = 2,
 ) -> DataFrame:
@@ -212,7 +212,7 @@ def ivf_knn_cosine(
     queries_df: DataFrame,
     dim: int,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int = 5,
 ) -> DataFrame:
     """IVF probe: queries pick their n_probe nearest cells, candidates are
     the vectors assigned to those cells, ranked by exact cosine distance.
@@ -295,7 +295,7 @@ class IvfIndex:
         emb: DataFrame,
         queries_df: DataFrame,
         k: int = 10,
-        n_probe: int = 2,
+        n_probe: int = 5,
     ) -> DataFrame:
         """Bucket-pruned exact-L2 probe over the stored assignment —
         identical plan to ivf_kmeans_knn's probe half (queries rank the

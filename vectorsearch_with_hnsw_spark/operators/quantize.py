@@ -127,7 +127,7 @@ def ivf_sq8_knn(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int = 5,
 ) -> DataFrame:
     """IVF routing + SQ8 distances — the production vector-store shape
     (FAISS's IVF,SQ8): centroids prune the candidate set to ``n_probe``

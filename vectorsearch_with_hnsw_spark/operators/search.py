@@ -10,11 +10,11 @@ operator signatures:
 | exact_fast   | 1.0 (bit-identical)   | O(N·Q) BLAS partial top-k      |
 | hnsw         | ~1.0 at defaults      | O(ef·Q) probes after build     |
 | sq8          | high                  | full scan, 4x smaller codes    |
-| ivf_sq8      | medium                | cell-pruned quantized scan     |
-| ivf          | medium                | cell-pruned full vectors       |
+| ivf_sq8      | medium-high           | cell-pruned quantized scan     |
+| ivf          | high (probe-tuned)    | cell-pruned full vectors       |
 | ivf_kmeans   | high (trained)        | cell-pruned, kmeans-routed     |
-| lsh          | medium (banded+probe) | band-bucket joins only         |
-| pq           | medium (16B codes)    | ADC over compressed codes      |
+| lsh          | medium-high           | band-bucket joins only         |
+| pq           | high (alias of below) | ADC shortlist + expand·k reads |
 | pq_refine    | high (exact re-rank)  | ADC shortlist + expand·k reads |
 | ivf_pq       | high (alias of below) | pruned ADC + expand·k reads    |
 | ivf_pq_refine| high within probes    | pruned ADC + expand·k reads    |
@@ -26,11 +26,12 @@ Every method takes the same (base, queries) relations — base
 returns at least ``(query_id, neighbor_id, rnk)`` with a
 family-specific score column. Measured recalls on the synthetic
 testdata are published by bench.py (``extra.recall_*``); every method
-here clears recall@10 >= 0.5 at its defaults. The raw shortlist stages
-(Hamming sketch 0.21, residual ADC 0.49 — generators, not final
-rankings) stay reachable directly as ``operators.ann.binary_sign_knn``
-and ``operators.pq.ivf_pq_knn``; "binary" / "ivf_pq" deploy them the
-production way, with the exact re-rank on top.
+here clears recall@10 >= 0.7 at its defaults (ivf probe count and lsh
+band count tuned for that bar; the pq/binary names deploy their
+shortlist with the exact re-rank on top). The raw shortlist stages
+(Hamming sketch 0.21, ADC ~0.5 — candidate generators, not final
+rankings) stay reachable directly as ``operators.ann.binary_sign_knn``,
+``operators.pq.pq_adc_knn`` and ``operators.pq.ivf_pq_knn``.
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ def similarity_search(
     k: int = 10,
     metric: str = "l2",
     dim: int | None = None,
-    n_probe: int = 3,
+    n_probe: int = 5,
     index=None,
     num_partitions: int = 4,
     ef: int | None = None,
@@ -90,9 +91,12 @@ def similarity_search(
 
         return ivf_sq8_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
     if method == "pq":
-        from .pq import pq_adc_knn
+        # deployed form: ADC shortlist + exact re-rank (raw ADC ranking
+        # saturates at ~0.52 recall@10 on the testdata — it is the
+        # shortlist stage; operators.pq.pq_adc_knn exposes it raw)
+        from .pq import pq_refine_knn
 
-        return pq_adc_knn(base, queries, dim=_dim(dim, method), k=k)
+        return pq_refine_knn(base, queries, dim=_dim(dim, method), k=k)
     if method == "pq_refine":
         from .pq import pq_refine_knn
 
