@@ -300,6 +300,52 @@ def main() -> None:
     timings["knn_graph_hnsw"] = round(t_g, 3)
     graph_recall = round(len(ann_edges & exact_edges) / max(1, len(exact_edges)), 4)
 
+    # LSH-routed index: bounded-probe build + query (boundary-replicated
+    # layout), recall next to the time, PLUS the append contract — a
+    # batch appended to a routed index must stay reachable through the
+    # routed probe (appended partitions are probed unconditionally).
+    from vectorsearch_with_hnsw_spark.index.routed import (
+        hnsw_build_routed,
+        knn_hnsw_routed,
+    )
+
+    old_part = emb.filter(F.col("vec_id") < n_vec - 50)
+    t0 = time.perf_counter()
+    ridx = hnsw_build_routed(
+        old_part.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        HnswParams(dim=registry.DIM, metric="cosine"),
+        num_partitions=n_parts,
+    )
+    ridx.edges.count()
+    timings["hnsw_routed_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    routed_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_hnsw_routed(ridx, queries_df, k=10).collect()
+    }
+    timings["hnsw_routed_probe"] = round(time.perf_counter() - t0, 3)
+    exact_old = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact_fast(old_part, queries_df, k=10, metric="cosine").collect()
+    }
+    routed_recall = round(len(routed_pairs & exact_old) / max(1, len(exact_old)), 4)
+    t0 = time.perf_counter()
+    appended = ridx.append(
+        emb.filter(F.col("vec_id") >= n_vec - 50),
+        num_partitions=1, id_col="vec_id", vec_col="embedding",
+    )
+    app_q = emb.filter(F.col("vec_id") >= n_vec - 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    self_hits = sum(
+        1
+        for r in knn_hnsw_routed(appended, app_q, k=1).filter(F.col("rnk") == 1).collect()
+        if r["neighbor_id"] == r["query_id"]
+    )
+    timings["hnsw_routed_append_probe"] = round(time.perf_counter() - t0, 3)
+    routed_append_reachable = round(self_hits / 50, 4)
+    spark.catalog.clearCache()
+
     # recall@10 of the other ANN families vs the same exact oracle, on
     # the registry's query set (untimed — quality context for the speeds
     # above; an ANN row without recall next to it is meaningless)
@@ -367,6 +413,8 @@ def main() -> None:
             "build512_vecs_per_sec_per_core": round(n512 / t_build512 / cpus, 2),
             "hnsw_recall_at_10": recall,
             "knn_graph_hnsw_edge_recall": graph_recall,
+            "hnsw_routed_recall_at_10": routed_recall,
+            "routed_append_reachable": routed_append_reachable,
             **ann_recall,
             "cpus": cpus,
         },

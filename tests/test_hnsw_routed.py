@@ -54,7 +54,9 @@ def test_routed_recall(spark, emb, queries):
         for r in knn_exact(emb, queries, k=10, metric="cosine").collect()
     }
     recall = len(ann & exact) / len(exact)
-    assert recall >= 0.8, f"routed recall {recall}"
+    # boundary replication (replicas=2 default) recovered most of the
+    # old 0.8-recall gap
+    assert recall >= 0.9, f"routed recall {recall}"
 
 
 def test_routed_self_match(spark, emb, queries):

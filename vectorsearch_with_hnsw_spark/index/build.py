@@ -64,6 +64,7 @@ class HnswIndex:
         appended_partitions: list[int] | None = None,
         routed: bool = False,
         n_planes: int | None = None,
+        replicas: int = 0,
     ):
         self.nodes = nodes
         self.edges = edges
@@ -79,6 +80,10 @@ class HnswIndex:
         # partitions).
         self.routed = bool(routed)
         self.n_planes = n_planes
+        # routed boundary-replication factor (0 = single home bucket);
+        # recorded so rebuild() reproduces the same layout and so
+        # consumers know nodes may hold (1+replicas) rows per id
+        self.replicas = int(replicas)
         self.kernel_out: DataFrame | None = None  # set by hnsw_build
 
     def save(self, path: str) -> None:
@@ -100,6 +105,8 @@ class HnswIndex:
             payload["routed"] = True
             if self.n_planes is not None:
                 payload["n_planes"] = self.n_planes
+            if self.replicas:
+                payload["replicas"] = self.replicas
         params_df = spark.createDataFrame([(json.dumps(payload),)], "params_json string")
         params_df.coalesce(1).write.mode("overwrite").json(f"{path}/params")
 
@@ -112,6 +119,7 @@ class HnswIndex:
         appended = raw.pop("appended_partitions", None)
         routed = raw.pop("routed", False)
         n_planes = raw.pop("n_planes", None)
+        replicas = raw.pop("replicas", 0)
         params = HnswParams(**raw)
         return cls(
             spark.read.parquet(f"{path}/nodes"),
@@ -122,6 +130,7 @@ class HnswIndex:
             appended_partitions=appended,
             routed=routed,
             n_planes=n_planes,
+            replicas=replicas,
         )
 
     def delete(self, ids_df: DataFrame) -> "HnswIndex":
@@ -140,6 +149,7 @@ class HnswIndex:
             appended_partitions=self.appended_partitions,
             routed=self.routed,
             n_planes=self.n_planes,
+            replicas=self.replicas,
         )
 
     def rebuild(self, num_partitions: int | None = None) -> "HnswIndex":
@@ -149,7 +159,14 @@ class HnswIndex:
         n_planes), so appended hash-placed partitions are re-mixed into
         the LSH layout and knn_hnsw_routed keeps its recall contract; a
         hash-built index rebuilds through hnsw_build."""
-        alive = self.nodes.filter(~F.col("deleted")).select("id", "vec")
+        # dropDuplicates on id: a replicated routed layout stores each
+        # vector in several partitions; rebuilding from raw nodes rows
+        # would compound the replication factor every rebuild
+        alive = (
+            self.nodes.filter(~F.col("deleted"))
+            .select("id", "vec")
+            .dropDuplicates(["id"])
+        )
         nparts = int(num_partitions or self.num_partitions or self.meta.count())
         if self.routed:
             from .routed import hnsw_build_routed
@@ -157,6 +174,7 @@ class HnswIndex:
             return hnsw_build_routed(
                 alive, self.params, num_partitions=nparts,
                 n_planes=int(self.n_planes or 8),
+                replicas=self.replicas,
             )
         return hnsw_build(alive, self.params, num_partitions=nparts)
 
@@ -198,6 +216,7 @@ class HnswIndex:
             + [int(offset) + i for i in range(num_partitions)],
             routed=self.routed,
             n_planes=self.n_planes,
+            replicas=self.replicas,
         )
 
 

@@ -116,6 +116,12 @@ def knn_hnsw_distributed(
         .cogroup(index.edges.groupBy("partition"))
         .applyInPandas(probe, "query_id long, neighbor_id long, dist double")
     )
+    # dropDuplicates: a replicated routed layout (or probe-all over it)
+    # surfaces the same (query, neighbor) hit from several partitions
+    # with identical dist; keep one before ranking so replicas never
+    # crowd distinct neighbors out of the top-k. The partial frame is
+    # O(P*Q*k) — the dedup shuffle is tiny and shares the window key.
+    partial = partial.dropDuplicates(["query_id", "neighbor_id"])
     return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
@@ -185,6 +191,12 @@ def knn_hnsw(
         .cogroup(index.edges.groupBy("partition"))
         .applyInPandas(probe, "query_id long, neighbor_id long, dist double")
     )
+    # dropDuplicates: a replicated routed layout (or probe-all over it)
+    # surfaces the same (query, neighbor) hit from several partitions
+    # with identical dist; keep one before ranking so replicas never
+    # crowd distinct neighbors out of the top-k. The partial frame is
+    # O(P*Q*k) — the dedup shuffle is tiny and shares the window key.
+    partial = partial.dropDuplicates(["query_id", "neighbor_id"])
     return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
