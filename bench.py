@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "multimodal_features",
     "multimodal_embed",
+    "gopher_quality",
     "dedup_clusters",
     "vocab_top_tokens",
     "tfidf_top_terms",

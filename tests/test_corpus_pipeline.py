@@ -471,3 +471,29 @@ def test_knn_pagerank_star_hub_and_mass_bounds(spark):
     assert n * (scale * 15 // 100) <= sum(out.values()) <= n * scale
     out2 = {r.vec_id: r.pr for r in knn_pagerank(emb, k=3, iters=3).collect()}
     assert out == out2
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule trips on a purpose-built document; a healthy
+    document passes all of them."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import gopher_rules
+
+    healthy = "the quick brown fox and that dog have fun with lots of " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    rows = [
+        (0, healthy, "en", "web"),
+        (1, "short doc", "en", "web"),  # word count
+        (2, "### " * 80 + healthy, "en", "web"),  # symbol ratio
+        (3, "\n".join("- bullet line" for _ in range(20)) + "\n" + healthy, "en", "web"),
+        (4, "\n".join("trailing line..." for _ in range(20)) + "\n" + healthy, "en", "web"),
+        (5, " ".join("123456" for _ in range(60)), "en", "web"),  # alpha + stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert got[0]["passes"] is True
+    assert got[1]["rule_word_count"] is False and got[1]["passes"] is False
+    assert got[2]["rule_symbol_ratio"] is False
+    assert got[3]["rule_bullet_lines"] is False
+    assert got[4]["rule_ellipsis_lines"] is False
+    assert got[5]["rule_alpha_words"] is False and got[5]["rule_stopwords"] is False

@@ -798,3 +798,79 @@ def cms_token_estimates(
         .groupBy("token")
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A) —
+    the standard hard-filter gate a pretraining pipeline runs before any
+    model-based scoring. One verdict row per document with every rule's
+    flag plus the conjunction, so downstream curation can loosen
+    individual rules without recomputing.
+
+    Rules (every ratio compared by INTEGER cross-multiplication — no
+    float division anywhere, so the DuckDB oracle matches bit-for-bit):
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]            (3*W <= sum_len <= 10*W)
+    - symbol-to-word ratio <= 0.1            (10*(#hash + #ellipsis) <= W)
+    - <= 10% of lines start with a bullet    (10*bullet_lines <= n_lines)
+    - <= 30% of lines end with an ellipsis   (10*ell_lines <= 3*n_lines)
+    - >= 80% of words contain a letter       (5*alpha_words >= 4*W)
+    - >= min_stopwords distinct Gopher stopwords present (published
+      value 2; the synthetic testdata vocabulary carries at most one)
+
+    Plan: one map-side pass (split + filter + integer counts) over the
+    corpus, no shuffle at all — the cheapest possible 100 TB shape; the
+    whole rule set is a Catalyst projection."""
+    text = F.col("text")
+    toks = tokens(text)
+    lines = F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length(F.regexp_replace(text, "[^#]", ""))
+    # non-overlapping '...' occurrences, the (len - len(replace))/3 trick
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^\\s*[-*•]"))
+    )
+    ell_lines = F.size(F.filter(lines, lambda ln: ln.rlike("\\.\\.\\.$")))
+    def _has_stop(word: str):
+        # closure via call, not lambda-default: a 2-param lambda would
+        # be bound by F.exists as (element, index)
+        return F.exists(toks, lambda t: F.lower(t) == F.lit(word))
+
+    stop_hits = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(_has_stop(w), 1).otherwise(0)
+    r_wc = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (F.lit(3) * n_words <= sum_word_len) & (sum_word_len <= F.lit(10) * n_words)
+    r_sym = F.lit(10) * (n_hash + n_ellipsis) <= n_words
+    r_bul = F.lit(10) * bullet_lines <= n_lines
+    r_ell = F.lit(10) * ell_lines <= F.lit(3) * n_lines
+    r_alpha = F.lit(5) * alpha_words >= F.lit(4) * n_words
+    r_stop = stop_hits >= min_stopwords
+    return spread(docs).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_bul.alias("rule_bullet_lines"),
+        r_ell.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop).alias("passes"),
+    )
