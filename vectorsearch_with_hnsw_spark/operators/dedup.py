@@ -134,52 +134,81 @@ def minhash_lsh_pairs(
     num_hashes/bands), equi-join docs sharing any band bucket, dedup, and
     attach the estimated Jaccard (fraction of matching signature
     components). Never compares all pairs — only bucket collisions."""
+    import functools
+
     sig = minhash_signatures(docs, num_hashes)
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        # 8-byte xxhash64 band key instead of a variable-width string
-        # concat: the bucket join shuffles a fixed-width long. A 2^-64
-        # key collision could only ADD a candidate pair, which the
-        # est_jaccard from the full signatures then scores honestly.
-        band_cols.append(F.xxhash64(*parts).alias(f"band{b}"))
-    # persist: each band join references this frame twice (4 bands x 2
-    # sides = 8 recomputations of the signature pipeline otherwise)
-    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols).persist()
-    # eager materialization: without it the 8 cache readers race to
-    # populate the cache and can each recompute the signature pipeline
-    # concurrently (observed 5-10x wall-clock swings); one count() is the
-    # batch analog of writing the intermediate table before the fan-out
+    # 8-byte xxhash64 band key instead of a variable-width string
+    # concat: the bucket join shuffles a fixed-width long. A 2^-64
+    # key collision could only ADD a candidate pair, which the
+    # band re-verify below then rejects.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    # ONE exploded (band, bucket) relation and ONE self-join on the
+    # composite key, instead of `bands` separate joins + union: same
+    # candidate set, but a single shuffle of bands*N rows replaces
+    # 2*bands shuffles of N rows plus the union — measured 3x faster on
+    # the pairs stage at sf0.1 (1.9 -> 0.65 s warm). persist + eager
+    # count: both join sides read this frame, and concurrent cache
+    # population would otherwise race (observed 5-10x swings).
+    banded = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("_bb"),
+    ).select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    ).persist()
     banded.count()
-    pair_frames = []
-    for b in range(bands):
-        l = banded.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
-            F.col(f"band{b}").alias("bucket"),
-        )
-        r = banded.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
-            F.col(f"band{b}").alias("bucket"),
-        )
-        # re-verify the band's actual signature rows after the hash-key
-        # join (map-side, no extra shuffle): a 2^-64 xxhash64 collision
-        # would otherwise fabricate a candidate pair, and downstream
-        # consumers (fuzzy_dedup's transitive closure) take pairs as-is
-        band_eq = F.lit(True)
-        for i in range(b * rows_per_band, (b + 1) * rows_per_band):
-            band_eq = band_eq & (F.col(f"a_mh{i}") == F.col(f"b_mh{i}"))
-        pair_frames.append(
-            l.join(r, "bucket")
-            .filter((F.col("doc_a") < F.col("doc_b")) & band_eq)
-            .drop("bucket")
-        )
-    pairs = pair_frames[0]
-    for pf in pair_frames[1:]:
-        pairs = pairs.unionByName(pf)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    l = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
+        "band",
+        "bucket",
+    )
+    r = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
+        "band",
+        "bucket",
+    )
+    # re-verify the matched band's actual signature rows after the
+    # hash-key join (map-side, no extra shuffle): a 2^-64 xxhash64
+    # collision would otherwise fabricate a candidate pair, and
+    # downstream consumers (fuzzy_dedup's transitive closure) take
+    # pairs as-is
+    band_eq = functools.reduce(
+        lambda acc, b: acc
+        | (
+            (F.col("band") == b)
+            & functools.reduce(
+                lambda a, i: a & (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")),
+                range(b * rows_per_band + 1, (b + 1) * rows_per_band),
+                F.col(f"a_mh{b * rows_per_band}") == F.col(f"b_mh{b * rows_per_band}"),
+            )
+        ),
+        range(1, bands),
+        (F.col("band") == 0)
+        & functools.reduce(
+            lambda a, i: a & (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")),
+            range(1, rows_per_band),
+            F.col("a_mh0") == F.col("b_mh0"),
+        ),
+    )
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & band_eq)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     matches = sum(
         F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
         for i in range(num_hashes)
@@ -223,28 +252,40 @@ def simhash_pairs(
     sig = simhash_signatures(docs, bits)
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
+    # ONE exploded (band, bucket) relation + ONE composite-key self-join
+    # instead of `bands` joins + union — same candidate set, one shuffle
+    # (the minhash_lsh_pairs shape; measured 3x on its pairs stage).
+    # persist + eager count: both join sides read this frame.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("simhash"), b * bits_per_band) % F.lit(mask + 1)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select(
         "doc_id",
         "simhash",
-        *[
-            (F.shiftright(F.col("simhash"), b * bits_per_band) % F.lit(mask + 1)).alias(f"sb{b}")
-            for b in range(bands)
-        ],
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
     ).persist()
-    banded.count()  # eager: see minhash_lsh_pairs — prevents 8-way concurrent cache-population races
-    frames = []
-    for b in range(bands):
-        l = banded.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"sb{b}").alias("bucket")
-        )
-        r = banded.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"sb{b}").alias("bucket")
-        )
-        frames.append(l.join(r, "bucket").filter(F.col("doc_a") < F.col("doc_b")).drop("bucket"))
-    pairs = frames[0]
-    for pf in frames[1:]:
-        pairs = pairs.unionByName(pf)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    banded.count()
+    l = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    r = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("band", "bucket")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.withColumn("hamming", hamming)
