@@ -462,3 +462,25 @@ def test_anomaly_score_stream_matches_batch(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_gopher_stream_matches_batch(spark, sf_smoke):
+    """The streaming Gopher gate is stateless: identical rows (all rule
+    flags included) to the batch operator over the same documents."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import gopher_rules
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        gopher_stream,
+        read_documents_stream,
+    )
+
+    stream = gopher_stream(
+        read_documents_stream(spark, sf_smoke), min_words=10, min_stopwords=1
+    )
+    got = run_stream_to_memory(stream, "gopher_test", mode="append")
+    want = gopher_rules(
+        load_table(spark, sf_smoke, "documents"), min_words=10, min_stopwords=1
+    )
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0

@@ -157,3 +157,16 @@ def cms_sketch_stream(docs_stream: DataFrame) -> DataFrame:
     from ..operators.textpipe import cms_token_sketch
 
     return cms_token_sketch(docs_stream)
+
+
+def gopher_stream(docs_stream: DataFrame, min_words: int = 50, min_stopwords: int = 2) -> DataFrame:
+    """Streaming twin of textpipe.gopher_rules: the Gopher hard-filter
+    gate applied to documents as they land. The rule set is one
+    shuffle-free Catalyst projection (no aggregation, no state), so the
+    streaming plan IS the batch plan — append-mode output over a
+    micro-batch equals the batch operator over the same rows
+    bit-for-bit, and the gate composes in front of any stateful stage
+    (dedup, index ingest) as a zero-state prefilter."""
+    from ..operators.textpipe import gopher_rules
+
+    return gopher_rules(docs_stream, min_words=min_words, min_stopwords=min_stopwords)
