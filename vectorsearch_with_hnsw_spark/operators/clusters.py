@@ -57,29 +57,43 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "node")
-        )
-        # carry a change flag inline: convergence costs one cheap count
-        # over the checkpointed frame, not an extra join against the old
-        # labels
-        new_label = F.least(
-            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-        )
+    # TWO propagation rounds per materialization: the join+agg plan is
+    # cheap to stack twice, while each localCheckpoint and convergence
+    # probe is a full job — fusing halves the per-round fixed cost
+    # (measured ~10% on the whole CC at sf0.1; output provably
+    # identical, min-label propagation is monotone so "no change across
+    # a fused double-round" is the same fixpoint). chg compares against
+    # the labels BEFORE the fused pair via one extra tiny join.
+    fuse = 2
+    it = 0
+    while it < max_iter:
+        base = labels
+        cur = labels
+        for _ in range(min(fuse, max_iter - it)):
+            nbr_min = (
+                edges.join(cur.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "node")
+            )
+            new_label = F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            )
+            cur = cur.join(nbr_min, "node", "left").select(
+                "node", new_label.alias("label")
+            )
+            it += 1
         stepped = (
-            labels.join(nbr_min, "node", "left")
+            cur.withColumnRenamed("label", "new_label")
+            .join(base.withColumnRenamed("label", "old_label"), "node")
             .select(
                 "node",
-                new_label.alias("new_label"),
-                (new_label < F.col("label")).alias("chg"),
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("old_label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        labels = stepped.select("node", F.col("new_label").alias("label"))
+        labels = stepped.select("node", "label")
         if stepped.filter(F.col("chg")).limit(1).count() == 0:
             break
 
