@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_embed",
     "gopher_quality",
+    "c4_clean",
     "dedup_clusters",
     "vocab_top_tokens",
     "tfidf_top_terms",

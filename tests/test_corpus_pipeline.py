@@ -497,3 +497,33 @@ def test_gopher_rules_flags(spark):
     assert got[3]["rule_bullet_lines"] is False
     assert got[4]["rule_ellipsis_lines"] is False
     assert got[5]["rule_alpha_words"] is False and got[5]["rule_stopwords"] is False
+
+
+def test_c4_clean_semantics(spark):
+    """C4 line rules on crafted pages: terminal punctuation + word
+    count gate lines; lorem-ipsum and curly braces flag pages; the
+    page verdict needs min_kept_lines survivors and no flags."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import c4_clean
+
+    good = "\n".join(
+        [
+            "This is a perfectly reasonable sentence with enough words.",
+            "Another complete sentence follows it right here as well.",
+            "And a third one closes out the page quite nicely, thanks.",
+        ]
+    )
+    rows = [
+        (0, good, "en", "web"),
+        (1, good + "\nlorem ipsum dolor sit amet filler text.", "en", "web"),
+        (2, good + "\nfunction f() { return 1; }", "en", "web"),
+        (3, "no terminal punctuation on this line at all", "en", "web"),
+        (4, "Too short.\nAlso tiny.\nStill small.", "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert got[0]["keep"] is True and got[0]["n_lines_kept"] == 3
+    assert got[0]["cleaned_text"] == good
+    assert got[1]["has_lorem"] is True and got[1]["keep"] is False
+    assert got[2]["has_brace"] is True and got[2]["keep"] is False
+    assert got[3]["n_lines_kept"] == 0 and got[3]["keep"] is False
+    assert got[4]["n_lines_kept"] == 0, "punctuated but under the word floor"

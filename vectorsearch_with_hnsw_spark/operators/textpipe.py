@@ -874,3 +874,51 @@ def gopher_rules(
         r_stop.alias("rule_stopwords"),
         (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop).alias("passes"),
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    canonical web-corpus scrub that precedes every other gate: keep
+    only lines that end in terminal punctuation AND carry at least
+    ``min_line_words`` words; flag pages containing the "lorem ipsum"
+    placeholder or a curly brace (code); page verdict ``keep`` when at
+    least ``min_kept_lines`` lines survive and neither flag fired.
+
+    Returns (doc_id, cleaned_text, n_lines_kept, n_lines_dropped,
+    has_lorem, has_brace, keep). Entirely map-side — line split, two
+    regexes, one join-back — zero shuffles at any corpus size; the
+    three-sentence-span dedup C4 runs afterwards is dup_span_pairs /
+    boilerplate_sentences in this engine."""
+    text = F.col("text")
+    lines = F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
+
+    def is_kept(ln):
+        ok = (
+            F.size(F.filter(F.split(ln, "\\s+"), lambda w: w != F.lit("")))
+            >= min_line_words
+        )
+        if require_terminal_punct:
+            # ``require_terminal_punct=False`` relaxes the punctuation
+            # rule for corpora without sentence structure (the synthetic
+            # oracle corpus has none; real web text keeps the default)
+            ok = ln.rlike('[.!?"]\\s*$') & ok
+        return ok
+    kept = F.filter(lines, is_kept)
+    n_kept = F.size(kept)
+    n_dropped = F.size(lines) - n_kept
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        n_kept.alias("n_lines_kept"),
+        n_dropped.alias("n_lines_dropped"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= min_kept_lines) & ~has_lorem & ~has_brace).alias("keep"),
+    )
