@@ -98,6 +98,33 @@ def main() -> None:
         )
     out[f"hnsw_recall_at_10_p{cpus}"] = out["hnsw_recall_at_10"]  # first build used P=cpus
 
+    # routed layout at 64x vectors and LARGE P: the bounded-probe path's
+    # recall claim under boundary replication (replicas=2 default) —
+    # each query touches <= 37 + appended partitions no matter how big P
+    # gets, so this is the configuration a 1000-partition deployment
+    # actually runs. Probe-all above measures per-partition graph
+    # quality; this measures the routing+replication trade directly.
+    from vectorsearch_with_hnsw_spark.index.routed import (  # noqa: E402
+        hnsw_build_routed,
+        knn_hnsw_routed,
+    )
+
+    for p_parts in (64, 128):
+        t0 = time.perf_counter()
+        ridx = hnsw_build_routed(
+            vecs, HnswParams(dim=64, metric="l2"), num_partitions=p_parts
+        )
+        got_r = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_hnsw_routed(ridx, queries, k=10).collect()
+        }
+        out[f"hnsw_routed_recall_at_10_p{p_parts}"] = round(
+            len(got_r & exact) / max(1, len(exact)), 4
+        )
+        out[f"hnsw_routed_build_probe_sec_p{p_parts}"] = round(
+            time.perf_counter() - t0, 2
+        )
+
     # ANN kNN graph at 64x vectors: the whole table as the query set,
     # collect-free — the base graph pagerank/triangles ride beyond
     # O(N^2) sizes. Exact all-pairs at this N is 16.4e9 pair evals;

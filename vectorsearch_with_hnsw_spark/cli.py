@@ -122,6 +122,18 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--max-queries", type=int, default=5)
     s.add_argument("--terms", default="spark,hash,window", help="keyword terms (bm25/hybrid)")
 
+    qa = sub.add_parser(
+        "quality",
+        help="hard-filter quality gates over the documents table (gopher | c4) -> parquet",
+    )
+    qa.add_argument("--sf-dir", required=True)
+    qa.add_argument("--out", required=True)
+    qa.add_argument("--gate", default="gopher", choices=("gopher", "c4"))
+    qa.add_argument("--min-words", type=int, default=50, help="gopher word-count floor")
+    qa.add_argument("--min-stopwords", type=int, default=2, help="gopher stopword floor")
+    qa.add_argument("--min-line-words", type=int, default=5, help="c4 per-line word floor")
+    qa.add_argument("--keep-only", action="store_true", help="write only passing docs")
+
     ex = sub.add_parser(
         "explain",
         help="print the formatted physical plan of any registry query",
@@ -181,6 +193,27 @@ def main(argv: list[str] | None = None) -> None:
             cc = dedup_clusters(D.minhash_lsh_pairs(docs), algorithm=args.algorithm)
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
+        elif args.cmd == "quality":
+            from pyspark.sql import functions as F
+
+            from .operators.textpipe import c4_clean, gopher_rules
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            if args.gate == "gopher":
+                out = gopher_rules(
+                    docs,
+                    min_words=args.min_words,
+                    min_stopwords=args.min_stopwords,
+                )
+                verdict_col = "passes"
+            else:
+                out = c4_clean(docs, min_line_words=args.min_line_words)
+                verdict_col = "keep"
+            if args.keep_only:
+                out = out.filter(F.col(verdict_col))
+            out.write.mode("overwrite").parquet(args.out)
+            n = out.count()
+            print(f"quality[{args.gate}]: {n} rows -> {args.out}")
         elif args.cmd == "explain":
             from . import registry
 
