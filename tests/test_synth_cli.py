@@ -164,3 +164,27 @@ def test_cli_explain_prints_plan(spark, capsys):
     cli.main(["explain", "--query", "pricing_summary"])
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_cli_quality_gates(spark, tmp_path, capsys):
+    """Both quality gates run end-to-end from the CLI, and the search
+    command still works afterwards (a local F-import once shadowed the
+    module binding for every later branch)."""
+    from vectorsearch_with_hnsw_spark import cli
+
+    qg = str(tmp_path / "qg")
+    cli.main([
+        "quality", "--gate", "gopher", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", qg, "--min-words", "10", "--min-stopwords", "1",
+    ])
+    qc = str(tmp_path / "qc")
+    cli.main([
+        "quality", "--gate", "c4", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", qc, "--keep-only",
+    ])
+    captured = capsys.readouterr()
+    assert "quality[gopher]: 500 rows" in captured.out
+    assert "quality[c4]" in captured.out
+    assert spark.read.parquet(qg).filter("passes").count() > 0
+    cli.main(["search", "--method", "exact", "--sf-dir", "/root/testdata/sf0.001", "--k", "2", "--max-queries", "1"])
+    assert "query_id" in capsys.readouterr().out

@@ -194,8 +194,6 @@ def main(argv: list[str] | None = None) -> None:
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
         elif args.cmd == "quality":
-            from pyspark.sql import functions as F
-
             from .operators.textpipe import c4_clean, gopher_rules
 
             docs = load_table(spark, args.sf_dir, "documents")
