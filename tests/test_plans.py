@@ -382,3 +382,22 @@ def test_lm_familiarity_no_cartesian_and_prunes_columns(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     cols = read_schema_columns(df)
     assert "n_chars" not in cols and "source" not in cols
+
+
+def test_quality_gates_are_map_side_only(spark, sf_smoke):
+    """The Gopher and C4 hard-filter gates must plan with ZERO
+    exchanges — split, regex counts and the rule conjunctions all
+    inside the scan stage (the cheapest possible 100 TB shape; an
+    accidental shuffle here would be pure regression)."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import c4_clean, gopher_rules
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    # spread()'s small-file rebalance is the one allowed exchange for
+    # gopher (it vanishes at real scan widths; the single RoundRobin
+    # node can print twice under AQE's initial+final plan dump) —
+    # executedPlan confirms exactly one Exchange; c4_clean doesn't
+    # spread and must be exchange-free outright
+    gplan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert gplan.count("Exchange") == 1
+    assert count_occurrences(c4_clean(docs), "Exchange") == 0
