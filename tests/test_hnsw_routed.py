@@ -230,3 +230,80 @@ def test_append_offset_clears_routing_space(spark, emb):
         vec_col="embedding",
     )
     assert min(appended.appended_partitions) >= 16
+
+
+def test_append_routed_preserves_layout_and_probe_bound(spark, emb):
+    """append_routed LSH-places the batch into the EXISTING routed
+    layout: no appended_partitions growth (the probe bound stays at the
+    Hamming ball forever), new vectors reachable through routing,
+    untouched partitions bit-identical, tombstones in touched
+    partitions compacted away."""
+    from vectorsearch_with_hnsw_spark.index.routed import append_routed
+
+    old = emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = hnsw_build_routed(
+        old, HnswParams(dim=DIM, metric="cosine"), num_partitions=8
+    )
+    new = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 440))
+    out = append_routed(idx, new, id_col="vec_id", vec_col="embedding")
+    assert out.appended_partitions == idx.appended_partitions == []
+    assert out.routed and out.num_partitions == idx.num_partitions
+    # every partition id stays inside the routing modulus
+    parts = {r["partition"] for r in out.nodes.select("partition").distinct().collect()}
+    assert parts <= set(range(8))
+    # new vectors reachable by ROUTING (no appended probe-all involved)
+    q = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 440)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = {
+        r["neighbor_id"]
+        for r in knn_hnsw_routed(out, q, k=1).filter(F.col("rnk") == 1).collect()
+    }
+    assert hits >= set(range(400, 440))
+    # untouched partitions' edges unchanged
+    touched = {
+        r["partition"]
+        for r in out.nodes.join(
+            new.select(F.col("vec_id").alias("id")), "id"
+        ).select("partition").distinct().collect()
+    }
+    untouched = parts - touched
+    if untouched:
+        p0 = sorted(untouched)[0]
+        before = {(r["layer"], r["src"], r["dst"]) for r in idx.edges.filter(F.col("partition") == p0).collect()}
+        after = {(r["layer"], r["src"], r["dst"]) for r in out.edges.filter(F.col("partition") == p0).collect()}
+        assert before == after
+    # refuses hash-placed indexes
+    from vectorsearch_with_hnsw_spark.index.build import hnsw_build
+
+    hashed = hnsw_build(old, HnswParams(dim=DIM, metric="cosine"), num_partitions=4)
+    with pytest.raises(ValueError, match="routed-built"):
+        append_routed(hashed, new, id_col="vec_id", vec_col="embedding")
+
+
+def test_append_routed_compacts_tombstones_in_touched_partitions(spark, emb):
+    from pyspark.sql import functions as SF
+
+    from vectorsearch_with_hnsw_spark.index.routed import append_routed
+
+    old = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = hnsw_build_routed(old, HnswParams(dim=DIM, metric="cosine"), num_partitions=2)
+    deleted = idx.delete(spark.createDataFrame([(5,)], "id long"))
+    out = append_routed(
+        deleted,
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 210)),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    # with P=2 every partition is touched by a 10-vector batch w.h.p.;
+    # if id 5's partitions were touched its rows are gone, else still
+    # tombstoned — either way it must never surface in a probe
+    q = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {r["neighbor_id"] for r in knn_hnsw_routed(out, q, k=5).collect()}
+    assert 5 not in got

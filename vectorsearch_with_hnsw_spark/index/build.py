@@ -193,7 +193,11 @@ class HnswIndex:
         every routed probe (wrong pmod) AND leave the appended vectors
         unreachable by routing. They are recorded in
         ``appended_partitions`` instead; knn_hnsw_routed probes them
-        unconditionally (probe-all for the appended tail)."""
+        unconditionally (probe-all for the appended tail). For a
+        ROUTED index under continuous ingestion prefer
+        ``index.routed.append_routed``: it LSH-places the batch into
+        the existing layout and rebuilds only the touched partitions,
+        so the routed probe bound never grows with append count."""
         # offset from the NODES table: meta lacks rows for 0/1-node
         # partitions, and a colliding partition id would merge two
         # unrelated local graphs into one probe group. Floor at the

@@ -291,3 +291,125 @@ def knn_hnsw_routed(
     return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
+
+
+def append_routed(
+    index: HnswIndex,
+    vectors_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> HnswIndex:
+    """Incremental insert that PRESERVES the routed layout: new vectors
+    are LSH-placed with the index's own modulus/planes/replication, and
+    only the partitions that actually receive rows have their local
+    graphs rebuilt (over old + new members together). Untouched
+    partitions' node and edge rows pass through unchanged.
+
+    Contrast ``HnswIndex.append`` (the hash-placed batch form): that
+    keeps existing graphs immutable but every routed query must probe
+    ALL appended partitions, so the probe bound grows with the number
+    of append batches until a rebuild. This form keeps knn_hnsw_routed's
+    probe bound at the Hamming ball forever — the shape a continuously
+    ingesting deployment needs — at the cost of re-running the build
+    kernel for the touched partitions (cost ∝ vectors living in touched
+    partitions, NOT index size; a batch that routes into b of P
+    partitions rebuilds only those b).
+
+    The whole update is declarative: one assignment projection over the
+    batch, one distinct on its partition ids (bounded by P), an
+    anti-join split of the old tables, and the same cogrouped
+    applyInPandas kernel as the build over the touched slice. Returns a
+    new handle; tables are immutable as everywhere else."""
+    import numpy as np
+    import pandas as pd
+
+    if not getattr(index, "routed", False):
+        raise ValueError(
+            "append_routed requires a routed-built index; use "
+            "HnswIndex.append for hash-placed indexes"
+        )
+    params = index.params
+    pickled = params
+    num_partitions = int(index.num_partitions or index.meta.count())
+    n_planes = int(index.n_planes or 8)
+    replicas = int(getattr(index, "replicas", 0))
+    dots, bucket, parts = _assignment_exprs(
+        f"cast(`{vec_col}` as array<double>)",
+        params.dim,
+        n_planes,
+        num_partitions,
+        replicas,
+    )
+    fresh = (
+        vectors_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+            F.expr(dots).alias("_dots"),
+        )
+        .withColumn("_bucket", F.expr(bucket))
+        .select("id", "vec", F.explode(F.expr(parts)).alias("partition"))
+    )
+    touched = fresh.select("partition").distinct()
+    old_members = index.nodes.join(F.broadcast(touched), "partition").select(
+        "partition", "id", "vec", "deleted"
+    )
+    # tombstoned members stay out of the rebuilt graphs — the routed
+    # incremental insert doubles as incremental compaction of the
+    # touched partitions
+    members = (
+        old_members.filter(~F.col("deleted"))
+        .select("partition", "id", "vec")
+        .unionByName(fresh)
+    )
+
+    def build_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["partition"].iloc[0])
+        idx = LocalHNSW(pickled)
+        idx.add_batch(
+            pdf["id"].to_numpy(dtype=np.int64),
+            np.array(list(pdf["vec"]), dtype=np.float32),
+        )
+        layer, s, t = idx.edges()
+        return pd.DataFrame(
+            {
+                "partition": np.full(len(layer), part, dtype=np.int32),
+                "layer": layer,
+                "src": s,
+                "dst": t,
+                "entry_point": np.full(len(layer), idx.ids[idx.entry_point], dtype=np.int64),
+                "max_layer": np.full(len(layer), idx.max_layer, dtype=np.int32),
+            }
+        )
+
+    rebuilt_raw = members.groupBy("partition").applyInPandas(
+        build_partition, EDGES_SCHEMA + ", entry_point long, max_layer int"
+    ).persist()
+    rebuilt_edges = rebuilt_raw.select("partition", "layer", "src", "dst")
+    rebuilt_meta = rebuilt_raw.groupBy("partition").agg(
+        F.first("entry_point").alias("entry_point"),
+        F.first("max_layer").alias("max_layer"),
+        F.countDistinct("src").alias("n_nodes"),
+    )
+    from .build import _level_expr
+
+    rebuilt_nodes = members.select(
+        "partition",
+        "id",
+        "vec",
+        _level_expr(F.col("id"), pickled).alias("level"),
+        F.lit(False).alias("deleted"),
+    )
+    keep_nodes = index.nodes.join(F.broadcast(touched), "partition", "left_anti")
+    keep_edges = index.edges.join(F.broadcast(touched), "partition", "left_anti")
+    keep_meta = index.meta.join(F.broadcast(touched), "partition", "left_anti")
+    return HnswIndex(
+        keep_nodes.unionByName(rebuilt_nodes),
+        keep_edges.unionByName(rebuilt_edges),
+        keep_meta.unionByName(rebuilt_meta),
+        params,
+        num_partitions=index.num_partitions,
+        appended_partitions=index.appended_partitions,
+        routed=True,
+        n_planes=index.n_planes,
+        replicas=replicas,
+    )
