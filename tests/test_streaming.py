@@ -484,3 +484,32 @@ def test_gopher_stream_matches_batch(spark, sf_smoke):
     cols = want.columns
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_streaming_routed_ingest_preserves_probe_bound(spark, sf_smoke):
+    """Routed micro-batch ingest: the drained index is LSH-placed with
+    NO appended probe-all tail, and every streamed vector is reachable
+    through the routed probe."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.index.build import HnswParams
+    from vectorsearch_with_hnsw_spark.index.routed import knn_hnsw_routed
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.ingest import (
+        StreamingIndexIngest,
+        read_embeddings_stream,
+    )
+
+    ingest = StreamingIndexIngest(
+        HnswParams(dim=64, metric="cosine"), routed=True, num_partitions=4
+    )
+    idx = ingest.run(read_embeddings_stream(spark, sf_smoke))
+    assert idx.routed and idx.appended_partitions == []
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = knn_hnsw_routed(idx, q, k=1).filter(F.col("rnk") == 1).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["neighbor_id"] == r["query_id"]

@@ -37,7 +37,14 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 class StreamingIndexIngest:
     """foreachBatch sink that appends each micro-batch into a running
     HnswIndex, with rebuild compaction every ``rebuild_every`` appended
-    partitions."""
+    partitions.
+
+    ``routed=True`` switches to the layout-preserving ingest: the first
+    micro-batch builds an LSH-routed index (``hnsw_build_routed``) and
+    every later batch merges through ``append_routed`` — only touched
+    partitions rebuild, the routed probe bound never grows with batch
+    count, and no rebuild threshold is needed (the layout does not
+    degrade). Hash mode keeps the original append+rebuild cycle."""
 
     def __init__(
         self,
@@ -46,17 +53,37 @@ class StreamingIndexIngest:
         rebuild_every: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        routed: bool = False,
+        num_partitions: int | None = None,
     ):
         self.params = params
         self.partitions_per_batch = partitions_per_batch
         self.rebuild_every = rebuild_every
         self.id_col = id_col
         self.vec_col = vec_col
+        self.routed = routed
+        self.num_partitions = num_partitions or 8
         self.index: HnswIndex | None = None
         self.batches_seen = 0
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches_seen += 1
+        if self.routed:
+            from ..index.routed import append_routed, hnsw_build_routed
+
+            if self.index is None:
+                self.index = hnsw_build_routed(
+                    batch_df,
+                    self.params,
+                    num_partitions=self.num_partitions,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                )
+            else:
+                self.index = append_routed(
+                    self.index, batch_df, id_col=self.id_col, vec_col=self.vec_col
+                )
+            return
         if self.index is None:
             self.index = hnsw_build(
                 batch_df,
