@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "multimodal_embed",
     "gopher_quality",
     "c4_clean",
+    "dsir_scores",
     "dedup_clusters",
     "vocab_top_tokens",
     "tfidf_top_terms",

@@ -527,3 +527,23 @@ def test_c4_clean_semantics(spark):
     assert got[2]["has_brace"] is True and got[2]["keep"] is False
     assert got[3]["n_lines_kept"] == 0 and got[3]["keep"] is False
     assert got[4]["n_lines_kept"] == 0, "punctuated but under the word floor"
+
+
+def test_dsir_gate_biases_toward_target(spark, sf_smoke):
+    """The resampling gate is deterministic and ratio-biased: higher
+    keep_per_million keeps a superset, the kept set is reproducible,
+    and kept docs skew toward higher target_ppm than dropped ones."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import dsir_scores
+
+    docs = load_table(spark, sf_smoke, "documents")
+    full = dsir_scores(docs).toPandas().set_index("doc_id")
+    lo = {r["doc_id"] for r in dsir_scores(docs, keep_per_million=400_000).collect()}
+    hi = {r["doc_id"] for r in dsir_scores(docs, keep_per_million=900_000).collect()}
+    lo2 = {r["doc_id"] for r in dsir_scores(docs, keep_per_million=400_000).collect()}
+    assert lo == lo2, "gate must be deterministic"
+    assert lo <= hi, "higher budget keeps a superset"
+    assert 0 < len(hi) < len(full)
+    kept_mean = full.loc[sorted(hi)]["target_ppm"].mean()
+    dropped = full.index.difference(list(hi))
+    if len(dropped):
+        assert kept_mean >= full.loc[dropped]["target_ppm"].mean()

@@ -922,3 +922,82 @@ def c4_clean(
         has_brace.alias("has_brace"),
         ((n_kept >= min_kept_lines) & ~has_lorem & ~has_brace).alias("keep"),
     )
+
+
+def dsir_scores(
+    docs: DataFrame, target_lang: str = "en", keep_per_million: int | None = None
+) -> DataFrame:
+    """DSIR-style importance statistics (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by hashed-bigram counts under a TARGET model (the
+    ``target_lang`` slice — the domain you want more of) AND a SOURCE
+    model (the whole corpus), the integer-exact sufficient statistics
+    of DSIR's log importance weight ``sum log p_target(f) -
+    sum log p_source(f)``. The log itself is left to the consumer
+    (engines round ln() differently — the same contract as
+    lm_familiarity and tfidf): a row's (fam_target, fam_source,
+    n_bigrams) is everything the weight needs.
+
+    Output: (doc_id, lang, n_bigrams, fam_target, fam_source,
+    target_ppm) where target_ppm = (fam_target * 1e6) div
+    (fam_target + fam_source) — an all-integer, monotone proxy for the
+    importance ratio, used directly as the resampling key. With
+    ``keep_per_million`` set, gate rows by the same deterministic
+    doc_id hash as stratified_sample, biased toward high target_ppm:
+    keep when hash_ppm < keep_per_million * target_ppm / 500000
+    (linear-in-ratio acceptance — documents that look twice as
+    target-like are twice as likely to survive).
+
+    Plan shape: both models are (hash, count) aggregates over the SAME
+    exploded bigram relation (one corpus explode feeds target + source
+    + scoring), so training adds one narrow agg over the shuffle the
+    scorer already pays; models are vocabulary-sized joins exactly as
+    in lm_familiarity."""
+    from ..functions.text import poly_hash, word_shingles
+
+    bg = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(F.col("text"), 2)).alias("bgm"),
+    ).select("doc_id", "lang", poly_hash(F.col("bgm")).alias("h"))
+    target_model = (
+        bg.filter(F.col("lang") == target_lang)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    source_model = bg.groupBy("h").agg(F.count(F.lit(1)).alias("cnt_s"))
+    scored = (
+        bg.join(target_model, "h", "left")
+        .join(source_model, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("cnt_t"), F.lit(0))).alias("fam_target"),
+            F.sum(F.col("cnt_s")).alias("fam_source"),
+        )
+    )
+    out = (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("fam_target", F.lit(0)).alias("fam_target"),
+            F.coalesce("fam_source", F.lit(0)).alias("fam_source"),
+        )
+        .withColumn(
+            "target_ppm",
+            F.expr(
+                "(fam_target * 1000000) div greatest(fam_target + fam_source, 1)"
+            ),
+        )
+    )
+    if keep_per_million is None:
+        return out
+    gate = ((F.col("doc_id") + F.lit(9173)) * F.lit(SAMPLE_MIX)) % F.lit(
+        SAMPLE_MOD
+    ) % F.lit(1_000_000)
+    return out.filter(
+        gate < F.expr(f"({keep_per_million}::long * target_ppm) div 500000")
+    )
