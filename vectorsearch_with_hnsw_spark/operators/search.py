@@ -9,6 +9,7 @@ operator signatures:
 | exact        | 1.0 (definition)      | O(N·Q) declarative plan        |
 | exact_fast   | 1.0 (bit-identical)   | O(N·Q) BLAS partial top-k      |
 | hnsw         | ~1.0 at defaults      | O(ef·Q) probes after build     |
+| hnsw_rescored| = exact when shortlist covers top-k | probes + 4k·Q exact re-scores |
 | sq8          | high                  | full scan, 4x smaller codes    |
 | ivf_sq8      | medium-high           | cell-pruned quantized scan     |
 | ivf          | high (probe-tuned)    | cell-pruned full vectors       |
@@ -39,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
 
 
 def similarity_search(
@@ -130,15 +131,22 @@ def similarity_search(
         from .ann import matryoshka_knn
 
         return matryoshka_knn(base, queries, dim=_dim(dim, method), k=k)
-    # hnsw
+    # hnsw / hnsw_rescored
     from ..index.build import HnswParams, hnsw_build
-    from ..index.query import knn_hnsw
+    from ..index.query import knn_hnsw, knn_hnsw_rescored
 
     if index is None:
         index = hnsw_build(
             base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
             HnswParams(dim=_dim(dim, method), metric=metric),
             num_partitions=num_partitions,
+        )
+    if method == "hnsw_rescored":
+        # graph shortlist + exact re-score against the ORIGINAL vectors:
+        # bit-identical to exact kNN whenever the shortlist covers the
+        # true top-k (the driver-verified knn_hnsw form)
+        return knn_hnsw_rescored(
+            index, base, queries, k=k, shortlist_k=4 * k, ef=ef or 200, metric=metric
         )
     return knn_hnsw(index, queries, k=k, ef=ef)
 
