@@ -170,6 +170,29 @@ BENCH_QUERIES = [
 ]
 
 
+def _min_of_reps(run, n_min: int = 3, n_max: int = 4, tol: float = 0.10):
+    """min over >= ``n_min`` runs, escalating to ``n_max`` while the gap
+    between the two fastest runs exceeds ``tol``.
+
+    The box shows sporadic ~30-40s scheduler/host stalls (measured: the
+    same query 3s and 41s back-to-back with <50ms GC), and r4 vs r5 ran
+    BYTE-IDENTICAL code with single-run swings of -30%/+65% — so the
+    reported statistic is the min (the query's real cost, not the VM's
+    noise floor) and the stability signal is ``spread2`` = the relative
+    gap between the two fastest runs (a single stalled run inflates
+    max-based spreads without making the min any less trustworthy).
+    Returns (min_seconds, spread2, runs)."""
+    ts: list[float] = []
+    while len(ts) < n_max:
+        ts.append(run())
+        if len(ts) >= n_min:
+            s = sorted(ts)
+            if (s[1] - s[0]) / s[0] <= tol:
+                break
+    s = sorted(ts)
+    return s[0], (s[1] - s[0]) / s[0], ts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -179,6 +202,7 @@ def main() -> None:
 
     qmap = registry.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
 
     # Warm the JVM (codegen, parquet footer reads) and the pandas-worker
     # pool BEFORE the timed region: one-time session spin-up is not query
@@ -190,21 +214,24 @@ def main() -> None:
     load_table(spark, sf_dir, "documents").count()
 
     t_all = time.perf_counter()
-    # Per-query time = min over 2 runs. The box shows sporadic ~30-40s
-    # scheduler/host stalls (measured: same query 3s and 41s back-to-back
-    # with <50ms GC); min-of-2 reports the query's real cost, not the
-    # noise floor of a shared VM.
     for name in BENCH_QUERIES:
-        best, n = None, 0
-        for _ in range(2):
+        nrows = 0
+
+        def run_once(name=name):
+            nonlocal nrows
             t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            n = df.count()
+            nrows = qmap[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()  # release operator-persisted frames between runs
+            return dt
+
+        best, spread2, _ = _min_of_reps(run_once)
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        spreads[name] = round(spread2, 3)
+        print(
+            f"# {name}: {nrows} rows in {timings[name]}s (spread2 {spreads[name]})",
+            file=sys.stderr,
+        )
 
     # HNSW build + probe over the real embeddings table
     emb = load_table(spark, sf_dir, "embeddings")
@@ -213,11 +240,12 @@ def main() -> None:
     # Arrow overhead (~125+ vectors per partition; measured sweet spot —
     # 16 partitions beat 8 AND 32 at n=2000)
     n_parts = max(2, min(cpus, n_vec // 125))
-    t_build = None
-    for i in range(2):  # min-of-2: same stall guard as the query loop
+    build_ts: list[float] = []
+    idx = None
+    for i in range(5):  # median-of-5: this row feeds a throughput claim
         if i > 0:
             # drop the previous build's persisted kernel output: the
-            # second iteration's plan is IDENTICAL and Spark substitutes
+            # next iteration's plan is IDENTICAL and Spark substitutes
             # the cached relation — without this the "rebuild" is a
             # cache read, not a build (measured 0.17s vs 5s)
             idx.kernel_out.unpersist(blocking=True)
@@ -228,8 +256,9 @@ def main() -> None:
             num_partitions=n_parts,
         )
         idx.edges.count()  # force build
-        dt = time.perf_counter() - t0
-        t_build = dt if t_build is None else min(t_build, dt)
+        build_ts.append(time.perf_counter() - t0)
+    t_build = sorted(build_ts)[2]
+    build_spread = round((max(build_ts) - min(build_ts)) / min(build_ts), 3)
     timings["hnsw_build"] = round(t_build, 3)
     t0 = time.perf_counter()
     queries_df = emb.filter(F.col("vec_id") < 50).select(
@@ -238,6 +267,25 @@ def main() -> None:
     ann = knn_hnsw(idx, queries_df, k=10)
     ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
     timings["hnsw_probe"] = round(time.perf_counter() - t0, 3)
+
+    # collect-free probe (index/query.py:29) — the actual 100 TB query
+    # path (queries never touch the driver); timed like a query row and
+    # equality-checked against the broadcast probe's result set
+    from vectorsearch_with_hnsw_spark.index.query import knn_hnsw_distributed
+
+    def run_dist():
+        t0 = time.perf_counter()
+        knn_hnsw_distributed(idx, queries_df, k=10).count()
+        return time.perf_counter() - t0
+
+    best, spread2, _ = _min_of_reps(run_dist)
+    timings["hnsw_probe_distributed"] = round(best, 3)
+    spreads["hnsw_probe_distributed"] = round(spread2, 3)
+    dist_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_hnsw_distributed(idx, queries_df, k=10).collect()
+    }
+    distributed_eq_broadcast = dist_pairs == ann_pairs
 
     # recall@10 vs the exact oracle — quality reported next to speed.
     # knn_exact_fast is bit-exact (BLAS partial top-k + exact rescore,
@@ -265,8 +313,9 @@ def main() -> None:
         F.col("id"), F.col("vec")
     ).persist()
     sv.count()  # materialize generation outside the timed build
-    t_build512 = None
-    for i in range(2):  # min-of-2: this is the headline baseline number
+    build512_ts: list[float] = []
+    idx512 = None
+    for i in range(5):  # median-of-5: this is the headline baseline number
         if i > 0:
             # unpersist the previous build only (keep sv hot): identical
             # plans would otherwise resolve to the cached kernel output
@@ -275,8 +324,11 @@ def main() -> None:
         t0 = time.perf_counter()
         idx512 = hnsw_build(sv, HnswParams(dim=512, metric="cosine"), num_partitions=cpus)
         idx512.edges.count()
-        dt = time.perf_counter() - t0
-        t_build512 = dt if t_build512 is None else min(t_build512, dt)
+        build512_ts.append(time.perf_counter() - t0)
+    t_build512 = sorted(build512_ts)[2]
+    build512_spread = round(
+        (max(build512_ts) - min(build512_ts)) / min(build512_ts), 3
+    )
     timings["hnsw_build_dim512"] = round(t_build512, 3)
     sv.unpersist()
 
@@ -288,8 +340,10 @@ def main() -> None:
     exact_edges = {
         (r["src_id"], r["dst_id"]) for r in knn_graph(emb, k=5, metric="l2").collect()
     }
-    t_g, ann_edges = None, set()
-    for _ in range(2):
+    ann_edges: set = set()
+
+    def run_graph():
+        nonlocal ann_edges
         t0 = time.perf_counter()
         ann_edges = {
             (r["src_id"], r["dst_id"])
@@ -298,9 +352,12 @@ def main() -> None:
             ).collect()
         }
         dt = time.perf_counter() - t0
-        t_g = dt if t_g is None else min(t_g, dt)
         spark.catalog.clearCache()
+        return dt
+
+    t_g, spread2, _ = _min_of_reps(run_graph)
     timings["knn_graph_hnsw"] = round(t_g, 3)
+    spreads["knn_graph_hnsw"] = round(spread2, 3)
     graph_recall = round(len(ann_edges & exact_edges) / max(1, len(exact_edges)), 4)
 
     # LSH-routed index: bounded-probe build + query (boundary-replicated
@@ -401,6 +458,19 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(time.perf_counter() - t_all, 3)
+    # spread2 aggregates: per-row spreads live in BENCH_FULL.json (the
+    # driver keeps only the last 2000 chars of stdout, so the printed
+    # line carries the summary and the committed file carries the rest)
+    svals = sorted(spreads.values())
+    worst = max(spreads, key=spreads.get)
+    spread_summary = {
+        "spread2_median": svals[len(svals) // 2],
+        "spread2_p90": svals[int(len(svals) * 0.9)],
+        "spread2_max": svals[-1],
+        "spread2_worst_row": worst,
+        "spread_build": build_spread,
+        "spread_build512": build512_spread,
+    }
     result = {
         "metric": "bench_suite_seconds",
         "value": total,
@@ -418,10 +488,22 @@ def main() -> None:
             "knn_graph_hnsw_edge_recall": graph_recall,
             "hnsw_routed_recall_at_10": routed_recall,
             "routed_append_reachable": routed_append_reachable,
+            "distributed_eq_broadcast": distributed_eq_broadcast,
             **ann_recall,
+            **spread_summary,
             "cpus": cpus,
         },
     }
+    full = dict(result)
+    full["spreads"] = spreads  # per-row (2nd_fastest - fastest)/fastest
+    full["build_runs"] = [round(t, 3) for t in build_ts]
+    full["build512_runs"] = [round(t, 3) for t in build512_ts]
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the summary
     print(json.dumps(result))
     spark.stop()
 

@@ -99,11 +99,14 @@ def main() -> None:
     out[f"hnsw_recall_at_10_p{cpus}"] = out["hnsw_recall_at_10"]  # first build used P=cpus
 
     # routed layout at 64x vectors and LARGE P: the bounded-probe path's
-    # recall claim under boundary replication (replicas=2 default) —
-    # each query touches <= 37 + appended partitions no matter how big P
-    # gets, so this is the configuration a 1000-partition deployment
-    # actually runs. Probe-all above measures per-partition graph
-    # quality; this measures the routing+replication trade directly.
+    # recall claim under centroid routing (default: assign_n=2
+    # multi-assignment, ~3*sqrt(P) probed cells — sublinear in P), the
+    # configuration a 1000-partition deployment actually runs. Probe-all
+    # above measures per-partition graph quality; this measures the
+    # routing+replication trade directly. (The LSH-ball layout this
+    # replaced measured 0.779 recall@10 at P=128 on this data — sign-bit
+    # LSH is near-blind on near-uniform gaussians, where true neighbors
+    # average Hamming distance 4-5 over 8 planes.)
     from vectorsearch_with_hnsw_spark.index.routed import (  # noqa: E402
         hnsw_build_routed,
         knn_hnsw_routed,

@@ -473,6 +473,39 @@ def test_knn_pagerank_star_hub_and_mass_bounds(spark):
     assert out == out2
 
 
+def test_pagerank_mass_conservation(spark):
+    """Dangling nodes (no out-edges) redistribute their damped mass
+    uniformly: on a graph where half the nodes are dangling, total rank
+    mass stays scale*N up to deterministic integer-floor losses (< N
+    per div, 3 divs per iteration) — the redistribution the exact-kNN
+    backend never needs (every node has k out-edges) but ANN backends
+    do. Also pins: a dangling-free graph takes the redistribution-free
+    path and conserves mass the same way."""
+    from vectorsearch_with_hnsw_spark.operators.clusters import _pagerank_loop
+
+    n, scale, iters, k = 10, 10**12, 3, 2
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    # nodes 0..4 each point at (i+1)%5 and 5+i; nodes 5..9 are dangling
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)] + [(i, 5 + i) for i in range(5)],
+        "src_id long, dst_id long",
+    )
+    out = {r.node_id: r.pr for r in _pagerank_loop(nodes, edges, iters, 85, scale).collect()}
+    assert len(out) == n and all(v > 0 for v in out.values())
+    total = sum(out.values())
+    # per iteration, floor losses: < n (damped share div), < n (per-edge
+    # div by out_deg), < n (dangling redistribution div)
+    assert scale * n - iters * 3 * n <= total <= scale * n
+    # dangling-free control: a 2-regular ring conserves mass too
+    ring = spark.createDataFrame(
+        [(i, (i + j) % n) for i in range(n) for j in (1, 2)],
+        "src_id long, dst_id long",
+    )
+    out_ring = {r.node_id: r.pr for r in _pagerank_loop(nodes, ring, iters, 85, scale).collect()}
+    total_ring = sum(out_ring.values())
+    assert scale * n - iters * 3 * n <= total_ring <= scale * n
+
+
 def test_gopher_rules_flags(spark):
     """Each Gopher rule trips on a purpose-built document; a healthy
     document passes all of them."""

@@ -164,6 +164,48 @@ def test_num_partitions_survives_save_load(spark, emb, tmp_path):
     assert loaded.params.dim == DIM
 
 
+def test_centroid_routing_contracts(spark, emb, queries, tmp_path):
+    """The default centroid routing: (a) recall holds at a P large
+    enough that the LSH ball used to collapse (P=64 on 2k vectors);
+    (b) the probe result is identical through a save/load round-trip
+    (centroids persist with the index); (c) routing="lsh" still builds
+    and answers (the Hamming-ball layout remains available); (d) an
+    unknown routing name raises."""
+    from vectorsearch_with_hnsw_spark.index.build import HnswIndex
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+
+    src = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    idx = hnsw_build_routed(
+        src, HnswParams(dim=DIM, metric="cosine"), num_partitions=64
+    )
+    assert idx.routing == "centroid" and idx.centroids is not None
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_hnsw_routed(idx, queries, k=10).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact(emb, queries, k=10, metric="cosine").collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.85
+    idx.save(str(tmp_path / "cidx"))
+    loaded = HnswIndex.load(spark, str(tmp_path / "cidx"))
+    assert loaded.routing == "centroid" and loaded.assign_n == idx.assign_n
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_hnsw_routed(loaded, queries, k=10).collect()
+    }
+    assert got2 == got
+    lsh = hnsw_build_routed(
+        src, HnswParams(dim=DIM, metric="cosine"), num_partitions=8, routing="lsh"
+    )
+    assert lsh.routing == "lsh" and lsh.centroids is None
+    rows = knn_hnsw_routed(lsh, queries, k=1).filter(F.col("rnk") == 1).collect()
+    assert rows and all(r["neighbor_id"] == r["query_id"] for r in rows)
+    with pytest.raises(ValueError, match="unknown routing"):
+        hnsw_build_routed(src, HnswParams(dim=DIM, metric="cosine"), routing="geo")
+
+
 def test_routed_probe_refuses_hash_built_index(spark, emb, queries):
     """Routing over hash placement silently collapses recall at large P
     — the probe must refuse rather than misroute."""

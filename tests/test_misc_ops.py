@@ -317,6 +317,34 @@ def test_bucket_sql_forms_match_column_form(spark, sf_smoke):
             assert r["fold"][b]["band"] == b
 
 
+def test_lsh_numpy_parity(spark, sf_smoke):
+    """banded_bucket_frame_fast (Arrow/numpy signature) must produce the
+    EXACT (doc_id, band, bucket) rows of the SQL-fold banded_bucket_frame
+    — on the hashed DOCUMENT vectors, whose plane dots land nearest zero
+    (the only place a fold-order divergence could flip a sign bit). The
+    per-row ``bands`` array must also agree with the exploded rows."""
+    from vectorsearch_with_hnsw_spark.operators.ann import (
+        banded_bucket_frame,
+        banded_bucket_frame_fast,
+    )
+    from vectorsearch_with_hnsw_spark.operators.textpipe import hashed_doc_vectors
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    vecs = hashed_doc_vectors(docs, 64).persist()
+    bands, ppb = 8, 4
+    slow = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in banded_bucket_frame(vecs, "vec", 64, bands, ppb).collect()
+    }
+    fast_rows = banded_bucket_frame_fast(vecs, "vec", 64, bands, ppb).collect()
+    fast = {(r["doc_id"], r["band"]): r["bucket"] for r in fast_rows}
+    assert fast == slow
+    for r in fast_rows:
+        assert r["bands"][r["band"]] == r["bucket"]
+    vecs.unpersist()
+
+
 def test_mix_corpus_temperature_pow_path_runs(spark, sf_smoke):
     """alpha != 0.5 takes the pow() weight path (production-fine, not
     oracle-exact): still deterministic, still keeps the smallest source

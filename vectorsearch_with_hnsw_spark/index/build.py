@@ -65,6 +65,9 @@ class HnswIndex:
         routed: bool = False,
         n_planes: int | None = None,
         replicas: int = 0,
+        routing: str | None = None,
+        assign_n: int = 2,
+        centroids: DataFrame | None = None,
     ):
         self.nodes = nodes
         self.edges = edges
@@ -84,6 +87,13 @@ class HnswIndex:
         # recorded so rebuild() reproduces the same layout and so
         # consumers know nodes may hold (1+replicas) rows per id
         self.replicas = int(replicas)
+        # routing family of a routed build ("centroid" | "lsh"; None for
+        # hash-placed) + centroid-routing artifacts: the trained cell
+        # centroids (bounded P-row table) and the multi-assignment
+        # factor (nodes hold assign_n rows per id under centroid routing)
+        self.routing = routing if routing else ("lsh" if routed else None)
+        self.assign_n = int(assign_n)
+        self.centroids = centroids
         self.kernel_out: DataFrame | None = None  # set by hnsw_build
 
     def save(self, path: str) -> None:
@@ -107,6 +117,13 @@ class HnswIndex:
                 payload["n_planes"] = self.n_planes
             if self.replicas:
                 payload["replicas"] = self.replicas
+            if self.routing:
+                payload["routing"] = self.routing
+                payload["assign_n"] = self.assign_n
+            if self.centroids is not None:
+                self.centroids.coalesce(1).write.mode("overwrite").parquet(
+                    f"{path}/centroids"
+                )
         params_df = spark.createDataFrame([(json.dumps(payload),)], "params_json string")
         params_df.coalesce(1).write.mode("overwrite").json(f"{path}/params")
 
@@ -120,7 +137,12 @@ class HnswIndex:
         routed = raw.pop("routed", False)
         n_planes = raw.pop("n_planes", None)
         replicas = raw.pop("replicas", 0)
+        routing = raw.pop("routing", None)
+        assign_n = raw.pop("assign_n", 2)
         params = HnswParams(**raw)
+        centroids = (
+            spark.read.parquet(f"{path}/centroids") if routing == "centroid" else None
+        )
         return cls(
             spark.read.parquet(f"{path}/nodes"),
             spark.read.parquet(f"{path}/edges"),
@@ -131,6 +153,9 @@ class HnswIndex:
             routed=routed,
             n_planes=n_planes,
             replicas=replicas,
+            routing=routing,
+            assign_n=assign_n,
+            centroids=centroids,
         )
 
     def delete(self, ids_df: DataFrame) -> "HnswIndex":
@@ -175,6 +200,8 @@ class HnswIndex:
                 alive, self.params, num_partitions=nparts,
                 n_planes=int(self.n_planes or 8),
                 replicas=self.replicas,
+                routing=self.routing or "lsh",
+                assign_n=int(getattr(self, "assign_n", 2) or 2),
             )
         return hnsw_build(alive, self.params, num_partitions=nparts)
 

@@ -1,25 +1,35 @@
-"""LSH-routed HNSW: partition the index by hyperplane-LSH bucket and
-probe only the partitions a query can plausibly live in.
+"""Routed HNSW: partition the index by locality (centroid cell or LSH
+bucket) and probe only the partitions a query can plausibly live in.
 
 The plain build partitions by hash(id): correct, but every probe must
-visit every partition, so probe cost grows with P. Routing fixes that:
+visit every partition, so probe cost grows with P. Routing fixes that.
+Two routing families share the build kernel, probe kernel and merge:
 
-- build: partition = lsh_bucket(vec) % P, with boundary vectors
-  REPLICATED into their lowest-margin flip buckets (SPANN-style
-  multi-assignment; ``replicas`` knob, default 2 -> <= 3x storage).
-- probe: each query visits its own bucket's partition plus the
-  partitions of its Hamming<=radius bucket flips (classic multi-probe
-  LSH) — a constant number of partitions REGARDLESS of P.
+- ``routing="centroid"`` (default, SPANN-style): partition = nearest
+  of P k-means centroids, each vector multi-assigned to its
+  ``assign_n`` closest cells (default 2 -> 2x storage); a query probes
+  its ``n_probe`` nearest cells (default ~3*sqrt(P), sublinear in P).
+  Centroids are trained driver-side on a bounded deterministic sample
+  (<= 64 per cell, capped — the same bounded-artifact class as the PQ
+  codebooks) with plain Lloyd iterations.
+- ``routing="lsh"``: partition = lsh_bucket(vec) % P with boundary
+  vectors replicated into their ``replicas`` lowest-margin flip
+  buckets; queries probe their Hamming<=2 ball (37 buckets regardless
+  of P).
 
-Residual trade-off is recall at partition boundaries (measured in
-tests: >= 0.9 at defaults vs the exact oracle — replica-free was ~0.8;
-probe-all stays 1.0); operators.retrieval._stitch_graph repairs the
-kNN-graph use case further with NN-descent rounds. Both modes share
-the same index tables, kernels and merge — this module only changes
-the partitioner and the query->partition routing.
+Why centroid is the default: on the near-uniform gaussian testdata
+(worst case for sign-bit LSH — true neighbors average Hamming distance
+4-5 over 8 planes, unreachable by any bounded Hamming ball), measured
+candidate coverage of the true top-10 at P=128 with equal probe budget
+(37 partitions) is 0.63 for the LSH ball vs 0.93 for assign_n=2
+centroid routing; recall@10 through the full index tracks coverage.
+operators.retrieval._stitch_graph repairs the kNN-graph use case
+further with NN-descent rounds.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +38,115 @@ from ..operators.ann import hyperplane_ints, lsh_bucket
 from ..operators.knn import topk_per_group
 from .build import EDGES_SCHEMA, HnswIndex, HnswParams
 from .local_hnsw import LocalHNSW
+
+
+def default_n_probe(num_partitions: int) -> int:
+    """Probe budget for centroid routing: ~3*sqrt(P), floor 8, capped at
+    P — sublinear growth keeps the probed FRACTION shrinking as the
+    cluster grows (P=8 -> probe-all, P=128 -> 34, P=1024 -> 96)."""
+    import math
+
+    return min(num_partitions, max(8, math.ceil(3.0 * math.sqrt(num_partitions))))
+
+
+def _train_centroids(
+    vectors_df: DataFrame,
+    num_partitions: int,
+    id_col: str,
+    vec_col: str,
+    sample_per_cell: int = 64,
+    iters: int = 8,
+) -> np.ndarray:
+    """Driver-side Lloyd over a bounded deterministic sample: rows are
+    ordered by xxhash64(id) (a seedless pseudo-random permutation that
+    is identical on every run/engine) and the first
+    ``min(P*sample_per_cell, 65536)`` taken. Init = first P sample rows;
+    an emptied cell keeps its previous centroid. Sample size is
+    independent of the table size, so this is O(1) driver memory at any
+    scale — the standard IVF/SPANN training shape."""
+    cap = max(num_partitions, min(num_partitions * sample_per_cell, 65536))
+    rows = (
+        vectors_df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(cap)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    k = min(num_partitions, len(X))
+    C = X[:k].copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(iters):
+        c2 = (C * C).sum(axis=1)
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def _nearest_cells(X: np.ndarray, C: np.ndarray, n: int) -> np.ndarray:
+    """(len(X), n) int32 ids of each row's ``n`` nearest centroids,
+    distance-then-cell-id ordered (deterministic under ties)."""
+    x2 = (X * X).sum(axis=1)
+    c2 = (C * C).sum(axis=1)
+    d2 = x2[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+    n = min(n, C.shape[0])
+    if n < C.shape[0]:
+        part = np.argpartition(d2, n - 1, axis=1)[:, :n]
+        pd2 = np.take_along_axis(d2, part, axis=1)
+        order = np.lexsort((part, pd2), axis=1)
+        return np.take_along_axis(part, order, axis=1).astype(np.int32)
+    order = np.lexsort((np.broadcast_to(np.arange(C.shape[0]), d2.shape), d2), axis=1)
+    return order.astype(np.int32)
+
+
+def _assign_centroid_partitions(
+    vectors_df: DataFrame,
+    centroids: np.ndarray,
+    assign_n: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec float32, partition) with each vector exploded to its
+    ``assign_n`` nearest cells — the centroid twin of the LSH
+    multi-assignment projection. One broadcast + one Arrow map pass;
+    no shuffle here (the build's groupBy supplies it)."""
+    import pandas as pd
+
+    spark = vectors_df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    narrow = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("vec"),
+    )
+
+    def assign(it):
+        C = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "vec": [], "partition": []}).astype(
+                    {"id": "int64", "partition": "int32"}
+                )
+                continue
+            X = np.array(list(pdf["vec"]), dtype=np.float64)
+            cells = _nearest_cells(X, C, assign_n)
+            n_rep = cells.shape[1]
+            out = pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(dtype=np.int64), n_rep),
+                    "vec": np.repeat(pdf["vec"].to_numpy(), n_rep),
+                    "partition": cells.reshape(-1),
+                }
+            )
+            yield out
+
+    return narrow.mapInPandas(assign, "id long, vec array<float>, partition int")
 
 
 def _assignment_exprs(
@@ -77,36 +196,55 @@ def hnsw_build_routed(
     replicas: int = 2,
     id_col: str = "id",
     vec_col: str = "vec",
+    routing: str = "centroid",
+    assign_n: int = 2,
 ) -> HnswIndex:
-    """Same kernel build as hnsw_build, but the partitioner is the LSH
-    bucket of the vector (co-locates likely neighbors), with each vector
-    additionally REPLICATED into the flip buckets of its ``replicas``
-    lowest-margin hyperplanes (see _assignment_exprs; measured edge
-    recall at P=64 on the gaussian sf0.1 testdata: 0.58 replica-free ->
-    0.79 candidate coverage at replicas=2 for 3x storage). The probe
-    merge deduplicates (query, neighbor) pairs, so results are
-    replica-count-independent. ``replicas=0`` restores the single-home
-    layout."""
+    """Same kernel build as hnsw_build, but the partitioner co-locates
+    likely neighbors (see module docstring for the two routing families
+    and why centroid is the default).
+
+    ``routing="centroid"``: partition = one of the vector's ``assign_n``
+    nearest k-means cells (SPANN multi-assignment, ``assign_n``x
+    storage). ``routing="lsh"``: partition = LSH bucket % P, with each
+    vector additionally replicated into the flip buckets of its
+    ``replicas`` lowest-margin hyperplanes (measured edge recall at
+    P=64 on the gaussian sf0.1 testdata: 0.58 replica-free -> 0.79
+    candidate coverage at replicas=2 for 3x storage; ``replicas=0``
+    restores the single-home layout). Either way the probe merge
+    deduplicates (query, neighbor) pairs, so results are
+    replication-independent."""
     import numpy as np
     import pandas as pd
 
+    if routing not in ("centroid", "lsh"):
+        raise ValueError(f"unknown routing {routing!r}; expected 'centroid' or 'lsh'")
     pickled = params
-    dots, bucket, parts = _assignment_exprs(
-        f"cast(`{vec_col}` as array<double>)",
-        params.dim,
-        n_planes,
-        num_partitions,
-        replicas,
-    )
-    src = (
-        vectors_df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<float>").alias("vec"),
-            F.expr(dots).alias("_dots"),
+    centroids_df = None
+    if routing == "centroid":
+        C = _train_centroids(vectors_df, num_partitions, id_col, vec_col)
+        src = _assign_centroid_partitions(vectors_df, C, assign_n, id_col, vec_col)
+        spark = vectors_df.sparkSession
+        centroids_df = spark.createDataFrame(
+            [(int(i), [float(v) for v in C[i]]) for i in range(len(C))],
+            "cell int, centroid array<double>",
         )
-        .withColumn("_bucket", F.expr(bucket))
-        .select("id", "vec", F.explode(F.expr(parts)).alias("partition"))
-    )
+    else:
+        dots, bucket, parts = _assignment_exprs(
+            f"cast(`{vec_col}` as array<double>)",
+            params.dim,
+            n_planes,
+            num_partitions,
+            replicas,
+        )
+        src = (
+            vectors_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<float>").alias("vec"),
+                F.expr(dots).alias("_dots"),
+            )
+            .withColumn("_bucket", F.expr(bucket))
+            .select("id", "vec", F.explode(F.expr(parts)).alias("partition"))
+        )
 
     def build_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["partition"].iloc[0])
@@ -141,6 +279,7 @@ def hnsw_build_routed(
     return HnswIndex(
         nodes, edges, meta, params, num_partitions=num_partitions,
         routed=True, n_planes=n_planes, replicas=replicas,
+        routing=routing, assign_n=assign_n, centroids=centroids_df,
     )
 
 
@@ -172,19 +311,22 @@ def knn_hnsw_routed(
     k: int = 10,
     ef: int | None = None,
     n_planes: int | None = None,
+    n_probe: int | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Multi-probe routed query: each query is replicated only to its
-    candidate partitions (<= n_planes+1 of them, independent of P).
+    candidate partitions — ``n_probe`` nearest centroid cells
+    (centroid routing; default ~3*sqrt(P), sublinear in P) or the
+    Hamming<=2 bucket ball (LSH routing; <= 37 independent of P).
 
     Partitions added by ``HnswIndex.append`` are hash-placed, outside
-    the LSH routing space — every query probes ALL of them in addition
+    the routing space — every query probes ALL of them in addition
     to its routed candidates (correctness over the appended tail;
     ``rebuild`` dispatches to hnsw_build_routed for routed-built
-    indexes, re-mixing appended vectors into the LSH layout).
+    indexes, re-mixing appended vectors into the routed layout).
 
-    Refuses hash-placed indexes (``hnsw_build`` output): LSH-routing
+    Refuses hash-placed indexes (``hnsw_build`` output): routing
     over hash placement silently probes partitions unrelated to the
     query's true neighbors — at large P recall collapses with no
     error. Use ``knn_hnsw`` (probe-all) for hash-placed indexes."""
@@ -194,34 +336,74 @@ def knn_hnsw_routed(
     if not getattr(index, "routed", False):
         raise ValueError(
             "knn_hnsw_routed requires an index built by hnsw_build_routed "
-            "(LSH placement); this index is hash-placed — use knn_hnsw "
+            "(routed placement); this index is hash-placed — use knn_hnsw "
             "(probe-all) or rebuild with hnsw_build_routed"
         )
     params = index.params
-    # route with the BUILD's plane count: a query hashed with a
-    # different hyperplane set than the build lands in an unrelated
-    # bucket (explicit arg still wins for experiments)
-    if n_planes is None:
-        n_planes = int(getattr(index, "n_planes", None) or 8)
     # route with the BUILD modulus: meta.count() undercounts when a
     # build partition carried 0/1 nodes (no edges -> no meta row), and a
     # wrong modulus silently routes queries away from their home bucket
     num_partitions = index.num_partitions
     if num_partitions is None:
         num_partitions = index.meta.count()
-    route = route_partitions(
-        f"cast(`{query_vec_col}` as array<double>)", params.dim, int(num_partitions), n_planes
-    )
     appended = getattr(index, "appended_partitions", None) or []
-    if appended:
-        route = F.array_distinct(
-            F.concat(route, F.array(*[F.lit(int(p)).cast("int") for p in appended]))
+    routing = getattr(index, "routing", None) or "lsh"
+    if routing == "centroid":
+        cent_rows = index.centroids.orderBy("cell").collect()
+        C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+        R = int(n_probe) if n_probe is not None else default_n_probe(int(num_partitions))
+        spark = queries_df.sparkSession
+        bc = spark.sparkContext.broadcast((C, cell_ids, np.array(appended, dtype=np.int32)))
+        nq = queries_df.select(
+            F.col(query_id_col).cast("long").alias("id"),
+            F.col(query_vec_col).cast("array<float>").alias("vec"),
         )
-    routed = queries_df.select(
-        F.col(query_id_col).alias("id"),
-        F.col(query_vec_col).cast("array<float>").alias("vec"),
-        F.explode(route).alias("partition"),
-    )
+
+        def route_q(it):
+            Cv, cells_v, app_v = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"id": [], "vec": [], "partition": []}).astype(
+                        {"id": "int64", "partition": "int32"}
+                    )
+                    continue
+                X = np.array(list(pdf["vec"]), dtype=np.float64)
+                near = _nearest_cells(X, Cv, R)
+                parts = cells_v[near]  # map row index -> cell id
+                if len(app_v):
+                    parts = np.concatenate(
+                        [parts, np.broadcast_to(app_v, (len(parts), len(app_v)))],
+                        axis=1,
+                    )
+                n_rep = parts.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf["id"].to_numpy(dtype=np.int64), n_rep),
+                        "vec": np.repeat(pdf["vec"].to_numpy(), n_rep),
+                        "partition": parts.reshape(-1),
+                    }
+                )
+
+        routed = nq.mapInPandas(route_q, "id long, vec array<float>, partition int")
+    else:
+        # route with the BUILD's plane count: a query hashed with a
+        # different hyperplane set than the build lands in an unrelated
+        # bucket (explicit arg still wins for experiments)
+        if n_planes is None:
+            n_planes = int(getattr(index, "n_planes", None) or 8)
+        route = route_partitions(
+            f"cast(`{query_vec_col}` as array<double>)", params.dim, int(num_partitions), n_planes
+        )
+        if appended:
+            route = F.array_distinct(
+                F.concat(route, F.array(*[F.lit(int(p)).cast("int") for p in appended]))
+            )
+        routed = queries_df.select(
+            F.col(query_id_col).alias("id"),
+            F.col(query_vec_col).cast("array<float>").alias("vec"),
+            F.explode(route).alias("partition"),
+        )
     tagged = index.nodes.select(
         "partition", "id", "vec", "level", "deleted", F.lit(False).alias("is_query")
     ).unionByName(
@@ -333,22 +515,34 @@ def append_routed(
     num_partitions = int(index.num_partitions or index.meta.count())
     n_planes = int(index.n_planes or 8)
     replicas = int(getattr(index, "replicas", 0))
-    dots, bucket, parts = _assignment_exprs(
-        f"cast(`{vec_col}` as array<double>)",
-        params.dim,
-        n_planes,
-        num_partitions,
-        replicas,
-    )
-    fresh = (
-        vectors_df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<float>").alias("vec"),
-            F.expr(dots).alias("_dots"),
+    routing = getattr(index, "routing", None) or "lsh"
+    if routing == "centroid":
+        # place the batch with the index's OWN trained centroids (no
+        # retraining — standard IVF behavior; rebuild() re-trains)
+        C = np.array(
+            [r["centroid"] for r in index.centroids.orderBy("cell").collect()],
+            dtype=np.float64,
         )
-        .withColumn("_bucket", F.expr(bucket))
-        .select("id", "vec", F.explode(F.expr(parts)).alias("partition"))
-    )
+        fresh = _assign_centroid_partitions(
+            vectors_df, C, int(getattr(index, "assign_n", 2) or 2), id_col, vec_col
+        )
+    else:
+        dots, bucket, parts = _assignment_exprs(
+            f"cast(`{vec_col}` as array<double>)",
+            params.dim,
+            n_planes,
+            num_partitions,
+            replicas,
+        )
+        fresh = (
+            vectors_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<float>").alias("vec"),
+                F.expr(dots).alias("_dots"),
+            )
+            .withColumn("_bucket", F.expr(bucket))
+            .select("id", "vec", F.explode(F.expr(parts)).alias("partition"))
+        )
     touched = fresh.select("partition").distinct()
     old_members = index.nodes.join(F.broadcast(touched), "partition").select(
         "partition", "id", "vec", "deleted"
@@ -412,4 +606,7 @@ def append_routed(
         routed=True,
         n_planes=index.n_planes,
         replicas=replicas,
+        routing=routing,
+        assign_n=getattr(index, "assign_n", 2),
+        centroids=getattr(index, "centroids", None),
     )

@@ -245,32 +245,62 @@ def knn_pagerank(
     build + collect-free probe); ``"hnsw_routed"`` bounds probe cost at
     cluster partition counts and may emit FEWER than k out-edges per
     node — the per-edge share divides by the ACTUAL out-degree, so
-    out-degree division itself leaks no mass under any backend. (A node
-    with NO surviving out-edges at all — possible only under the ANN
-    backends — still drops its damped mass each iteration, the
-    classic dangling-node loss; kNN graphs emit >=1 edge per node
-    whenever N > 1, so this arises only from probe misses.) "exact"
-    stays the oracle setting."""
+    out-degree division itself leaks no mass under any backend.
+
+    Dangling nodes (no surviving out-edges — possible only under the
+    ANN backends; kNN graphs emit >=1 edge per node whenever N > 1, so
+    this arises only from probe misses) get the standard treatment:
+    their damped mass is summed each iteration and redistributed
+    uniformly, ``(sum of damped dangling mass) div N`` per node —
+    integer floor, deterministic, mass-conserving up to flooring
+    (pinned by test_pagerank_mass_conservation). The dangling set is
+    computed ONCE before the loop (one anti-join); when it is empty —
+    always true for "exact", the oracle setting — the loop is
+    bit-identical to the redistribution-free form and the extra
+    broadcast join is skipped entirely, so the DuckDB oracle needs no
+    dangling term."""
     from .retrieval import knn_graph
 
     if graph_method not in ("exact", "hnsw", "hnsw_routed"):
         raise ValueError(
             f"unknown graph_method {graph_method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
         )
-    # checkpoint the graph: every iteration (and the node frame) reads
-    # it, and without truncation the exact-kNN build would re-execute
-    # once per reference (same rationale as connected_components' edges).
-    # out-degree rides the edge rows from the start — one setup agg +
-    # join, zero per-iteration cost.
-    raw = knn_graph(emb, k=k, metric=metric, method=graph_method).select(
-        "src_id", "dst_id"
+    # checkpoint the RAW graph before deriving degrees: the degree agg
+    # and the edge join both reference it, and without truncation the
+    # (expensive) graph build would execute once per side of that join;
+    # every loop iteration then reads the checkpointed edge relation.
+    raw = (
+        knn_graph(emb, k=k, metric=metric, method=graph_method)
+        .select("src_id", "dst_id")
+        .localCheckpoint(eager=True)
     )
+    nodes = emb.select(F.col("vec_id").alias("node_id"))
+    p = _pagerank_loop(nodes, raw, iters, damping_pct, scale)
+    return p.select(F.col("node_id").alias("vec_id"), "pr")
+
+
+def _pagerank_loop(
+    nodes: DataFrame,
+    raw: DataFrame,
+    iters: int,
+    damping_pct: int,
+    scale: int,
+) -> DataFrame:
+    """The integer PageRank iteration over an arbitrary (src_id, dst_id)
+    edge relation — see knn_pagerank for semantics. Factored out so the
+    dangling-mass redistribution can be pinned against a hand-built
+    graph (test_pagerank_mass_conservation)."""
     deg = raw.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
     edges = raw.join(deg, "src_id").localCheckpoint(eager=True)
-    nodes = emb.select(F.col("vec_id").alias("node_id"))
+    n_nodes = nodes.count()
+    dangling = nodes.join(
+        raw.select(F.col("src_id").alias("node_id")), "node_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = dangling.limit(1).count() > 0
     base = (scale * (100 - damping_pct)) // 100
     p = nodes.select("node_id", F.lit(scale).cast("long").alias("pr"))
     share = F.expr(f"((pr * {damping_pct}) div 100) div out_deg")
+    damped = F.expr(f"(pr * {damping_pct}) div 100")
     for _ in range(iters):
         contrib = (
             edges.join(p, edges.src_id == p.node_id)
@@ -278,17 +308,22 @@ def knn_pagerank(
             .groupBy("node_id")
             .agg(F.sum("c").alias("c"))
         )
-        p = (
-            nodes.join(contrib, "node_id", "left")
-            .select(
-                "node_id",
-                (F.lit(base).cast("long") + F.coalesce("c", F.lit(0).cast("long")))
-                .cast("long")
-                .alias("pr"),
+        new_p = nodes.join(contrib, "node_id", "left")
+        pr_col = F.lit(base).cast("long") + F.coalesce("c", F.lit(0).cast("long"))
+        if has_dangling:
+            dang_mass = F.broadcast(
+                p.join(dangling, "node_id", "left_semi").agg(
+                    F.sum(damped).alias("_dm")
+                )
             )
-            .localCheckpoint(eager=False)
-        )
-    return p.select(F.col("node_id").alias("vec_id"), "pr")
+            new_p = new_p.crossJoin(dang_mass)
+            pr_col = pr_col + F.coalesce(
+                F.expr(f"_dm div {n_nodes}"), F.lit(0).cast("long")
+            )
+        p = new_p.select(
+            "node_id", pr_col.cast("long").alias("pr")
+        ).localCheckpoint(eager=False)
+    return p
 
 
 def knn_triangles(

