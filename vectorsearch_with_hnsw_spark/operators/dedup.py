@@ -638,32 +638,45 @@ def dedup_incremental(
     rows_per_band = num_hashes // bands
 
     def banded_buckets(docs: DataFrame) -> DataFrame:
+        # fixed-width 16-byte band keys: two independently-salted
+        # xxhash64 columns (vs the previous variable-width string
+        # concat the corpus bucket artifact is still ~10x smaller
+        # and the join shuffles longs). Two hashes because a bucket
+        # match DROPS a new doc outright with no signature rescore
+        # available — a single 64-bit key has ~2^-64-per-pair
+        # collisions, measurable at the trillion-doc design target;
+        # the 128-bit pair does not. All bands ride ONE explode over a
+        # single signature scan: the previous one-union-branch-per-band
+        # form recomputed minhash_signatures (tokenize + hash the whole
+        # corpus) once per band — Spark does not CSE across union
+        # branches.
         sig = minhash_signatures(docs, num_hashes)
-        frames = []
-        for b in range(bands):
-            parts = [
-                F.col(f"mh{i}")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]
-            # fixed-width 16-byte band key: two independently-salted
-            # xxhash64 columns (vs the previous variable-width string
-            # concat the corpus bucket artifact is still ~10x smaller
-            # and the join shuffles longs). Two hashes because a bucket
-            # match DROPS a new doc outright with no signature rescore
-            # available — a single 64-bit key has ~2^-64-per-pair
-            # collisions, measurable at the trillion-doc design target;
-            # the 128-bit pair does not.
-            frames.append(
-                sig.select(
-                    "doc_id",
-                    F.xxhash64(F.lit(b), *parts).alias("bucket"),
-                    F.xxhash64(F.lit(b + 7919), *parts).alias("bucket2"),
+        entries = F.array(
+            *[
+                F.struct(
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"mh{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b + 7919),
+                        *[
+                            F.col(f"mh{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    ).alias("bucket2"),
                 )
-            )
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
-        return out
+                for b in range(bands)
+            ]
+        )
+        return sig.select("doc_id", F.explode(entries).alias("_bb")).select(
+            "doc_id",
+            F.col("_bb.bucket").alias("bucket"),
+            F.col("_bb.bucket2").alias("bucket2"),
+        )
 
     new_buckets = banded_buckets(new_docs)
     corpus_buckets = banded_buckets(corpus_docs).select("bucket", "bucket2").distinct()

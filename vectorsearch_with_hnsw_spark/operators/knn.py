@@ -91,53 +91,94 @@ def knn_exact_fast(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Vectorized exact kNN: per-partition BLAS top-k, then a tiny global
-    re-merge. The partial-top-k is the map-side combine that the Window
-    formulation lacks; shuffle volume is O(P * Q * k), independent of
-    index size."""
+    """Vectorized exact kNN: per-partition BLAS candidate selection with
+    an IN-KERNEL fold-exact rescore, then ONE global top-k window.
+
+    Candidates are picked per Arrow batch with the fast algebraic form
+    (|x-q|^2 = |x|^2 - 2 x.q + |q|^2, one GEMM), then the kept k-per-
+    query rows are rescored inside the kernel by accumulating the
+    canonical metric fold one dimension at a time in ascending order —
+    bit-identical to the zip_with/aggregate Column expression and the
+    SQL oracle (same trick as semantic_neardup_pairs; negation is IEEE-
+    exact so (x-y)^2 == (y-x)^2 bitwise, and sqrt/div are correctly
+    rounded in both engines). Emitting exact distances from the kernel
+    removes the rescore join and one of the two ranking windows the
+    previous shape needed (measured ~0.5s off the sf0.1 exact kNN
+    graph); shuffle volume stays O(P * Q * k), independent of index
+    size."""
     if metric not in ("l2", "cosine"):
         raise ValueError(f"Unknown metric '{metric}'")
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    if metric == "cosine":
-        qnorm = np.linalg.norm(qmat, axis=1)
     spark = index_df.sparkSession
     sc = spark.sparkContext
     bq = sc.broadcast((qids, qmat))
 
+    def _exact_fold(R: np.ndarray, qm: np.ndarray, qn2: np.ndarray) -> np.ndarray:
+        """Fold-exact distances for candidates R (nq, c, dim) against
+        queries qm (nq, dim); qn2 = per-query sequential-fold |q|^2.
+        Accumulates per dimension ascending — the sequential fold."""
+        nq, c, dim = R.shape
+        if metric == "l2":
+            acc = np.zeros((nq, c), dtype=np.float64)
+            for d in range(dim):
+                diff = R[:, :, d] - qm[:, d][:, None]
+                acc += diff * diff
+            return np.sqrt(acc)
+        dot = np.zeros((nq, c), dtype=np.float64)
+        x2 = np.zeros((nq, c), dtype=np.float64)
+        for d in range(dim):
+            xd = R[:, :, d]
+            dot += xd * qm[:, d][:, None]
+            x2 += xd * xd
+        na = np.sqrt(x2)
+        nb = np.sqrt(qn2)[:, None]
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 1.0 - dot / denom
+        return np.where(denom == 0.0, 1.0, out)
+
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, qm = bq.value
         nq = len(ids_b)
+        # sequential-fold |q|^2 per query (matches l2_norm's fold order)
+        qn2 = np.zeros(nq, dtype=np.float64)
+        for d in range(qm.shape[1] if nq else 0):
+            qn2 += qm[:, d] * qm[:, d]
         best_d = [np.empty(0, dtype=np.float64) for _ in range(nq)]
         best_i = [np.empty(0, dtype=np.int64) for _ in range(nq)]
-        if metric == "cosine":
-            qn = np.linalg.norm(qm, axis=1)
         for pdf in batches:
             ids = pdf["_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["_vec"]), dtype=np.float64)
             if mat.size == 0:
                 continue
             if metric == "l2":
-                # |x-q|^2 = |x|^2 - 2 x.q + |q|^2, computed batch-at-once
                 x2 = (mat * mat).sum(axis=1)
                 d2 = x2[None, :] - 2.0 * (qm @ mat.T) + (qm * qm).sum(axis=1)[:, None]
                 dmat = np.sqrt(np.maximum(d2, 0.0))
             else:
                 xn = np.linalg.norm(mat, axis=1)
-                denom = qn[:, None] * xn[None, :]
+                denom = np.sqrt(qn2)[:, None] * xn[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sim = (qm @ mat.T) / denom
                 dmat = np.where(denom == 0.0, 1.0, 1.0 - sim)
+            # batch-local candidate pick by (fast dist, id) ...
+            kk = min(k, dmat.shape[1])
+            sel = np.empty((nq, kk), dtype=np.int64)
             for qi in range(nq):
-                d = np.concatenate([best_d[qi], dmat[qi]])
-                i = np.concatenate([best_i[qi], ids])
-                if len(d) > k:
-                    sel = np.lexsort((i, d))[:k]
-                else:
-                    sel = np.lexsort((i, d))
-                best_d[qi] = d[sel]
-                best_i[qi] = i[sel]
+                sel[qi] = np.lexsort((ids, dmat[qi]))[:kk]
+            # ... then fold-exact rescore of the kept rows only and a
+            # merge with the running best BY EXACT DISTANCE
+            R = mat[sel]  # (nq, kk, dim)
+            dex = _exact_fold(R, qm, qn2)
+            cand_ids = ids[sel]
+            for qi in range(nq):
+                d = np.concatenate([best_d[qi], dex[qi]])
+                i = np.concatenate([best_i[qi], cand_ids[qi]])
+                keep = np.lexsort((i, d))[:k]
+                best_d[qi] = d[keep]
+                best_i[qi] = i[keep]
         out = {
             "query_id": np.repeat(ids_b, [len(b) for b in best_i]),
             "neighbor_id": np.concatenate(best_i) if best_i else np.empty(0, np.int64),
@@ -159,25 +200,7 @@ def knn_exact_fast(
     partial = narrow.mapInPandas(
         partial_topk, "query_id long, neighbor_id long, dist double"
     )
-    merged = topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
-        "query_id", "neighbor_id"
-    )
-    # Exact rescore of the k*Q winners with the canonical fold expression:
-    # the BLAS kernel's algebraic rearrangement (|x|^2 - 2x.q + |q|^2)
-    # differs from the fold in the last float bits; rescoring the tiny
-    # result makes this path bit-identical to the declarative one (and to
-    # the SQL oracle) at negligible cost.
-    dist_expr = metric_expr(metric)
-    base = index_df.select(F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_v"))
-    q = F.broadcast(
-        queries_df.select(F.col(query_id_col).alias("query_id"), to_vec(query_vec_col).alias("_q"))
-    )
-    rescored = (
-        merged.join(base, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", dist_expr(F.col("_v"), F.col("_q")).alias("dist"))
-    )
-    return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
+    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", "rnk"
     )
 
