@@ -276,11 +276,15 @@ def hnsw_build_routed(
     nodes = src.select(
         "partition", "id", "vec", _level_expr(F.col("id"), pickled).alias("level"), F.lit(False).alias("deleted")
     )
-    return HnswIndex(
+    idx = HnswIndex(
         nodes, edges, meta, params, num_partitions=num_partitions,
         routed=True, n_planes=n_planes, replicas=replicas,
         routing=routing, assign_n=assign_n, centroids=centroids_df,
     )
+    if routing == "centroid":
+        # seed the probe-side cache — the build already holds C
+        idx._centroids_np = (C, np.arange(len(C), dtype=np.int32))
+    return idx
 
 
 def route_partitions(
@@ -303,6 +307,21 @@ def route_partitions(
     return F.array_distinct(
         F.transform(F.array(*flips), lambda x: F.pmod(x, F.lit(num_partitions)).cast("int"))
     )
+
+
+def _centroids_np(index: HnswIndex) -> tuple[np.ndarray, np.ndarray]:
+    """(centroid matrix, cell ids) for a centroid-routed index, collected
+    once per handle and cached — the table is bounded (P rows), but the
+    collect is still a Spark job the probe shouldn't pay per call."""
+    cached = getattr(index, "_centroids_np", None)
+    if cached is None:
+        rows = index.centroids.orderBy("cell").collect()
+        cached = (
+            np.array([r["centroid"] for r in rows], dtype=np.float64),
+            np.array([r["cell"] for r in rows], dtype=np.int32),
+        )
+        index._centroids_np = cached
+    return cached
 
 
 def knn_hnsw_routed(
@@ -349,9 +368,7 @@ def knn_hnsw_routed(
     appended = getattr(index, "appended_partitions", None) or []
     routing = getattr(index, "routing", None) or "lsh"
     if routing == "centroid":
-        cent_rows = index.centroids.orderBy("cell").collect()
-        C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-        cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+        C, cell_ids = _centroids_np(index)
         R = int(n_probe) if n_probe is not None else default_n_probe(int(num_partitions))
         spark = queries_df.sparkSession
         bc = spark.sparkContext.broadcast((C, cell_ids, np.array(appended, dtype=np.int32)))
@@ -519,10 +536,7 @@ def append_routed(
     if routing == "centroid":
         # place the batch with the index's OWN trained centroids (no
         # retraining — standard IVF behavior; rebuild() re-trains)
-        C = np.array(
-            [r["centroid"] for r in index.centroids.orderBy("cell").collect()],
-            dtype=np.float64,
-        )
+        C, _ = _centroids_np(index)
         fresh = _assign_centroid_partitions(
             vectors_df, C, int(getattr(index, "assign_n", 2) or 2), id_col, vec_col
         )

@@ -325,9 +325,17 @@ def embedding_neardup_pairs(
     threshold only because the synthetic gaussian testdata has no true
     near-dups to find. ``dim`` is inferred from the first row when not
     given — a wrong dim would NULL-pad every plane dot and collapse
-    all vectors into bucket 0 (one O(n^2) block)."""
-    from ..functions.vector import dot, l2_norm
-    from .ann import banded_bucket_frame
+    all vectors into bucket 0 (one O(n^2) block).
+
+    Same kernel shape as semantic_neardup_pairs (Arrow-side banded
+    buckets, first-shared-band pair ownership, salted sub-group grid
+    for hot buckets) generalized to NON-unit vectors: the candidate
+    mask normalizes rows once for an approximate-cos GEMM, then kept
+    pairs are rescored with the exact fold shapes — per-dimension
+    ascending dot and norms, ``dot / (na * nb)`` with the zero-norm ->
+    0.0 guard — bit-identical to the declarative Column form and the
+    SQL oracle."""
+    from .ann import banded_bucket_frame_fast
 
     emb = load_table(spark, sf_dir, "embeddings")
     if dim is None:
@@ -336,27 +344,97 @@ def embedding_neardup_pairs(
             dim = 0
         else:
             dim = len(first[0])
-    withv = emb.select(
-        F.col("vec_id"),
-        to_vec("embedding").alias("v"),
-        l2_norm(to_vec("embedding")).alias("nrm"),
+    withv = emb.select(F.col("vec_id"), to_vec("embedding").alias("v"))
+    banded = banded_bucket_frame_fast(withv, "v", int(dim), bands, planes_per_band)
+    n_salt = 4
+    banded = banded.withColumn(
+        "_g", (F.col("vec_id") % n_salt).cast("int")
+    ).withColumn(
+        "_ab",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_salt - 1}), "
+                "h -> struct(least(_g, h) AS a, greatest(_g, h) AS b))"
+            )
+        ),
+    ).select(
+        "vec_id", "v", "bands", "band", "bucket", "_g",
+        F.col("_ab.a").alias("_a"), F.col("_ab.b").alias("_b"),
     )
-    banded = banded_bucket_frame(withv, "v", int(dim), bands, planes_per_band)
-    a = banded.select(
-        "band", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "cos_sim": pd.Series([], dtype=np.float64),
+        }
     )
-    b = banded.select(
-        "band", "bucket", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    sim = F.when(
-        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
-    ).otherwise(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= F.lit(threshold))
+    chunk = 4096
+
+    def _fold_norms(mat: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(mat), dtype=np.float64)
+        for d in range(mat.shape[1]):
+            acc += mat[:, d] * mat[:, d]
+        return np.sqrt(acc)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(pdf["band"].iloc[0])
+        ga, gb = int(pdf["_a"].iloc[0]), int(pdf["_b"].iloc[0])
+        if ga == gb:
+            left = right = pdf
+            triangular = True
+        else:
+            g = pdf["_g"].to_numpy()
+            left, right = pdf[g == ga], pdf[g == gb]
+            triangular = False
+        if len(left) == 0 or len(right) == 0 or len(pdf) < 2:
+            return empty
+        ids_l = left["vec_id"].to_numpy(dtype=np.int64)
+        ids_r = right["vec_id"].to_numpy(dtype=np.int64)
+        mat_l = np.array(list(left["v"]), dtype=np.float64)
+        mat_r = np.array(list(right["v"]), dtype=np.float64)
+        allb_l = np.array(list(left["bands"]), dtype=np.int32)
+        allb_r = np.array(list(right["bands"]), dtype=np.int32)
+        # fold-order norms (bit-identical to l2_norm); zero norms score
+        # 0.0 against everything and never pass the threshold
+        nl, nr = _fold_norms(mat_l), _fold_norms(mat_r)
+        # normalized copies for the approximate-cos candidate mask only
+        with np.errstate(divide="ignore", invalid="ignore"):
+            un_l = np.where(nl[:, None] == 0.0, 0.0, mat_l / nl[:, None])
+            un_r = np.where(nr[:, None] == 0.0, 0.0, mat_r / nr[:, None])
+        parts: list[pd.DataFrame] = []
+        for c0 in range(0, len(ids_l), chunk):
+            c1 = min(c0 + chunk, len(ids_l))
+            approx = un_l[c0:c1] @ un_r.T
+            ii, jj = np.nonzero(approx >= threshold - 1e-6)
+            ii = ii + c0
+            if triangular:
+                keep = ii < jj
+                ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            first = (allb_l[ii] == allb_r[jj]).argmax(axis=1)
+            own = first == band
+            ii, jj = ii[own], jj[own]
+            if len(ii) == 0:
+                continue
+            dots = np.zeros(len(ii), dtype=np.float64)
+            for d in range(mat_l.shape[1]):
+                dots += mat_l[ii, d] * mat_r[jj, d]
+            denom = nl[ii] * nr[jj]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, dots / denom)
+            kf = sims >= threshold
+            ii, jj, sims = ii[kf], jj[kf], sims[kf]
+            lo = np.minimum(ids_l[ii], ids_r[jj])
+            hi = np.maximum(ids_l[ii], ids_r[jj])
+            parts.append(pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims}))
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
+
+    return banded.groupBy("band", "bucket", "_a", "_b").applyInPandas(
+        block_pairs, "id_a long, id_b long, cos_sim double"
     )
 
 
