@@ -66,7 +66,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to an HWC uint8 RGB array —
     Pillow when importable (the reference's PIL entry point, CIFAR
     notebook cell 2), else NotImplementedError. The Spark plumbing
-    around this call is complete either way."""
+    around this call is complete either way.
+
+    Pillow-present recipe (any machine with the library): ``pip
+    install Pillow`` and re-run ``pytest tests/test_multimodal.py`` —
+    the one @skipif-gated test (real decode through this kernel)
+    un-skips and the decode path runs for real; every executor needs
+    the package (ship it via ``spark.submit.pyFiles``/conda env on a
+    cluster). No code changes required — HAS_PIL flips at import."""
     if not HAS_PIL:
         raise NotImplementedError(
             "image decoding requires Pillow; install it and this same "

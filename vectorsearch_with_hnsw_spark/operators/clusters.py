@@ -275,7 +275,14 @@ def knn_pagerank(
         .localCheckpoint(eager=True)
     )
     nodes = emb.select(F.col("vec_id").alias("node_id"))
-    p = _pagerank_loop(nodes, raw, iters, damping_pct, scale)
+    # the exact kNN graph emits >= 1 out-edge per node whenever N > 1
+    # by construction — skip the dangling anti-join + probe (two setup
+    # jobs) there; ANN backends can drop all of a node's edges, so they
+    # keep the check
+    p = _pagerank_loop(
+        nodes, raw, iters, damping_pct, scale,
+        check_dangling=(graph_method != "exact"),
+    )
     return p.select(F.col("node_id").alias("vec_id"), "pr")
 
 
@@ -285,18 +292,24 @@ def _pagerank_loop(
     iters: int,
     damping_pct: int,
     scale: int,
+    check_dangling: bool = True,
 ) -> DataFrame:
     """The integer PageRank iteration over an arbitrary (src_id, dst_id)
     edge relation — see knn_pagerank for semantics. Factored out so the
     dangling-mass redistribution can be pinned against a hand-built
-    graph (test_pagerank_mass_conservation)."""
+    graph (test_pagerank_mass_conservation). ``check_dangling=False``
+    asserts the caller knows every node has an out-edge (the exact-kNN
+    backend) and skips the dangling anti-join + existence probe."""
     deg = raw.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
     edges = raw.join(deg, "src_id").localCheckpoint(eager=True)
     n_nodes = nodes.count()
-    dangling = nodes.join(
-        raw.select(F.col("src_id").alias("node_id")), "node_id", "left_anti"
-    ).localCheckpoint(eager=True)
-    has_dangling = dangling.limit(1).count() > 0
+    has_dangling = False
+    dangling = None
+    if check_dangling:
+        dangling = nodes.join(
+            raw.select(F.col("src_id").alias("node_id")), "node_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        has_dangling = dangling.limit(1).count() > 0
     base = (scale * (100 - damping_pct)) // 100
     p = nodes.select("node_id", F.lit(scale).cast("long").alias("pr"))
     share = F.expr(f"((pr * {damping_pct}) div 100) div out_deg")
