@@ -260,13 +260,23 @@ def main() -> None:
     t_build = sorted(build_ts)[2]
     build_spread = round((max(build_ts) - min(build_ts)) / min(build_ts), 3)
     timings["hnsw_build"] = round(t_build, 3)
-    t0 = time.perf_counter()
     queries_df = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ann = knn_hnsw(idx, queries_df, k=10)
-    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
-    timings["hnsw_probe"] = round(time.perf_counter() - t0, 3)
+    ann_pairs: set = set()
+
+    def run_probe():
+        nonlocal ann_pairs
+        t0 = time.perf_counter()
+        ann_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_hnsw(idx, queries_df, k=10).collect()
+        }
+        return time.perf_counter() - t0
+
+    best, spread2, _ = _min_of_reps(run_probe)
+    timings["hnsw_probe"] = round(best, 3)
+    spreads["hnsw_probe"] = round(spread2, 3)
 
     # collect-free probe (index/query.py:29) — the actual 100 TB query
     # path (queries never touch the driver); timed like a query row and
@@ -378,12 +388,20 @@ def main() -> None:
     )
     ridx.edges.count()
     timings["hnsw_routed_build"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    routed_pairs = {
-        (r["query_id"], r["neighbor_id"])
-        for r in knn_hnsw_routed(ridx, queries_df, k=10).collect()
-    }
-    timings["hnsw_routed_probe"] = round(time.perf_counter() - t0, 3)
+    routed_pairs: set = set()
+
+    def run_routed_probe():
+        nonlocal routed_pairs
+        t0 = time.perf_counter()
+        routed_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_hnsw_routed(ridx, queries_df, k=10).collect()
+        }
+        return time.perf_counter() - t0
+
+    best, spread2, _ = _min_of_reps(run_routed_probe)
+    timings["hnsw_routed_probe"] = round(best, 3)
+    spreads["hnsw_routed_probe"] = round(spread2, 3)
     exact_old = {
         (r["query_id"], r["neighbor_id"])
         for r in knn_exact_fast(old_part, queries_df, k=10, metric="cosine").collect()

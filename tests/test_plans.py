@@ -401,3 +401,39 @@ def test_quality_gates_are_map_side_only(spark, sf_smoke):
     gplan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert gplan.count("Exchange") == 1
     assert count_occurrences(c4_clean(docs), "Exchange") == 0
+
+
+def test_knn_exact_fast_plans_single_window(spark, sf_smoke):
+    """The BLAS kernel emits fold-exact distances, so the plan needs
+    exactly ONE ranking window over the O(P*Q*k) partial frame — the
+    old shape's post-merge rescore join + second window must not creep
+    back (they added two joins and a shuffle per call)."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact_fast
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    import re
+
+    plan = formatted_plan(knn_exact_fast(emb, q, k=3))
+    # exactly one Window NODE (the detail section lists "(n) Window";
+    # WindowGroupLimit partial/final pairs are the pushed-down top-k
+    # of that same window, not extra ranking passes)
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_semantic_neardup_has_no_dedup_aggregate(spark, sf_smoke):
+    """First-shared-band ownership means every pair is emitted exactly
+    once — the plan must contain ONE grouped-pandas kernel and no
+    dropDuplicates aggregate after it (the old cross-band dedup
+    shuffled ~7x the result set on the synthetic corpus)."""
+    from vectorsearch_with_hnsw_spark.operators.dedup import semantic_neardup_pairs
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = formatted_plan(semantic_neardup_pairs(docs))
+    assert plan.count("FlatMapGroupsInPandas") <= 2  # tree + detail of ONE
+    # the kernel's groupBy is the LAST shuffle: nothing aggregates above it
+    above_kernel = plan.split("FlatMapGroupsInPandas")[0]
+    assert "HashAggregate" not in above_kernel
