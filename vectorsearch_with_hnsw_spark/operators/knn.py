@@ -186,17 +186,15 @@ def knn_exact_fast(
         }
         yield pd.DataFrame(out)
 
-    narrow = index_df.select(
+    from ..sources.tables import spread
+
+    # spread: a 1-split parquet would serialize the whole BLAS pass on
+    # a single core (measured 3.1s -> ~0.7s at sf0.1 on local[32]); the
+    # merge is bit-exact under ANY partitioning, and at real scan
+    # widths spread is a no-op.
+    narrow = spread(index_df).select(
         F.col(id_col).alias("_id"), to_vec(vec_col).alias("_vec")
     )
-    # widen a narrow scan before the kernel: a small parquet often
-    # arrives as ONE input split, which serializes the whole BLAS pass
-    # on a single core (measured 3.1s -> ~0.7s at sf0.1 on local[32]).
-    # The merge is O(P * Q * k) and bit-exact under ANY partitioning,
-    # so this is free; at real scale P >= cores already and it's a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par)
     partial = narrow.mapInPandas(
         partial_topk, "query_id long, neighbor_id long, dist double"
     )

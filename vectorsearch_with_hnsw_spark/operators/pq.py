@@ -122,7 +122,11 @@ def pq_encode(
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame({"_id": ids, "code": list(codes)})
 
-    narrow = vectors.select(F.col(id_col).alias("_id"), to_vec(vec_col).alias("_v"))
+    from ..sources.tables import spread
+
+    # spread: a 1-split parquet would run the whole encode on one core
+    # (no-op at real scan widths — see sources.spread)
+    narrow = spread(vectors).select(F.col(id_col).alias("_id"), to_vec(vec_col).alias("_v"))
     return narrow.mapInPandas(enc, "_id long, code array<long>").select(
         F.col("_id").alias(id_col), "code"
     )
