@@ -437,3 +437,28 @@ def test_semantic_neardup_has_no_dedup_aggregate(spark, sf_smoke):
     # the kernel's groupBy is the LAST shuffle: nothing aggregates above it
     above_kernel = plan.split("FlatMapGroupsInPandas")[0]
     assert "HashAggregate" not in above_kernel
+
+
+def test_ivf_pq_adc_is_map_side(spark, sf_smoke):
+    """The residual-ADC scan must not join or shuffle the codes table:
+    LUTs are driver-built from the bounded probe set and broadcast, so
+    the only exchange below the final top-k window is... none. A join
+    creeping back in would shuffle the (cell, code) corpus at 100 TB."""
+    import re
+
+    from vectorsearch_with_hnsw_spark.operators.pq import ivf_pq_knn
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = formatted_plan(ivf_pq_knn(emb, q, dim=64, m=16, k=3))
+    # the codes build side keeps its broadcast joins (cents/codebooks
+    # are tiny); what must NOT appear is a shuffle join or an exchange
+    # of the codes table for scoring — exchanges are the two kernel
+    # spreads (no-ops at real scan widths) + the final ranking window
+    assert "SortMergeJoin" not in plan
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins and all(j.startswith("Broadcast") for j in joins)
+    assert len(re.findall(r"\(\d+\) Exchange\n", plan)) <= 3

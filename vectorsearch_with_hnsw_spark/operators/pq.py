@@ -308,27 +308,67 @@ def ivf_pq_knn(
         )
     )
     d = dim // m
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.element_at(F.col("cb"), (s + F.lit(1)).cast("int")),
-            lambda cs: _sub_d2(F.slice(F.col("qr"), s * F.lit(d) + F.lit(1), F.lit(d)), cs),
-        ),
-    )
-    qlut = probes.crossJoin(F.broadcast(cb)).select("query_id", "cell", lut.alias("lut"))
-    adc = F.aggregate(
-        F.transform(
-            F.col("code"),
-            lambda c, s: F.element_at(
-                F.element_at(F.col("lut"), (s + F.lit(1)).cast("int")),
-                (c + F.lit(1)).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = codes.join(F.broadcast(qlut), "cell").select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_d2")
+    # ADC scoring as a MAP-SIDE Arrow kernel, bit-identical to the HOF
+    # form it replaced: per probe row, LUT[s][c] accumulates the
+    # (qr_i - cb_i)^2 sub-fold one dimension at a time in ascending
+    # order (the exact _sub_d2 fold), and the per-candidate ADC sum
+    # adds LUT entries in subspace-ascending order (the exact aggregate
+    # fold). The probe set is a bounded query batch (same contract as
+    # the broadcast join this replaces), so the LUT is built ONCE on
+    # the driver (|probes| x m x C doubles, ~13 MB at defaults) and
+    # broadcast; the codes table never shuffles — the only exchange
+    # stays the final per-query top-k, exactly as before. The old
+    # shape evaluated m*C interpreted sub-folds per probe row plus m
+    # nested element_at's per candidate (~2.5s of the 4.4s row at
+    # sf0.1).
+    probe_rows = probes.select("query_id", "cell", "qr").collect()
+    cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
+    n_codewords = cb_np.shape[1]
+    p_qids = np.array([r["query_id"] for r in probe_rows], dtype=np.int64)
+    p_cells = np.array([r["cell"] for r in probe_rows], dtype=np.int64)
+    QR = np.array([r["qr"] for r in probe_rows], dtype=np.float64)
+    lut_np = np.zeros((len(probe_rows), m, n_codewords), dtype=np.float64)
+    for s in range(m):
+        for d0 in range(d):
+            diff = QR[:, s * d + d0][:, None] - cb_np[s][None, :, d0]
+            lut_np[:, s, :] += diff * diff
+    spark_ = emb.sparkSession
+    blut = spark_.sparkContext.broadcast((p_qids, p_cells, lut_np))
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_v, cells_v, lut_v = blut.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ccells = pdf["cell"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["code"]), dtype=np.int64)  # (N, m)
+            parts = []
+            for cell in np.unique(ccells):
+                pm = cells_v == cell
+                if not pm.any():
+                    continue
+                nm = ccells == cell
+                sub_codes = cmat[nm]
+                sub_vids = vids[nm]
+                sub_lut = lut_v[pm]  # (Pc, m, C)
+                adc = np.zeros((len(sub_lut), len(sub_codes)), dtype=np.float64)
+                for s in range(m):
+                    adc += sub_lut[:, s, :][:, sub_codes[:, s]]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids_v[pm], len(sub_codes)),
+                            "neighbor_id": np.tile(sub_vids, pm.sum()),
+                            "adc_d2": adc.reshape(-1),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    pairs = codes.select("vec_id", "cell", "code").mapInPandas(
+        adc_score, "query_id long, neighbor_id long, adc_d2 double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
