@@ -83,6 +83,42 @@ def spark_holder(spark):
     return spark
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=8,
+        max_size=8,
+    ),
+    scale=st.sampled_from([1e-12, 1e-6, 1.0, 1e6]),
+)
+def test_numpy_band_buckets_matches_sql_adversarially(spark_holder, vec, scale):
+    """numpy_band_buckets vs the SQL fold on ADVERSARIAL vectors: tiny
+    and huge magnitudes push plane dots toward the zero boundary and
+    the extremes of the float range — exactly where a fold-order
+    divergence would flip a sign bit. The testdata parity test
+    (test_lsh_numpy_parity) covers realistic inputs; this covers the
+    hostile ones."""
+    from vectorsearch_with_hnsw_spark.operators.ann import (
+        bands_from_signature_sql,
+        numpy_band_buckets,
+        sign_signature_sql,
+    )
+
+    spark = spark_holder
+    v = [float(x) * scale for x in vec]
+    bands, ppb, dim = 4, 4, 8
+    df = spark.createDataFrame([(v,)], "v array<double>")
+    folded = F.expr(
+        bands_from_signature_sql(sign_signature_sql("v", bands * ppb, dim), bands, ppb)
+    )
+    sql_buckets = [s["bucket"] for s in df.select(folded.alias("f")).first()["f"]]
+    np_buckets = numpy_band_buckets(
+        np.array([v], dtype=np.float64), bands, ppb
+    )[0].tolist()
+    assert np_buckets == sql_buckets
+
+
 def test_asof_join_semantics(spark):
     """Edge semantics of the generic as-of join: later right rows never
     attach, equal-ts attaches, ties resolve to max order_col, keys don't
