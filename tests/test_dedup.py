@@ -226,3 +226,22 @@ def test_semantic_neardup_chunked_mask_matches_unchunked(spark):
         for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5, chunk=3).collect()
     }
     assert big == small and len(big) > 0
+
+
+def test_cc_driver_and_loop_paths_agree(spark, sf_smoke):
+    """The adaptive driver-side union-find and the distributed
+    label-propagation loop must return the IDENTICAL (node, min-id)
+    relation — threshold=0 forces the loop on the same pair set the
+    default solves driver-side."""
+    from vectorsearch_with_hnsw_spark.operators.clusters import connected_components
+    from vectorsearch_with_hnsw_spark.operators.dedup import minhash_lsh_pairs
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_smoke, "documents")).persist()
+    fast = {(r["node"], r["cluster_id"]) for r in connected_components(pairs).collect()}
+    loop = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast and fast == loop
+    pairs.unpersist()
