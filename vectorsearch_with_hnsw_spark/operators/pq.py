@@ -323,6 +323,12 @@ def ivf_pq_knn(
     # sf0.1).
     probe_rows = probes.select("query_id", "cell", "qr").collect()
     cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
+    if len(probe_rows) == 0 or cb_np.ndim != 3:
+        # empty queries or an empty corpus (no anchors -> no codebook):
+        # totality contract — empty in, empty out
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rnk int, neighbor_id long, adc_d2 double"
+        )
     n_codewords = cb_np.shape[1]
     p_qids = np.array([r["query_id"] for r in probe_rows], dtype=np.int64)
     p_cells = np.array([r["cell"] for r in probe_rows], dtype=np.int64)
