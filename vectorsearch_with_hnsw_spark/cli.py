@@ -114,7 +114,7 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--method",
         default="exact",
-        help="exact|exact_fast|hnsw|hnsw_rescored|lsh|ivf|ivf_kmeans|sq8|ivf_sq8|pq|pq_refine|ivf_pq|ivf_pq_refine|binary|binary_refine|matryoshka|bm25|hybrid",
+        help="exact|exact_fast|hnsw|hnsw_rescored|hnsw_routed|lsh|ivf|ivf_kmeans|sq8|ivf_sq8|pq|pq_refine|ivf_pq|ivf_pq_refine|binary|binary_refine|matryoshka|bm25|hybrid",
     )
     s.add_argument("--sf-dir", required=True)
     s.add_argument("--k", type=int, default=10)

@@ -10,6 +10,7 @@ operator signatures:
 | exact_fast   | 1.0 (bit-identical)   | O(N·Q) BLAS partial top-k      |
 | hnsw         | ~1.0 at defaults      | O(ef·Q) probes after build     |
 | hnsw_rescored| = exact when shortlist covers top-k | probes + 4k·Q exact re-scores |
+| hnsw_routed  | ~0.93 at P=128 (worst case) | ~3·sqrt(P) cells probed — sublinear in P |
 | sq8          | high                  | full scan, 4x smaller codes    |
 | ivf_sq8      | medium-high           | cell-pruned quantized scan     |
 | ivf          | high (probe-tuned)    | cell-pruned full vectors       |
@@ -40,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
 
 
 def similarity_search(
@@ -131,6 +132,23 @@ def similarity_search(
         from .ann import matryoshka_knn
 
         return matryoshka_knn(base, queries, dim=_dim(dim, method), k=k)
+    if method == "hnsw_routed":
+        # bounded-probe deployment layout: centroid-routed build (SPANN
+        # multi-assignment), ~3*sqrt(P) cells probed per query — the
+        # sublinear-in-P alternative to probe-all hnsw; pass a routed
+        # ``index`` to probe an existing artifact (hash-placed indexes
+        # are refused rather than silently misrouted)
+        from ..index.build import HnswParams
+        from ..index.routed import hnsw_build_routed, knn_hnsw_routed
+
+        if index is None:
+            index = hnsw_build_routed(
+                base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+                HnswParams(dim=_dim(dim, method), metric=metric),
+                num_partitions=num_partitions,
+            )
+        return knn_hnsw_routed(index, queries, k=k, ef=ef)
+
     # hnsw / hnsw_rescored
     from ..index.build import HnswParams, hnsw_build
     from ..index.query import knn_hnsw, knn_hnsw_rescored
