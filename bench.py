@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     # makes pathologically dense (most docs share the tiny vocabulary)
     "doc_hash_vectors",
     "knn_pagerank",
+    "knn_hnsw_routed",
     "funnel_steps",
     "token_budget_sample",
     "signup_cohorts",

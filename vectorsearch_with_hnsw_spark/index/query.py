@@ -214,9 +214,15 @@ def knn_hnsw_rescored(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    routed: bool = False,
 ) -> DataFrame:
     """HNSW shortlist -> exact re-score -> top-k: the verified form of
     the reference's flagship search (hsnw_trial.py:267-294).
+    ``routed=True`` draws the shortlist through the bounded-probe
+    routed path (index.routed.knn_hnsw_routed — requires a routed-built
+    index) instead of the broadcast probe-all; the re-score contract is
+    unchanged, so the result stays exact whenever the routed shortlist
+    covers the true top-k.
 
     The graph probe produces an over-fetched shortlist (``shortlist_k``
     candidates per query at high ``ef``); distances are then recomputed
@@ -236,10 +242,18 @@ def knn_hnsw_rescored(
     from ..functions.vector import metric_expr, to_vec
 
     dist = metric_expr(metric or index.params.metric)
-    shortlist = knn_hnsw(
-        index, queries_df, k=shortlist_k, ef=ef,
-        query_id_col=query_id_col, query_vec_col=query_vec_col,
-    ).select("query_id", "neighbor_id")
+    if routed:
+        from .routed import knn_hnsw_routed
+
+        shortlist = knn_hnsw_routed(
+            index, queries_df, k=shortlist_k, ef=ef,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select("query_id", "neighbor_id")
+    else:
+        shortlist = knn_hnsw(
+            index, queries_df, k=shortlist_k, ef=ef,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select("query_id", "neighbor_id")
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"), to_vec(query_vec_col).alias("_qvec")
     )
