@@ -82,9 +82,17 @@ def connected_components(
                 # component minimum, matching the loop's fixpoint
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        import pandas as pd
+
         spark = pairs.sparkSession
-        out = [(int(n), int(find(n))) for n in parent]
-        return spark.createDataFrame(out, "node long, cluster_id long")
+        out = pd.DataFrame(
+            {
+                "node": list(parent.keys()),
+                "cluster_id": [find(n) for n in parent],
+            }
+        ).astype({"node": "int64", "cluster_id": "int64"})
+        # pandas -> Arrow conversion: one batch, no py4j row marshalling
+        return spark.createDataFrame(out)
 
     # initialize labels at the ITERATION-1 state directly: label(u) =
     # min(u, neighbors(u)) is one aggregation over the edge relation
