@@ -91,8 +91,10 @@ def connected_components(
                 "cluster_id": [find(n) for n in parent],
             }
         ).astype({"node": "int64", "cluster_id": "int64"})
-        # pandas -> Arrow conversion: one batch, no py4j row marshalling
-        return spark.createDataFrame(out)
+        # pandas -> Arrow conversion: one batch, no py4j row marshalling;
+        # explicit schema so an EMPTY pair set stays total (inference
+        # cannot type an empty frame)
+        return spark.createDataFrame(out, "node long, cluster_id long")
 
     # initialize labels at the ITERATION-1 state directly: label(u) =
     # min(u, neighbors(u)) is one aggregation over the edge relation
