@@ -245,3 +245,25 @@ def test_cc_driver_and_loop_paths_agree(spark, sf_smoke):
     }
     assert fast and fast == loop
     pairs.unpersist()
+
+
+def test_semantic_neardup_negative_ids_not_dropped(spark):
+    """The salt sub-group must use pmod, not %: Spark % keeps the
+    dividend's sign, so a negative doc_id got a negative _g that never
+    matched any salt task h in [0, n_salt) — its pairs were silently
+    dropped. -3 and 5 are both 1 (mod 4); identical text must pair."""
+    rows = [
+        (-3, "spark shuffles the big hash join across executors"),
+        (5, "spark shuffles the big hash join across executors"),
+        (-6, "completely different prose about tulips and gardens"),
+        (7, "yet another unrelated sentence mentioning volcanoes"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5, n_salt=4).collect()
+    }
+    assert out[(-3, 5)] == 1.0, f"negative-id pair dropped: {out}"

@@ -349,3 +349,60 @@ def test_append_routed_compacts_tombstones_in_touched_partitions(spark, emb):
     )
     got = {r["neighbor_id"] for r in knn_hnsw_routed(out, q, k=5).collect()}
     assert 5 not in got
+
+
+def test_delete_and_append_preserve_centroid_routing(spark, emb, queries):
+    """delete()/append() must carry routing/assign_n/centroids through to
+    the new handle: losing them silently falls back to routing='lsh', so
+    a centroid-placed index would be probed with LSH routing (recall
+    collapses with no error) and rebuild() would re-train under the
+    wrong family. Pin recall through delete()+probe at P=64, the setting
+    where misrouting is catastrophic."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+
+    src = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    idx = hnsw_build_routed(
+        src, HnswParams(dim=DIM, metric="cosine"), num_partitions=64
+    )
+    assert idx.routing == "centroid"
+    # delete an id far from the query block so exact top-10 is unchanged
+    after_del = idx.delete(spark.createDataFrame([(1900,)], "id long"))
+    assert after_del.routing == "centroid"
+    assert after_del.assign_n == idx.assign_n
+    assert after_del.centroids is not None
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_hnsw_routed(after_del, queries, k=10).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact(
+            emb.filter(F.col("vec_id") != 1900), queries, k=10, metric="cosine"
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"post-delete routed recall {recall}"
+    assert not any(n == 1900 for _, n in got)
+    # append: routing family survives too, and rebuild() re-trains under
+    # the centroid family (not LSH)
+    after_app = after_del.append(
+        emb.filter(F.col("vec_id") >= 1990).filter(F.col("vec_id") < 1995),
+        num_partitions=1,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    assert after_app.routing == "centroid" and after_app.centroids is not None
+    rebuilt = after_app.rebuild()
+    assert rebuilt.routing == "centroid" and rebuilt.centroids is not None
+
+
+def test_centroid_train_empty_corpus(spark):
+    """_train_centroids on an empty frame returns a (0, dim) array and
+    the routed build keeps the empty-in/empty-out totality contract."""
+    from vectorsearch_with_hnsw_spark.index.routed import _train_centroids
+
+    empty = spark.createDataFrame([], "id long, vec array<float>")
+    C = _train_centroids(empty, 8, "id", "vec", dim=DIM)
+    assert C.shape == (0, DIM) and C.dtype == "float64"
+    idx = hnsw_build_routed(empty, HnswParams(dim=DIM, metric="cosine"), num_partitions=8)
+    assert idx.nodes.count() == 0 and idx.edges.count() == 0

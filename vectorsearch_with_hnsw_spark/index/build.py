@@ -175,6 +175,13 @@ class HnswIndex:
             routed=self.routed,
             n_planes=self.n_planes,
             replicas=self.replicas,
+            # routing family + artifacts MUST survive: without them the
+            # constructor defaults a routed index back to routing='lsh',
+            # and a centroid-placed layout would be probed with LSH
+            # routing (recall collapses with no error)
+            routing=self.routing,
+            assign_n=self.assign_n,
+            centroids=self.centroids,
         )
 
     def rebuild(self, num_partitions: int | None = None) -> "HnswIndex":
@@ -248,6 +255,13 @@ class HnswIndex:
             routed=self.routed,
             n_planes=self.n_planes,
             replicas=self.replicas,
+            # preserve the routing family (see delete()): the appended
+            # tail is hash-placed and probed unconditionally, but the
+            # ORIGINAL build partitions must keep being routed by the
+            # family that placed them
+            routing=self.routing,
+            assign_n=self.assign_n,
+            centroids=self.centroids,
         )
 
 

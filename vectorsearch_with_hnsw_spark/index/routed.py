@@ -56,6 +56,7 @@ def _train_centroids(
     vec_col: str,
     sample_per_cell: int = 64,
     iters: int = 8,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Driver-side Lloyd over a bounded deterministic sample: rows are
     ordered by xxhash64(id) (a seedless pseudo-random permutation that
@@ -74,6 +75,12 @@ def _train_centroids(
         .limit(cap)
         .collect()
     )
+    if not rows:
+        # empty corpus: keep the empty-in/empty-out totality contract
+        # (an empty-rows np.array is 1-D and (X*X).sum(axis=1) would
+        # raise AxisError); downstream _nearest_cells yields zero cells
+        # per row, so probes/builds over the empty index are empty too
+        return np.zeros((0, int(dim or 0)), dtype=np.float64)
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
     k = min(num_partitions, len(X))
     C = X[:k].copy()
@@ -221,7 +228,7 @@ def hnsw_build_routed(
     pickled = params
     centroids_df = None
     if routing == "centroid":
-        C = _train_centroids(vectors_df, num_partitions, id_col, vec_col)
+        C = _train_centroids(vectors_df, num_partitions, id_col, vec_col, dim=params.dim)
         src = _assign_centroid_partitions(vectors_df, C, assign_n, id_col, vec_col)
         spark = vectors_df.sparkSession
         centroids_df = spark.createDataFrame(

@@ -384,11 +384,16 @@ def _pagerank_loop(
                 F.expr(f"_dm div {n_nodes}"), F.lit(0).cast("long")
             )
         p = new_p.select("node_id", pr_col.cast("long").alias("pr"))
-        # truncate lineage only every 4th round: the unrolled plan at
-        # <= 4 iterations is small, and each lazy checkpoint costs a
+        # Dangling path references p TWICE per iteration (contrib join
+        # + dangling-mass aggregate) and Spark does not CSE across join
+        # sides, so an un-truncated segment would recompute up to 2^w
+        # times over a w-iteration window — checkpoint every iteration
+        # there. Without dangling, p is referenced once per iteration:
+        # truncate only every 4th round, since the unrolled plan at
+        # <= 4 iterations is small and each lazy checkpoint costs a
         # measurable materialization boundary (3-iteration run at
-        # sf0.1: 3.2s with per-round checkpoints -> 2.1s without)
-        if (it + 1) % 4 == 0 and it + 1 < iters:
+        # sf0.1: 3.2s with per-round checkpoints -> 2.1s without).
+        if it + 1 < iters and (has_dangling or (it + 1) % 4 == 0):
             p = p.localCheckpoint(eager=False)
     return p
 

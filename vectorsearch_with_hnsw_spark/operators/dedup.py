@@ -348,7 +348,10 @@ def embedding_neardup_pairs(
     banded = banded_bucket_frame_fast(withv, "v", int(dim), bands, planes_per_band)
     n_salt = 4
     banded = banded.withColumn(
-        "_g", (F.col("vec_id") % n_salt).cast("int")
+        # pmod, not %: Spark % keeps the dividend's sign, so a negative
+        # id would get a negative _g that never matches any h in
+        # [0, n_salt) — its pairs silently dropped
+        "_g", F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int")
     ).withColumn(
         "_ab",
         F.explode(
@@ -829,7 +832,8 @@ def semantic_neardup_pairs(
     # — each unordered sub-group pair meets in exactly one task, so each
     # candidate pair is still examined exactly once
     banded = banded.withColumn(
-        "_g", (F.col("doc_id") % n_salt).cast("int")
+        # pmod, not % — negative doc_id must still land in [0, n_salt)
+        "_g", F.pmod(F.col("doc_id"), F.lit(n_salt)).cast("int")
     ).withColumn(
         "_ab",
         F.explode(
