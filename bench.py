@@ -182,16 +182,48 @@ def _min_of_reps(run, n_min: int = 3, n_max: int = 4, tol: float = 0.10):
     noise floor) and the stability signal is ``spread2`` = the relative
     gap between the two fastest runs (a single stalled run inflates
     max-based spreads without making the min any less trustworthy).
+
+    Sub-second rows get extra headroom: when the min is < 0.5 s and the
+    two fastest still disagree > 25%, escalate to 6 reps — at that
+    absolute scale a couple hundred ms of scheduler jitter IS > tol, and
+    two more cheap reps usually find a stable pair (the r6 offender was
+    top_revenue_supplier at spread2 0.295 on a 0.2 s row).
     Returns (min_seconds, spread2, runs)."""
     ts: list[float] = []
-    while len(ts) < n_max:
+    while True:
         ts.append(run())
         if len(ts) >= n_min:
             s = sorted(ts)
-            if (s[1] - s[0]) / s[0] <= tol:
+            sp = (s[1] - s[0]) / s[0]
+            if sp <= tol:
+                break
+            cap = 6 if (s[0] < 0.5 and sp > 0.25) else n_max
+            if len(ts) >= cap:
                 break
     s = sorted(ts)
     return s[0], (s[1] - s[0]) / s[0], ts
+
+
+def _release_row_state(spark) -> int:
+    """Free ALL executor-side state a bench row left behind, so rows are
+    order-independent. ``spark.catalog.clearCache()`` drops
+    DataFrame-persisted relations but NOT ``localCheckpoint`` RDD blocks
+    (verified on this Spark: a checkpointed frame survives clearCache in
+    getPersistentRDDs). Rows that checkpoint eagerly (connected
+    components, fuzzy_dedup, pagerank, knn_hnsw_routed) therefore leaked
+    blocks that pressured later memory-hungry rows — the r6 2x
+    `ivf_pq_ann` cliff appeared exactly when knn_hnsw_routed joined the
+    suite. Returns the number of persistent RDDs REMAINING (0 = clean;
+    recorded in extras as the order-independence assertion).
+
+    Only call at row boundaries: a live handle derived from a freed
+    localCheckpoint raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on reuse
+    (persist-only handles like HnswIndex.kernel_out just recompute)."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+    return int(jsc.getPersistentRDDs().size())
 
 
 def main() -> None:
@@ -214,8 +246,17 @@ def main() -> None:
     ).count()
     load_table(spark, sf_dir, "documents").count()
 
+    # SPARK_GRAFT_REVERSE=1 runs the registry rows back-to-front — the
+    # order-independence proof run (per-row timings must agree with the
+    # forward run within spread2 now that rows release their state)
+    order = list(BENCH_QUERIES)
+    reversed_order = os.environ.get("SPARK_GRAFT_REVERSE", "") == "1"
+    if reversed_order:
+        order.reverse()
+
+    leaked_rows: list[str] = []
     t_all = time.perf_counter()
-    for name in BENCH_QUERIES:
+    for name in order:
         nrows = 0
 
         def run_once(name=name):
@@ -223,7 +264,10 @@ def main() -> None:
             t0 = time.perf_counter()
             nrows = qmap[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            spark.catalog.clearCache()  # release operator-persisted frames between runs
+            # release persisted frames AND checkpoint blocks between
+            # runs — the row's cost must not depend on what ran before
+            if _release_row_state(spark):
+                leaked_rows.append(name)
             return dt
 
         best, spread2, _ = _min_of_reps(run_once)
@@ -233,6 +277,9 @@ def main() -> None:
             f"# {name}: {nrows} rows in {timings[name]}s (spread2 {spreads[name]})",
             file=sys.stderr,
         )
+    # the order-independence assertion: every row left zero persistent
+    # RDDs behind (surfaced in extras; a regression names the row)
+    row_state_clean = not leaked_rows
 
     # HNSW build + probe over the real embeddings table
     emb = load_table(spark, sf_dir, "embeddings")
@@ -363,7 +410,7 @@ def main() -> None:
             ).collect()
         }
         dt = time.perf_counter() - t0
-        spark.catalog.clearCache()
+        _release_row_state(spark)
         return dt
 
     t_g, spread2, _ = _min_of_reps(run_graph)
@@ -408,22 +455,36 @@ def main() -> None:
         for r in knn_exact_fast(old_part, queries_df, k=10, metric="cosine").collect()
     }
     routed_recall = round(len(routed_pairs & exact_old) / max(1, len(exact_old)), 4)
+    # append and probe timed SEPARATELY: the combined row mixed the
+    # appended partitions' graph build with the k=1 probe, so neither
+    # cost was judgeable on its own
     t0 = time.perf_counter()
     appended = ridx.append(
         emb.filter(F.col("vec_id") >= n_vec - 50),
         num_partitions=1, id_col="vec_id", vec_col="embedding",
     )
+    appended.edges.count()  # force the appended partitions' build
+    timings["hnsw_routed_append"] = round(time.perf_counter() - t0, 3)
     app_q = emb.filter(F.col("vec_id") >= n_vec - 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    self_hits = sum(
-        1
-        for r in knn_hnsw_routed(appended, app_q, k=1).filter(F.col("rnk") == 1).collect()
-        if r["neighbor_id"] == r["query_id"]
-    )
-    timings["hnsw_routed_append_probe"] = round(time.perf_counter() - t0, 3)
+    self_hits = 0
+
+    def run_append_probe():
+        nonlocal self_hits
+        t0 = time.perf_counter()
+        self_hits = sum(
+            1
+            for r in knn_hnsw_routed(appended, app_q, k=1).filter(F.col("rnk") == 1).collect()
+            if r["neighbor_id"] == r["query_id"]
+        )
+        return time.perf_counter() - t0
+
+    best, spread2, _ = _min_of_reps(run_append_probe)
+    timings["hnsw_routed_append_probe"] = round(best, 3)
+    spreads["hnsw_routed_append_probe"] = round(spread2, 3)
     routed_append_reachable = round(self_hits / 50, 4)
-    spark.catalog.clearCache()
+    _release_row_state(spark)
 
     # recall@10 of the other ANN families vs the same exact oracle, on
     # the registry's query set (untimed — quality context for the speeds
@@ -474,7 +535,7 @@ def main() -> None:
         ann_recall[f"recall_hnsw_ef{ef}"] = round(
             len(got & exact_pairs) / max(1, len(exact_pairs)), 4
         )
-    spark.catalog.clearCache()
+    _release_row_state(spark)
 
     total = round(time.perf_counter() - t_all, 3)
     # spread2 aggregates: per-row spreads live in BENCH_FULL.json (the
@@ -510,6 +571,12 @@ def main() -> None:
             "distributed_eq_broadcast": distributed_eq_broadcast,
             **ann_recall,
             **spread_summary,
+            # True = every registry row left zero persistent RDDs behind
+            # (localCheckpoint blocks included) — the row-order
+            # independence assertion; leaked_rows names regressions
+            "row_state_clean": row_state_clean,
+            "leaked_rows": sorted(set(leaked_rows)),
+            "row_order": "reversed" if reversed_order else "forward",
             "cpus": cpus,
         },
     }
@@ -517,9 +584,10 @@ def main() -> None:
     full["spreads"] = spreads  # per-row (2nd_fastest - fastest)/fastest
     full["build_runs"] = [round(t, 3) for t in build_ts]
     full["build512_runs"] = [round(t, 3) for t in build512_ts]
+    out_name = "BENCH_REVERSED.json" if reversed_order else "BENCH_FULL.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as f:
+                               out_name), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout line still carries the summary
