@@ -78,3 +78,39 @@ def test_similarity_search_unified_api(spark, sf_smoke):
         assert len(top) == 1 and top[0]["neighbor_id"] == 3, f"{method} self-match"
     with pytest.raises(ValueError, match="unknown method"):
         similarity_search(emb, q, method="faiss")
+
+
+def test_similarity_search_recall_floor(spark, sf_smoke):
+    """Every method reachable from similarity_search AT ITS DEFAULTS clears
+    recall@10 >= 0.7 vs exact kNN. The README's recall claim holds today only
+    because the raw sign/ADC shortlists deploy through an exact re-rank; this
+    sweep makes that mechanical, so a future default change can't silently
+    route callers onto a 0.2-recall shortlist path."""
+    from vectorsearch_with_hnsw_spark.operators.search import METHODS, similarity_search
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n_q = q.count()
+    assert n_q >= 10
+
+    def topk_sets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.filter(F.col("rnk") <= 10).select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(knn_exact(emb, q, k=10, metric="cosine"))
+    assert len(truth) == n_q
+    failures = []
+    for method in METHODS:
+        got = topk_sets(
+            similarity_search(emb, q, method=method, k=10, metric="cosine", dim=64, num_partitions=2)
+        )
+        recall = sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / (10.0 * n_q)
+        if recall < 0.7:
+            failures.append((method, round(recall, 3)))
+    emb.unpersist()
+    assert not failures, f"methods below the 0.7 recall@10 floor at defaults: {failures}"

@@ -76,6 +76,11 @@ def _kmeans_impl(
     vec_col: str,
 ):
     """Shared Lloyd machinery: returns (pts, trained_centroids, assign)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tables import spread
+
     pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
     w_init = Window.orderBy("vec_id")
     cents = (
@@ -84,6 +89,21 @@ def _kmeans_impl(
         .withColumn("cell", (F.row_number().over(w_init) - F.lit(1)).cast("int"))
         .select("cell", F.col("v").alias("centroid"))
     )
+
+    def _collect_cents(cent_df: DataFrame):
+        rows = cent_df.orderBy("cell").collect()
+        cells_np = np.array([r["cell"] for r in rows], dtype=np.int32)
+        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        return pts.sparkSession.sparkContext.broadcast((cells_np, C))
+
+    def _d2_matrix(X, Cv):
+        """(N, k) squared distances accumulated one dimension at a time
+        in ascending order — the sequential fold, elementwise."""
+        acc = np.zeros((len(X), len(Cv)), dtype=np.float64)
+        for d0 in range(Cv.shape[1]):
+            diff = X[:, d0][:, None] - Cv[:, d0][None, :]
+            acc += diff * diff
+        return acc
 
     def assign(cent_df: DataFrame) -> DataFrame:
         """Nearest-cell assignment as an Arrow kernel, BIT-IDENTICAL to
@@ -94,15 +114,7 @@ def _kmeans_impl(
         window order. The old shape evaluated an interpreted HOF fold
         N*k times per pass (the dominant cost of every kmeans consumer
         at sf0.1); centroids are a bounded k-row collect + broadcast."""
-        import numpy as np
-        import pandas as pd
-
-        from ..sources.tables import spread
-
-        rows = cent_df.orderBy("cell").collect()
-        cells_np = np.array([r["cell"] for r in rows], dtype=np.int32)
-        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
-        bc = pts.sparkSession.sparkContext.broadcast((cells_np, C))
+        bc = _collect_cents(cent_df)
 
         def kern(batches):
             cells_v, Cv = bc.value
@@ -110,10 +122,7 @@ def _kmeans_impl(
                 if len(pdf) == 0:
                     continue
                 X = np.array(list(pdf["v"]), dtype=np.float64)
-                acc = np.zeros((len(X), len(Cv)), dtype=np.float64)
-                for d0 in range(Cv.shape[1]):
-                    diff = X[:, d0][:, None] - Cv[:, d0][None, :]
-                    acc += diff * diff
+                acc = _d2_matrix(X, Cv)
                 j = acc.argmin(axis=1)
                 yield pd.DataFrame(
                     {
@@ -125,25 +134,72 @@ def _kmeans_impl(
 
         return spread(pts).mapInPandas(kern, "vec_id long, cell int, d2 double")
 
-    def update(assigned: DataFrame) -> DataFrame:
-        per_dim = assigned.join(pts, "vec_id").select(
-            "cell", F.posexplode("v").alias("pos", "x")
-        )
-        fx = F.floor(F.col("x") * F.lit(10000000.0)).cast("long")
-        return (
-            per_dim.groupBy("cell", "pos")
-            .agg(F.sum(fx).alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn(
-                "c",
-                F.col("s").cast("double") / F.col("n").cast("double") / F.lit(10000000.0),
-            )
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-        )
+    def step(cells_np: "np.ndarray", C: "np.ndarray"):
+        """One Lloyd iteration, assign + update FUSED into a single
+        single-stage Arrow pass: the kernel assigns each batch row to
+        its nearest cell and emits per-(cell, dim) PARTIAL fixed-point
+        sums — k*dim rows per task, a bounded artifact the driver
+        reduces (the same contract as collecting centroids/codebooks;
+        at 10k tasks and k=256/dim=1k it is still < a few hundred MB,
+        and iterations drop from 4-stage shuffle jobs to one map +
+        bounded collect). Bit-identical to the old (assigned JOIN pts)
+        + posexplode + two-level groupBy form (and to the DuckDB
+        oracle's _kmeans_ctes): per-dim sums are fixed-point longs
+        (floor(x * 1e7), exactly the old fx expression), integer
+        addition is order-independent, and the mean is the same
+        long->double cast followed by the same two double divisions."""
+        bc = pts.sparkSession.sparkContext.broadcast((cells_np, C))
 
-    for _ in range(iters):
-        cents = update(assign(cents)).localCheckpoint(eager=False)
+        def kern(batches):
+            cells_v, Cv = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["v"]), dtype=np.float64)
+                cells = cells_v[_d2_matrix(X, Cv).argmin(axis=1)]
+                FX = np.floor(X * 10000000.0).astype(np.int64)
+                out_c, out_s, out_n = [], [], []
+                for cell in np.unique(cells):
+                    mask = cells == cell
+                    out_c.append(int(cell))
+                    out_s.append(FX[mask].sum(axis=0))
+                    out_n.append(int(mask.sum()))
+                yield pd.DataFrame({"cell": out_c, "s": out_s, "n": out_n})
+
+        parts = spread(pts).mapInPandas(kern, "cell int, s array<long>, n long").collect()
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            c = r["cell"]
+            s = np.array(r["s"], dtype=np.int64)
+            if c in sums:
+                sums[c] += s
+                counts[c] += r["n"]
+            else:
+                sums[c] = s
+                counts[c] = r["n"]
+        if not sums:  # empty corpus: empty-in/empty-out totality
+            return np.array([], dtype=np.int32), np.zeros((0, C.shape[-1] if C.ndim == 2 else 0))
+        new_cells = np.array(sorted(sums), dtype=np.int32)
+        new_C = np.stack(
+            [
+                sums[c].astype(np.float64) / np.float64(counts[c]) / np.float64(1e7)
+                for c in new_cells
+            ]
+        )
+        return new_cells, new_C
+
+    if iters > 0:
+        # init = the k lowest-id vectors (exactly the old limit(k) frame)
+        init = pts.orderBy("vec_id").limit(k).collect()
+        cells_np = np.arange(len(init), dtype=np.int32)
+        C = np.array([r["v"] for r in init], dtype=np.float64)
+        for _ in range(iters):
+            cells_np, C = step(cells_np, C)
+        cents = pts.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cells_np)],
+            "cell int, centroid array<double>",
+        )
     return pts, cents, assign
 
 

@@ -89,6 +89,7 @@ def pq_encode(
     m: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cb_np: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, code array<long>) — per subspace, the id of the nearest
     sub-centroid (ties to the lowest centroid id via first-match
@@ -102,9 +103,15 @@ def pq_encode(
     elements, and 0.0 + x == x for the non-negative terms), and argmin
     takes the first minimum exactly like array_position(array_min).
     Measured ~4x faster than the nested higher-order expression at
-    sf0.1."""
+    sf0.1.
+
+    ``cb_np``: the already-collected (m, C, d) codebook array, when the
+    caller needed it on the driver anyway (ivf_pq_knn builds its LUTs
+    from it) — skips re-running the codebook plan, whose lineage spans
+    the whole train/assign chain."""
     d = dim // m
-    cb_np = np.array(codebooks.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
+    if cb_np is None:
+        cb_np = np.array(codebooks.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
     spark = vectors.sparkSession
     bcb = spark.sparkContext.broadcast(cb_np)
 
@@ -275,7 +282,13 @@ def ivf_pq_knn(
     from .ivf import _kmeans_impl, _l2sq
 
     pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
-    assigned = assign(cents).select("vec_id", "cell")
+    # materialize the coarse assignment ONCE: it feeds the codebook
+    # plan, the encode pass, and the codes-side cell join — without the
+    # persist each consumer re-runs the train/assign chain (3 extra
+    # full passes over the corpus; values unchanged). At scale this is
+    # the standard "materialize the cell assignment" step — (id, cell)
+    # is ~12 bytes/row regardless of dim.
+    assigned = assign(cents).select("vec_id", "cell").persist()
     resid = (
         assigned.join(pts, "vec_id")
         .join(F.broadcast(cents), "cell")
@@ -286,9 +299,11 @@ def ivf_pq_knn(
         )
     )
     cb = pq_codebooks(resid, dim, m, n_anchors, id_col="vec_id", vec_col="r")
-    codes = pq_encode(resid, cb, dim, m, id_col="vec_id", vec_col="r").join(
-        assigned, "vec_id"
-    )
+    # one driver collect serves both the encode kernel and the LUTs
+    cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
+    codes = pq_encode(
+        resid, cb, dim, m, id_col="vec_id", vec_col="r", cb_np=cb_np
+    ).join(assigned, "vec_id")
 
     qcells = queries.crossJoin(F.broadcast(cents)).select(
         F.col("query_id"),
@@ -322,7 +337,6 @@ def ivf_pq_knn(
     # nested element_at's per candidate (~2.5s of the 4.4s row at
     # sf0.1).
     probe_rows = probes.select("query_id", "cell", "qr").collect()
-    cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
     if len(probe_rows) == 0 or cb_np.ndim != 3:
         # empty queries or an empty corpus (no anchors -> no codebook):
         # totality contract — empty in, empty out
