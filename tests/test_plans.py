@@ -467,3 +467,30 @@ def test_ivf_pq_adc_is_map_side(spark, sf_smoke):
     assert joins and all(j.startswith("Broadcast") for j in joins)
     assert "InMemoryRelation" in plan
     assert len(set(re.findall(r"\((\d+)\) Exchange\n", plan))) <= 4
+
+
+def test_ivf_pq_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
+    """A loaded IvfPqIndex probe must read only the probed cells: codes
+    are saved partitionBy('cell') and the scorer filters on literal cell
+    ids, so the parquet scan shows a non-empty PartitionFilters on cell
+    — the at-rest contract that a probe touches n_probe/n_cells of a
+    100 TB codes table."""
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = IvfPqIndex.build(emb, dim=64, m=8, n_cells=8, iters=2)
+    path = str(tmp_path / "ivfpq_prune")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    plan = formatted_plan(loaded.search(q, k=3, n_probe=2))
+    pf_lines = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "cell" in line
+    ]
+    assert any(
+        "in(cell" in line.lower() or "cell#" in line for line in pf_lines
+    ), f"no cell partition filter pushed; PartitionFilters lines: {pf_lines}"

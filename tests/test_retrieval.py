@@ -533,6 +533,37 @@ def test_ivf_index_save_load_roundtrip(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+def test_ivf_pq_index_save_load_roundtrip(spark, sf_smoke, tmp_path):
+    """IVF-PQ artifact: build -> save (codes PARTITIONED BY CELL) ->
+    load -> search gives results BIT-IDENTICAL to the one-shot
+    ivf_pq_knn at the same params — the loaded index skips training and
+    encoding entirely; search shares _ivf_pq_score with the operator.
+    Also checks the on-disk layout really is cell-partitioned (one
+    cell=N directory per cell)."""
+    import os
+
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex, ivf_pq_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=5)
+    idx = IvfPqIndex.build(emb, dim=64, m=8, n_cells=8, iters=2)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    cell_dirs = [d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")]
+    assert len(cell_dirs) >= 2, f"expected cell-partitioned codes, got {cell_dirs}"
+    loaded = IvfPqIndex.load(spark, path)
+    assert (loaded.dim, loaded.m) == (64, 8)
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in loaded.search(q, k=10, n_probe=3).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in ivf_pq_knn(emb, q, dim=64, m=8, k=10, n_probe=3, n_cells=8, iters=2).collect()
+    )
+    assert got and got == want
+
+
 def test_label_vote_null_prediction_and_null_label_never_correct(spark):
     """A missing prediction is ALWAYS incorrect — including when the
     true label is itself NULL (eqNullSafe would have scored NULL==NULL

@@ -10,7 +10,7 @@ from .dedup import (
     simhash_signatures,
 )
 from .ivf import ivf_kmeans_knn, ivf_knn_cosine, kmeans_fit, kmeans_train
-from .pq import PqIndex, pq_adc_knn, pq_codebooks, pq_encode
+from .pq import IvfPqIndex, PqIndex, pq_adc_knn, pq_codebooks, pq_encode
 from .retrieval import (
     bm25_rank,
     knn_graph,
@@ -25,6 +25,7 @@ from .synth import synthetic_vectors
 from .textpipe import approx_top_tokens, mix_corpus, weighted_sample
 
 __all__ = [
+    "IvfPqIndex",
     "PqIndex",
     "approx_top_tokens",
     "binary_sign_knn",

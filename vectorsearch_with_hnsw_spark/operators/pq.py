@@ -279,7 +279,27 @@ def ivf_pq_knn(
     Everything is the canonical sequential double fold, so the DuckDB
     oracle reproduces cells, residuals, codes, LUTs, and ADC sums
     bit-for-bit."""
-    from .ivf import _kmeans_impl, _l2sq
+    codes, cents, _, cb_np = _ivf_pq_build(
+        emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
+    )
+    return _ivf_pq_score(codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe)
+
+
+def _ivf_pq_build(
+    emb: DataFrame,
+    dim: int,
+    m: int,
+    n_cells: int,
+    iters: int,
+    n_anchors: int = NUM_ANCHORS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train + encode half of IVF-PQ: returns (codes, cents, cb, cb_np)
+    where codes is the (vec_id, code, cell) relation, cents the trained
+    (cell, centroid) table, cb the single-row codebook frame, cb_np its
+    driver copy. Shared by ``ivf_pq_knn`` and ``IvfPqIndex.build``."""
+    from .ivf import _kmeans_impl
 
     pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
     # materialize the coarse assignment ONCE: it feeds the codebook
@@ -304,6 +324,39 @@ def ivf_pq_knn(
     codes = pq_encode(
         resid, cb, dim, m, id_col="vec_id", vec_col="r", cb_np=cb_np
     ).join(assigned, "vec_id")
+    return codes, cents, cb, cb_np
+
+
+def _ivf_pq_score(
+    codes: DataFrame,
+    cents: DataFrame,
+    cb_np: np.ndarray,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Residual-ADC top-k over an existing (vec_id, cell, code) table —
+    the probe half of IVF-PQ, shared verbatim by the one-shot
+    ``ivf_pq_knn`` and the persisted ``IvfPqIndex.search`` so a loaded
+    index answers bit-identically to the inline operator.
+
+    ADC scoring is a MAP-SIDE Arrow kernel, bit-identical to the HOF
+    form it replaced: per probe row, LUT[s][c] accumulates the
+    (qr_i - cb_i)^2 sub-fold one dimension at a time in ascending
+    order (the exact _sub_d2 fold), and the per-candidate ADC sum
+    adds LUT entries in subspace-ascending order (the exact aggregate
+    fold). The probe set is a bounded query batch (same contract as
+    the broadcast join this replaces), so the LUT is built ONCE on
+    the driver (|probes| x m x C doubles, ~13 MB at defaults) and
+    broadcast; the codes table never shuffles — the only exchange
+    stays the final per-query top-k. The codes scan is filtered to the
+    UNION of probed cells before the kernel (values unchanged — the
+    kernel emits nothing for unprobed cells), so a codes table written
+    partitioned by cell is read partition-pruned: a probe touches
+    n_probe/n_cells of the data at rest."""
+    from .ivf import _l2sq
 
     qcells = queries.crossJoin(F.broadcast(cents)).select(
         F.col("query_id"),
@@ -323,24 +376,11 @@ def ivf_pq_knn(
         )
     )
     d = dim // m
-    # ADC scoring as a MAP-SIDE Arrow kernel, bit-identical to the HOF
-    # form it replaced: per probe row, LUT[s][c] accumulates the
-    # (qr_i - cb_i)^2 sub-fold one dimension at a time in ascending
-    # order (the exact _sub_d2 fold), and the per-candidate ADC sum
-    # adds LUT entries in subspace-ascending order (the exact aggregate
-    # fold). The probe set is a bounded query batch (same contract as
-    # the broadcast join this replaces), so the LUT is built ONCE on
-    # the driver (|probes| x m x C doubles, ~13 MB at defaults) and
-    # broadcast; the codes table never shuffles — the only exchange
-    # stays the final per-query top-k, exactly as before. The old
-    # shape evaluated m*C interpreted sub-folds per probe row plus m
-    # nested element_at's per candidate (~2.5s of the 4.4s row at
-    # sf0.1).
     probe_rows = probes.select("query_id", "cell", "qr").collect()
     if len(probe_rows) == 0 or cb_np.ndim != 3:
         # empty queries or an empty corpus (no anchors -> no codebook):
         # totality contract — empty in, empty out
-        return emb.sparkSession.createDataFrame(
+        return queries.sparkSession.createDataFrame(
             [], "query_id long, rnk int, neighbor_id long, adc_d2 double"
         )
     n_codewords = cb_np.shape[1]
@@ -352,7 +392,7 @@ def ivf_pq_knn(
         for d0 in range(d):
             diff = QR[:, s * d + d0][:, None] - cb_np[s][None, :, d0]
             lut_np[:, s, :] += diff * diff
-    spark_ = emb.sparkSession
+    spark_ = queries.sparkSession
     blut = spark_.sparkContext.broadcast((p_qids, p_cells, lut_np))
 
     def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -387,8 +427,13 @@ def ivf_pq_knn(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    pairs = codes.select("vec_id", "cell", "code").mapInPandas(
-        adc_score, "query_id long, neighbor_id long, adc_d2 double"
+    # prune the scan to the probed cells BEFORE the kernel: literal cell
+    # ids, so a cell-partitioned codes table gets partition pruning
+    probed_cells = sorted({int(c) for c in p_cells})
+    pairs = (
+        codes.select("vec_id", "cell", "code")
+        .filter(F.col("cell").isin(probed_cells))
+        .mapInPandas(adc_score, "query_id long, neighbor_id long, adc_d2 double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
@@ -533,4 +578,91 @@ class PqIndex:
             pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= k)
             .select("query_id", "rnk", "neighbor_id", "adc_d2")
+        )
+
+
+class IvfPqIndex:
+    """Persisted IVF-PQ artifact — the compressed-at-rest layout the
+    ivf_pq_knn docstring promises, materialized: codes are written
+    PARTITIONED BY CELL, so a probe of a loaded index is a
+    partition-pruned read touching n_probe/n_cells of the data
+    (tests/test_plans.py pins PartitionFilters on the scan). Centroids
+    and codebooks are tiny sidecar tables; searching a loaded index
+    skips training AND encoding entirely — queries only need the
+    centroid table (routing) and the codebook (LUTs).
+
+    Search shares ``_ivf_pq_score`` with the one-shot operator, so a
+    loaded index answers BIT-IDENTICALLY to ``ivf_pq_knn`` at equal
+    build parameters (pinned by tests/test_retrieval.py). This extends
+    the reference's save/load contract (hsnw_trial.py:310-376, raw
+    .npy float32) to the quantized family its design cannot reach: at
+    100 TB the artifact is ~1/32 the corpus plus two broadcastable
+    sidecars."""
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        cents: DataFrame,
+        cb: DataFrame,
+        cb_np: np.ndarray,
+        dim: int,
+        m: int,
+    ):
+        self.codes = codes
+        self.cents = cents
+        self.codebooks = cb
+        self.cb_np = cb_np
+        self.dim = dim
+        self.m = m
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        dim: int,
+        m: int = 16,
+        n_cells: int = 8,
+        iters: int = 2,
+        n_anchors: int = NUM_ANCHORS,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        codes, cents, cb, cb_np = _ivf_pq_build(
+            emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
+        )
+        return cls(codes, cents, cb, cb_np, dim, m)
+
+    def save(self, path: str) -> None:
+        # cell is the partition column: the at-rest layout that makes a
+        # probe a partition-pruned read
+        self.codes.select("vec_id", "code", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/codes")
+        self.cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.codebooks.withColumn("dim", F.lit(self.dim)).withColumn(
+            "m", F.lit(self.m)
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        codes = spark.read.parquet(f"{path}/codes")
+        cents = spark.read.parquet(f"{path}/centroids")
+        cb_raw = spark.read.parquet(f"{path}/codebooks")
+        meta = cb_raw.select("dim", "m").first()
+        cb = cb_raw.select("cb")
+        cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)
+        return cls(codes, cents, cb, cb_np, int(meta["dim"]), int(meta["m"]))
+
+    def search(self, queries: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Residual-ADC top-k over the stored codes (no training, no
+        encode pass; the codes scan prunes to the probed cells)."""
+        return _ivf_pq_score(
+            self.codes,
+            self.cents,
+            self.cb_np,
+            queries,
+            dim=self.dim,
+            m=self.m,
+            k=k,
+            n_probe=n_probe,
         )
