@@ -188,3 +188,31 @@ def test_cli_quality_gates(spark, tmp_path, capsys):
     assert spark.read.parquet(qg).filter("passes").count() > 0
     cli.main(["search", "--method", "exact", "--sf-dir", "/root/testdata/sf0.001", "--k", "2", "--max-queries", "1"])
     assert "query_id" in capsys.readouterr().out
+
+
+def test_cli_pq_build_and_query(spark, tmp_path, capsys, sf_smoke):
+    """pq-build writes the cell-partitioned IVF-PQ artifact; pq-query
+    probes the loaded index (rank-1 self-match) for both kinds."""
+    import os
+
+    from vectorsearch_with_hnsw_spark import cli
+
+    out = str(tmp_path / "ivfpq")
+    cli.main(["pq-build", "--sf-dir", sf_smoke, "--out", out, "--kind", "ivfpq", "--m", "8"])
+    assert any(d.startswith("cell=") for d in os.listdir(f"{out}/codes"))
+    cli.main([
+        "pq-query", "--index", out, "--kind", "ivfpq", "--sf-dir", sf_smoke,
+        "--k", "3", "--max-queries", "2",
+    ])
+    captured = capsys.readouterr()
+    assert "ivfpq index over" in captured.out
+    # rank-1 self-match at adc 0.0 for query 0
+    assert "|0       |1  |0          |0.0" in captured.out
+
+    out2 = str(tmp_path / "pq")
+    cli.main(["pq-build", "--sf-dir", sf_smoke, "--out", out2, "--kind", "pq", "--m", "8"])
+    cli.main([
+        "pq-query", "--index", out2, "--kind", "pq", "--sf-dir", sf_smoke,
+        "--k", "3", "--max-queries", "1",
+    ])
+    assert "pq index over" in capsys.readouterr().out

@@ -134,6 +134,28 @@ def main(argv: list[str] | None = None) -> None:
     qa.add_argument("--min-line-words", type=int, default=5, help="c4 per-line word floor")
     qa.add_argument("--keep-only", action="store_true", help="write only passing docs")
 
+    pb = sub.add_parser(
+        "pq-build",
+        help="build + save a quantized index (ivfpq | pq) over the embeddings table",
+    )
+    pb.add_argument("--sf-dir", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq"))
+    pb.add_argument("--m", type=int, default=16)
+    pb.add_argument("--cells", type=int, default=8)
+    pb.add_argument("--iters", type=int, default=2)
+
+    pqq = sub.add_parser(
+        "pq-query",
+        help="probe a saved quantized index (ivfpq probes are partition-pruned reads)",
+    )
+    pqq.add_argument("--index", required=True)
+    pqq.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq"))
+    pqq.add_argument("--sf-dir", required=True)
+    pqq.add_argument("--k", type=int, default=10)
+    pqq.add_argument("--n-probe", type=int, default=4)
+    pqq.add_argument("--max-queries", type=int, default=5)
+
     ex = sub.add_parser(
         "explain",
         help="print the formatted physical plan of any registry query",
@@ -212,6 +234,39 @@ def main(argv: list[str] | None = None) -> None:
             out.write.mode("overwrite").parquet(args.out)
             n = out.count()
             print(f"quality[{args.gate}]: {n} rows -> {args.out}")
+        elif args.cmd == "pq-build":
+            from .operators.pq import IvfPqIndex, PqIndex
+
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            dim = len(emb.select("embedding").first()[0])
+            if args.kind == "ivfpq":
+                idx = IvfPqIndex.build(
+                    emb, dim=dim, m=args.m, n_cells=args.cells, iters=args.iters
+                )
+            else:
+                idx = PqIndex.build(emb, dim=dim, m=args.m)
+            idx.save(args.out)
+            print(f"{args.kind} index over {emb.count()} x {dim} -> {args.out}")
+        elif args.cmd == "pq-query":
+            from .operators.pq import IvfPqIndex, PqIndex
+
+            queries = (
+                load_table(spark, args.sf_dir, "embeddings")
+                .filter(F.col("vec_id") < args.max_queries)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                )
+            )
+            if args.kind == "ivfpq":
+                res = IvfPqIndex.load(spark, args.index).search(
+                    queries, k=args.k, n_probe=args.n_probe
+                )
+            else:
+                res = PqIndex.load(spark, args.index).search(queries, k=args.k)
+            res.orderBy("query_id", "rnk").show(
+                args.max_queries * args.k, truncate=False
+            )
         elif args.cmd == "explain":
             from . import registry
 
