@@ -81,7 +81,12 @@ def _kmeans_impl(
 
     from ..sources.tables import spread
 
-    pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
+    # cache the training input across Lloyd passes (the MLlib KMeans
+    # idiom — it warns when its input is uncached): each iteration, the
+    # final assignment, and every downstream consumer (residuals,
+    # encode) re-reads pts; MEMORY_AND_DISK persist makes those reads
+    # one scan + cache hits, and spills rather than OOMs at scale
+    pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v")).persist()
     w_init = Window.orderBy("vec_id")
     cents = (
         pts.orderBy("vec_id")
