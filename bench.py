@@ -204,26 +204,36 @@ def _min_of_reps(run, n_min: int = 3, n_max: int = 4, tol: float = 0.10):
     return s[0], (s[1] - s[0]) / s[0], ts
 
 
-def _release_row_state(spark) -> int:
+def _release_row_state(spark) -> tuple[int, int]:
     """Free ALL executor-side state a bench row left behind, so rows are
-    order-independent. ``spark.catalog.clearCache()`` drops
-    DataFrame-persisted relations but NOT ``localCheckpoint`` RDD blocks
-    (verified on this Spark: a checkpointed frame survives clearCache in
-    getPersistentRDDs). Rows that checkpoint eagerly (connected
-    components, fuzzy_dedup, pagerank, knn_hnsw_routed) therefore leaked
-    blocks that pressured later memory-hungry rows — the r6 2x
-    `ivf_pq_ann` cliff appeared exactly when knn_hnsw_routed joined the
-    suite. Returns the number of persistent RDDs REMAINING (0 = clean;
-    recorded in extras as the order-independence assertion).
+    order-independent. Package-tracked persists are released via
+    ``cache.release_caches()``; ``spark.catalog.clearCache()`` then drops
+    any remaining DataFrame-persisted relations — but NOT
+    ``localCheckpoint`` RDD blocks (verified on this Spark: a
+    checkpointed frame survives clearCache in getPersistentRDDs). Rows
+    that checkpoint eagerly (connected components, fuzzy_dedup,
+    pagerank, knn_hnsw_routed) therefore leaked blocks that pressured
+    later memory-hungry rows — the r6 2x `ivf_pq_ann` cliff appeared
+    exactly when knn_hnsw_routed joined the suite.
+
+    Returns ``(residue, remaining)``: ``residue`` counts the RDD blocks
+    still pinned AFTER cache cleanup (the row's checkpoint footprint,
+    force-unpersisted here — attribution, not failure), ``remaining``
+    what even force-unpersist could not free (0 = the harness restored
+    a clean slate; nonzero names a real regression).
 
     Only call at row boundaries: a live handle derived from a freed
     localCheckpoint raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on reuse
     (persist-only handles like HnswIndex.kernel_out just recompute)."""
+    from vectorsearch_with_hnsw_spark.cache import release_caches
+
+    release_caches()
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc
+    residue = int(jsc.getPersistentRDDs().size())
     for rdd in list(jsc.getPersistentRDDs().values()):
         rdd.unpersist(True)
-    return int(jsc.getPersistentRDDs().size())
+    return residue, int(jsc.getPersistentRDDs().size())
 
 
 def main() -> None:
@@ -255,6 +265,7 @@ def main() -> None:
         order.reverse()
 
     leaked_rows: list[str] = []
+    row_residue: dict[str, int] = {}
     t_all = time.perf_counter()
     for name in order:
         nrows = 0
@@ -266,7 +277,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             # release persisted frames AND checkpoint blocks between
             # runs — the row's cost must not depend on what ran before
-            if _release_row_state(spark):
+            residue, remaining = _release_row_state(spark)
+            if residue:
+                row_residue[name] = max(row_residue.get(name, 0), residue)
+            if remaining:
                 leaked_rows.append(name)
             return dt
 
@@ -277,8 +291,9 @@ def main() -> None:
             f"# {name}: {nrows} rows in {timings[name]}s (spread2 {spreads[name]})",
             file=sys.stderr,
         )
-    # the order-independence assertion: every row left zero persistent
-    # RDDs behind (surfaced in extras; a regression names the row)
+    # the clean-slate assertion: after each row, the harness freed every
+    # persistent RDD (leaked_rows names any row whose state survived
+    # force-unpersist; row_residue attributes checkpoint footprints)
     row_state_clean = not leaked_rows
 
     # HNSW build + probe over the real embeddings table
@@ -571,11 +586,14 @@ def main() -> None:
             "distributed_eq_broadcast": distributed_eq_broadcast,
             **ann_recall,
             **spread_summary,
-            # True = every registry row left zero persistent RDDs behind
-            # (localCheckpoint blocks included) — the row-order
-            # independence assertion; leaked_rows names regressions
+            # True = after every registry row the harness freed all
+            # persistent RDDs (localCheckpoint blocks included);
+            # leaked_rows names rows whose state survived even
+            # force-unpersist, row_residue attributes per-row
+            # checkpoint footprints the harness had to scrub
             "row_state_clean": row_state_clean,
             "leaked_rows": sorted(set(leaked_rows)),
+            "row_residue": {k: row_residue[k] for k in sorted(row_residue)},
             "row_order": "reversed" if reversed_order else "forward",
             "cpus": cpus,
         },

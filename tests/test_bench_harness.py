@@ -28,8 +28,9 @@ def test_clearcache_leaves_checkpoints_and_release_frees_them(spark):
     spark.catalog.clearCache()
     assert jsc.getPersistentRDDs().size() >= 1
 
-    leftover = bench._release_row_state(spark)
-    assert leftover == 0
+    residue, remaining = bench._release_row_state(spark)
+    assert residue >= 1  # the checkpoint footprint is attributed...
+    assert remaining == 0  # ...and force-unpersist freed it
     assert jsc.getPersistentRDDs().size() == 0
 
 
@@ -38,7 +39,10 @@ def test_release_row_state_also_clears_cached_relations(spark):
 
     df = spark.range(500).cache()
     df.count()
-    assert bench._release_row_state(spark) == 0
+    residue, remaining = bench._release_row_state(spark)
+    # cached relations are dropped by clearCache BEFORE the residue
+    # count — they are expected row state, not checkpoint residue
+    assert (residue, remaining) == (0, 0)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     # the frame stays usable — persist-only handles recompute
     assert df.count() == 500

@@ -456,16 +456,18 @@ def test_ivf_pq_adc_is_map_side(spark, sf_smoke):
     plan = formatted_plan(ivf_pq_knn(emb, q, dim=64, m=16, k=3))
     # the codes build side keeps its broadcast joins (cents/codebooks
     # are tiny); what must NOT appear is a shuffle join or an exchange
-    # of the codes table for scoring. The coarse assignment is cached
-    # (one shared pass instead of one per consumer), so the plan must
-    # show an InMemoryRelation; its internal spread exchange is printed
-    # twice by AQE (initial + final plan), so the textual cap is 4 —
-    # the per-run exchanges are still just the encode-kernel spread
-    # (a no-op at real scan widths) + the final ranking window.
+    # of the codes table for scoring. The one-shot operator releases its
+    # build caches before returning (leak-free contract: a long-lived
+    # session accumulates nothing), so the plan must show NO
+    # InMemoryRelation — the encode kernel carries the coarse cell
+    # through instead of re-joining the assignment, so the scoring pass
+    # still reads the corpus exactly once. Exchanges: the assign/encode
+    # kernel spreads (no-ops at real scan widths) + the final ranking
+    # window.
     assert "SortMergeJoin" not in plan
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
     assert joins and all(j.startswith("Broadcast") for j in joins)
-    assert "InMemoryRelation" in plan
+    assert "InMemoryRelation" not in plan
     assert len(set(re.findall(r"\((\d+)\) Exchange\n", plan))) <= 4
 
 

@@ -52,6 +52,7 @@ def __getattr__(name):
         "get_spark": ("session", "get_spark"),
         "queries": ("registry", "queries"),
         "oracle_sql": ("registry", "oracle_sql"),
+        "release_caches": ("cache", "release_caches"),
     }
     if name in lazy:
         import importlib

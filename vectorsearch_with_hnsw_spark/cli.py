@@ -238,7 +238,12 @@ def main(argv: list[str] | None = None) -> None:
             from .operators.pq import IvfPqIndex, PqIndex
 
             emb = load_table(spark, args.sf_dir, "embeddings")
-            dim = len(emb.select("embedding").first()[0])
+            first = emb.select("embedding").first()
+            if first is None:
+                raise SystemExit(
+                    "pq-build: embeddings table is empty — nothing to index"
+                )
+            dim = len(first[0])
             if args.kind == "ivfpq":
                 idx = IvfPqIndex.build(
                     emb, dim=dim, m=args.m, n_cells=args.cells, iters=args.iters

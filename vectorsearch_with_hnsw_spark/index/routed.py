@@ -38,6 +38,7 @@ from ..operators.ann import hyperplane_ints, lsh_bucket
 from ..operators.knn import topk_per_group
 from .build import EDGES_SCHEMA, HnswIndex, HnswParams
 from .local_hnsw import LocalHNSW
+from ..cache import persist_tracked
 
 
 def default_n_probe(num_partitions: int) -> int:
@@ -271,7 +272,7 @@ def hnsw_build_routed(
 
     edges_raw = src.groupBy("partition").applyInPandas(
         build_partition, EDGES_SCHEMA + ", entry_point long, max_layer int"
-    ).persist()
+    ).transform(persist_tracked)
     edges = edges_raw.select("partition", "layer", "src", "dst")
     meta = edges_raw.groupBy("partition").agg(
         F.first("entry_point").alias("entry_point"),
@@ -598,7 +599,7 @@ def append_routed(
 
     rebuilt_raw = members.groupBy("partition").applyInPandas(
         build_partition, EDGES_SCHEMA + ", entry_point long, max_layer int"
-    ).persist()
+    ).transform(persist_tracked)
     rebuilt_edges = rebuilt_raw.select("partition", "layer", "src", "dst")
     rebuilt_meta = rebuilt_raw.groupBy("partition").agg(
         F.first("entry_point").alias("entry_point"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_distance, to_vec
 from .knn import topk_per_group
+from ..cache import persist_tracked, release
 
 
 def label_centroids(emb: DataFrame, dim: int) -> DataFrame:
@@ -82,11 +83,14 @@ def _kmeans_impl(
     from ..sources.tables import spread
 
     # cache the training input across Lloyd passes (the MLlib KMeans
-    # idiom — it warns when its input is uncached): each iteration, the
-    # final assignment, and every downstream consumer (residuals,
-    # encode) re-reads pts; MEMORY_AND_DISK persist makes those reads
-    # one scan + cache hits, and spills rather than OOMs at scale
-    pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v")).persist()
+    # idiom — it warns when its input is uncached): each iteration
+    # re-reads pts, so persist makes iters passes one scan + cache
+    # hits. The cache is RELEASED once training finishes (below):
+    # post-training consumers read pts at most twice per action, and a
+    # 100 TB corpus should be re-scanned from columnar parquet, not
+    # pinned in executor memory — so the persist's scope is exactly the
+    # Lloyd loop, and a long-lived session accumulates nothing.
+    pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v")).transform(persist_tracked)
     w_init = Window.orderBy("vec_id")
     cents = (
         pts.orderBy("vec_id")
@@ -161,6 +165,16 @@ def _kmeans_impl(
                 if len(pdf) == 0:
                     continue
                 X = np.array(list(pdf["v"]), dtype=np.float64)
+                # fixed-point floor(x*1e7)->int64 is undefined for
+                # NaN/inf and would corrupt centroid sums SILENTLY —
+                # fail loudly instead (generated testdata is finite;
+                # user-supplied vectors may not be)
+                if not np.isfinite(X).all():
+                    raise ValueError(
+                        "kmeans: non-finite vector element (NaN/inf) in "
+                        "training input; fixed-point centroid sums require "
+                        "finite values"
+                    )
                 cells = cells_v[_d2_matrix(X, Cv).argmin(axis=1)]
                 FX = np.floor(X * 10000000.0).astype(np.int64)
                 out_c, out_s, out_n = [], [], []
@@ -205,6 +219,10 @@ def _kmeans_impl(
             [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cells_np)],
             "cell int, centroid array<double>",
         )
+    # training is the only multi-pass consumer — drop the cache now so
+    # one-shot callers leak nothing into Spark's CacheManager; the
+    # returned pts/assign plans recompute from the source scan
+    release(pts)
     return pts, cents, assign
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import to_vec
+from ..cache import persist_tracked
 
 NUM_ANCHORS = 256  # codebook size per subspace (64 -> 256: ADC recall@10 0.31 -> 0.52 at m=16 on testdata)
 
@@ -90,6 +91,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cb_np: np.ndarray | None = None,
+    carry: str | None = None,
 ) -> DataFrame:
     """(id, code array<long>) — per subspace, the id of the nearest
     sub-centroid (ties to the lowest centroid id via first-match
@@ -108,7 +110,11 @@ def pq_encode(
     ``cb_np``: the already-collected (m, C, d) codebook array, when the
     caller needed it on the driver anyway (ivf_pq_knn builds its LUTs
     from it) — skips re-running the codebook plan, whose lineage spans
-    the whole train/assign chain."""
+    the whole train/assign chain.
+
+    ``carry``: name of one extra input column to pass through the
+    kernel unchanged (ivf_pq_knn carries the coarse ``cell`` so the
+    codes relation needs no re-join against the assignment)."""
     d = dim // m
     if cb_np is None:
         cb_np = np.array(codebooks.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
@@ -127,16 +133,25 @@ def pq_encode(
                 diff = x[:, s * d : (s + 1) * d][:, None, :] - cb[s][None, :, :]
                 d2 = (diff * diff).sum(axis=2)
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"_id": ids, "code": list(codes)})
+            out = {"_id": ids, "code": list(codes)}
+            if carry is not None:
+                out[carry] = pdf[carry].to_numpy()
+            yield pd.DataFrame(out)
 
     from ..sources.tables import spread
 
     # spread: a 1-split parquet would run the whole encode on one core
     # (no-op at real scan widths — see sources.spread)
-    narrow = spread(vectors).select(F.col(id_col).alias("_id"), to_vec(vec_col).alias("_v"))
-    return narrow.mapInPandas(enc, "_id long, code array<long>").select(
-        F.col("_id").alias(id_col), "code"
+    cols = [F.col(id_col).alias("_id"), to_vec(vec_col).alias("_v")]
+    schema = "_id long, code array<long>"
+    if carry is not None:
+        cols.append(F.col(carry))
+        schema += f", {carry} {vectors.schema[carry].dataType.simpleString()}"
+    narrow = spread(vectors).select(*cols)
+    keep = [F.col("_id").alias(id_col), F.col("code")] + (
+        [F.col(carry)] if carry is not None else []
     )
+    return narrow.mapInPandas(enc, schema).select(*keep)
 
 
 def pq_adc_knn(
@@ -279,10 +294,19 @@ def ivf_pq_knn(
     Everything is the canonical sequential double fold, so the DuckDB
     oracle reproduces cells, residuals, codes, LUTs, and ADC sums
     bit-for-bit."""
-    codes, cents, _, cb_np = _ivf_pq_build(
+    from ..cache import release
+
+    codes, cents, _, cb_np, cached = _ivf_pq_build(
         emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
     )
-    return _ivf_pq_score(codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe)
+    out = _ivf_pq_score(codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe)
+    # one-shot contract: leak nothing into the CacheManager. The scoring
+    # plan reads codes (and hence the assignment) exactly once, so the
+    # consumer's action re-runs the assign kernel once instead of
+    # hitting cache — bounded, and a long-lived session stays clean.
+    for df in cached:
+        release(df)
+    return out
 
 
 def _ivf_pq_build(
@@ -295,20 +319,22 @@ def _ivf_pq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Train + encode half of IVF-PQ: returns (codes, cents, cb, cb_np)
-    where codes is the (vec_id, code, cell) relation, cents the trained
-    (cell, centroid) table, cb the single-row codebook frame, cb_np its
-    driver copy. Shared by ``ivf_pq_knn`` and ``IvfPqIndex.build``."""
+    """Train + encode half of IVF-PQ: returns (codes, cents, cb, cb_np,
+    cached) where codes is the (vec_id, code, cell) relation, cents the
+    trained (cell, centroid) table, cb the single-row codebook frame,
+    cb_np its driver copy, and cached the persisted intermediates the
+    caller owns (one-shot operators release them before returning;
+    ``IvfPqIndex`` keeps them for repeated searches and exposes
+    ``unpersist()``). Shared by ``ivf_pq_knn`` and ``IvfPqIndex.build``."""
     from .ivf import _kmeans_impl
 
     pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
     # materialize the coarse assignment ONCE: it feeds the codebook
-    # plan, the encode pass, and the codes-side cell join — without the
-    # persist each consumer re-runs the train/assign chain (3 extra
-    # full passes over the corpus; values unchanged). At scale this is
-    # the standard "materialize the cell assignment" step — (id, cell)
-    # is ~12 bytes/row regardless of dim.
-    assigned = assign(cents).select("vec_id", "cell").persist()
+    # plan and the encode pass — without the persist each consumer
+    # re-runs the train/assign chain (values unchanged). At scale this
+    # is the standard "materialize the cell assignment" step —
+    # (id, cell) is ~12 bytes/row regardless of dim.
+    assigned = assign(cents).select("vec_id", "cell").transform(persist_tracked)
     resid = (
         assigned.join(pts, "vec_id")
         .join(F.broadcast(cents), "cell")
@@ -321,10 +347,12 @@ def _ivf_pq_build(
     cb = pq_codebooks(resid, dim, m, n_anchors, id_col="vec_id", vec_col="r")
     # one driver collect serves both the encode kernel and the LUTs
     cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
+    # the encode kernel carries cell through, so the codes relation
+    # needs no second read of the assignment (one shuffle-free pass)
     codes = pq_encode(
-        resid, cb, dim, m, id_col="vec_id", vec_col="r", cb_np=cb_np
-    ).join(assigned, "vec_id")
-    return codes, cents, cb, cb_np
+        resid, cb, dim, m, id_col="vec_id", vec_col="r", cb_np=cb_np, carry="cell"
+    )
+    return codes, cents, cb, cb_np, [assigned]
 
 
 def _ivf_pq_score(
@@ -607,6 +635,7 @@ class IvfPqIndex:
         cb_np: np.ndarray,
         dim: int,
         m: int,
+        cached: list | None = None,
     ):
         self.codes = codes
         self.cents = cents
@@ -614,6 +643,21 @@ class IvfPqIndex:
         self.cb_np = cb_np
         self.dim = dim
         self.m = m
+        # persisted build intermediates (the coarse assignment): kept
+        # alive so repeated search()/save() calls on a freshly-built
+        # index don't re-run the assign kernel; the owner releases them
+        # via unpersist() (or package-wide cache.release_caches())
+        self._cached = list(cached or [])
+
+    def unpersist(self) -> None:
+        """Release the build-time caches this index pinned. The index
+        stays usable — searches recompute the assignment from lineage;
+        a saved-then-loaded index holds no caches at all."""
+        from ..cache import release
+
+        for df in self._cached:
+            release(df)
+        self._cached = []
 
     @classmethod
     def build(
@@ -627,10 +671,10 @@ class IvfPqIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IvfPqIndex":
-        codes, cents, cb, cb_np = _ivf_pq_build(
+        codes, cents, cb, cb_np, cached = _ivf_pq_build(
             emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
         )
-        return cls(codes, cents, cb, cb_np, dim, m)
+        return cls(codes, cents, cb, cb_np, dim, m, cached=cached)
 
     def save(self, path: str) -> None:
         # cell is the partition column: the at-rest layout that makes a

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, lang_id, quality_features
+from ..cache import persist_tracked
 from ..operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
 
 DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -129,7 +130,7 @@ def lm_familiarity_stream(
     """
     from ..operators.textpipe import lm_model, lm_score
 
-    model = lm_model(ref_docs).persist()
+    model = lm_model(ref_docs).transform(persist_tracked)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         lm_score(batch_df, model).write.mode("append").parquet(out_path)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from ..cache import persist_tracked
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -276,7 +277,7 @@ def anomaly_score_stream(
         .filter(
             (F.col("nd") >= 3) & (F.col("s2") * F.col("nd") > F.col("s1") * F.col("s1"))
         )
-        .persist()
+        .transform(persist_tracked)
     )
 
     # complete-day counts: watermarked day windows, finalized on emit
