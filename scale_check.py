@@ -190,6 +190,47 @@ def main() -> None:
     out["semantic_neardup_max_block"] = int(bucket_sizes["max_n"])
     out["semantic_neardup_max_block_frac"] = round(bucket_sizes["max_n"] / n_docs, 4)
 
+    # hot-shingle skew guard (ngram_jaccard_pairs max_df cap): prepend
+    # the SAME boilerplate header to every document — the 100 TB
+    # nightmare case where one license paragraph appears corpus-wide.
+    # A shingle in D docs contributes C(D,2) self-join rows, so the
+    # uncapped join size is measured ANALYTICALLY from df stats
+    # (running it IS the quadratic explosion); the capped operator then
+    # runs end-to-end to show the bounded plan is also a feasible one.
+    from vectorsearch_with_hnsw_spark.functions.text import shingle_hash_array
+
+    boiler = big_docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "terms of service apply to this document and all "
+                "derivative works without exception notice. "
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    cap = n_docs // 2
+    dfc = (
+        boiler.select(
+            "doc_id", F.explode(shingle_hash_array(F.col("text"), 3)).alias("shingle")
+        )
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pairs_of = (F.col("df") * (F.col("df") - 1) / 2).cast("double")
+    st = dfc.agg(
+        F.sum(pairs_of).alias("uncapped"),
+        F.sum(F.when(F.col("df") <= cap, pairs_of).otherwise(F.lit(0.0))).alias("capped"),
+        F.sum((F.col("df") > cap).cast("long")).alias("hot"),
+    ).collect()[0]
+    out["ngram_boiler_join_rows_uncapped"] = int(st["uncapped"])
+    out["ngram_boiler_join_rows_capped"] = int(st["capped"])
+    out["ngram_boiler_hot_shingles"] = int(st["hot"])
+    t0 = time.perf_counter()
+    out["ngram_boiler_pairs"] = D.ngram_jaccard_pairs(boiler).count()
+    out["ngram_boiler_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
     # persist as a committed artifact (VERDICT r6 #6) so the judge can diff
     # the routed-recall curve and per-core build number round over round,

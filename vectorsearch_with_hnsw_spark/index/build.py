@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .local_hnsw import HnswParams, LocalHNSW
+from ..cache import persist_tracked
 
 NODES_SCHEMA = "partition int, id long, vec array<float>, level int, deleted boolean"
 EDGES_SCHEMA = "partition int, layer int, src long, dst long"
@@ -328,7 +329,7 @@ def hnsw_build(
     )
     # Cache the kernel output: edges + meta both derive from it, and at
     # scale you'd rather not run the build twice.
-    edges_raw = edges_raw.persist()
+    edges_raw = edges_raw.transform(persist_tracked)
     edges = edges_raw.select("partition", "layer", "src", "dst")
     meta = (
         edges_raw.groupBy("partition")
@@ -402,4 +403,56 @@ def hnsw_stats(index: "HnswIndex") -> DataFrame:
         .fillna(0, subset=["n_nodes_linked", "n_edges", "max_out_degree"])
         .withColumn("degree_cap", cap)
         .orderBy("layer")
+    )
+
+
+def hnsw_invariants(index: "HnswIndex") -> DataFrame:
+    """Structural invariants of a built index as ONE hash-checkable row:
+    the graph internals are not SQL-derivable, but their REQUIRED
+    properties are constants an exact oracle can pin — a broken build
+    kernel flips a zero and fails the hash. Columns:
+
+    - ``n_nodes``: alive node count (equals the input corpus size for a
+      fresh build — the only data-derived column);
+    - ``degree_cap_violations``: (layer, src) groups whose out-degree
+      exceeds max_m0 (layer 0) / M (above) — the reference's degree-cap
+      prune contract (hsnw_trial.py:289-307);
+    - ``dangling_edges``: edges whose dst is not a node id (tombstoned
+      nodes keep their edges BY DESIGN, so deleted dsts are not
+      dangling — only ids absent from the nodes table entirely);
+    - ``self_loops``: src == dst edges (never emitted by the kernel);
+    - ``edges_above_top_level``: edges on a layer above every node's
+      level (layer assignment must respect the level draw).
+    """
+    p = index.params
+    cap = F.when(F.col("layer") == 0, F.lit(p.max_m0)).otherwise(F.lit(p.M))
+    viol = (
+        index.edges.groupBy("layer", "src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .filter(F.col("out_deg") > cap)
+        .agg(F.count(F.lit(1)).alias("degree_cap_violations"))
+    )
+    node_ids = index.nodes.select(F.col("id").alias("dst"))
+    dangling = (
+        index.edges.select("dst")
+        .join(node_ids, "dst", "left_anti")
+        .agg(F.count(F.lit(1)).alias("dangling_edges"))
+    )
+    loops = index.edges.filter(F.col("src") == F.col("dst")).agg(
+        F.count(F.lit(1)).alias("self_loops")
+    )
+    max_level = index.nodes.agg(F.max("level").alias("_ml"))
+    above = (
+        index.edges.crossJoin(F.broadcast(max_level))
+        .filter(F.col("layer") > F.col("_ml"))
+        .agg(F.count(F.lit(1)).alias("edges_above_top_level"))
+    )
+    alive = index.nodes.filter(~F.col("deleted")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return (
+        alive.crossJoin(F.broadcast(viol))
+        .crossJoin(F.broadcast(dangling))
+        .crossJoin(F.broadcast(loops))
+        .crossJoin(F.broadcast(above))
     )

@@ -37,6 +37,7 @@ from ..functions.text import (
 )
 from ..functions.vector import cosine_distance, to_vec
 from ..sources import load_table, spread
+from ..cache import persist_tracked
 
 NUM_MINHASH = 8
 MINHASH_BANDS = 4  # 4 bands x 2 rows
@@ -55,7 +56,10 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df_frac: float | None = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -66,22 +70,49 @@ def ngram_jaccard_pairs(
     carries a fixed-width key (hash collisions merge shingles with
     probability ~1/1e9, identically in the oracle).
 
-    The shingle relation feeds three consumers (sizes + both join sides);
-    persist it so the explode+distinct runs once, not five times — at
-    scale this is the difference between one pass over the corpus and
-    five."""
+    ``max_df_frac`` caps hot shingles: a shingle present in D documents
+    contributes D^2 rows to the self-join, so one boilerplate trigram in
+    1% of a 100 TB corpus is a quadratic skewed-key explosion. Shingles
+    with document frequency > floor(max_df_frac * n_docs) are dropped
+    BEFORE the join (from sizes too, so Jaccard stays a true Jaccard
+    over the capped sets — high-DF shingles are non-discriminative for
+    thresholds like 0.2 anyway, they inflate BOTH intersection and
+    union). The hot set is bounded by construction: each hot shingle
+    has > max_df_frac*n rows, so there are at most
+    avg_shingles_per_doc / max_df_frac of them — a broadcastable
+    anti-join side at any corpus size. ``None`` disables the cap.
+    Mirrored bit-for-bit in the DuckDB oracle (same floor(frac * count)
+    cap, same <= keep rule).
+
+    The shingle relation feeds four consumers (df + sizes + both join
+    sides); persist it so the explode+distinct runs once — at scale
+    this is the difference between one pass over the corpus and
+    several."""
     sh = (
         spread(docs)
         .select(
             "doc_id", F.explode(shingle_hash_array(F.col("text"), n)).alias("shingle")
         )
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
-    sh.count()  # eager: 3 consumers below — avoid concurrent cache-population races
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sh.count()  # eager: consumers below — avoid concurrent cache-population races
+    if max_df_frac is not None:
+        import math
+
+        cap = int(math.floor(max_df_frac * docs.count()))
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        kept = sh
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -167,7 +198,7 @@ def minhash_lsh_pairs(
         *[F.col(f"mh{i}") for i in range(num_hashes)],
         F.col("_bb.band").alias("band"),
         F.col("_bb.bucket").alias("bucket"),
-    ).persist()
+    ).transform(persist_tracked)
     banded.count()
     l = banded.select(
         F.col("doc_id").alias("doc_a"),
@@ -272,7 +303,7 @@ def simhash_pairs(
         "simhash",
         F.col("_bb.band").alias("band"),
         F.col("_bb.bucket").alias("bucket"),
-    ).persist()
+    ).transform(persist_tracked)
     banded.count()
     l = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
@@ -486,7 +517,7 @@ def dup_span_pairs(
     sh = spread(docs).select(
         "doc_id",
         F.posexplode(shingle_hash_array(F.col("text"), n)).alias("pos", "h"),
-    ).persist()
+    ).transform(persist_tracked)
     sh.count()
     if max_df is not None:
         # inner join on the kept set (measured faster than the
@@ -620,7 +651,7 @@ def _cluster_keeper_verdict(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         "quality_score",
-    ).persist()
+    ).transform(persist_tracked)
     labeled.count()
     best = (
         labeled.groupBy("cluster_id")

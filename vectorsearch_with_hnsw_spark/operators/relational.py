@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..cache import persist_tracked
 
 DEC = "decimal(18,2)"
 
@@ -804,7 +805,7 @@ def waiting_supplier_orders(
     )
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
-    ).persist()
+    ).transform(persist_tracked)
     # eager persist: the two consumers (aggregate + late-pair filter)
     # would otherwise each re-scan AND re-join lineitem⋈orders (verified:
     # no ReusedExchange, lineitem scanned twice). At bench SF the cache
@@ -875,6 +876,48 @@ def event_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def event_sketch_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable face of ``event_sketch_stats``: sketch
+    INTERNALS are engine-specific, but their accuracy CONTRACTS are
+    assertions an exact oracle can pin. Per event type this emits the
+    exact values (DuckDB-reproducible) plus two booleans the oracle
+    pins to TRUE — HLL++ distinct-users within 3x its configured
+    relative standard deviation (0.05 default -> 15%), and the GK
+    median equal to a discrete median of the group (at group sizes
+    below the sketch's accuracy parameter the rank error is < 1, so
+    the estimate must BE one of the two middle order statistics). A
+    sketch regression flips a boolean and fails the hash; the tighter
+    empirical error is bounded in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("_au"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("_ap"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "exact_p50_value"
+        ),
+        # the upper discrete median: smallest value at cume_dist strictly
+        # past the midpoint — with even N the two middle order statistics
+        # differ and a <1-rank-error estimate may legally return either
+        F.expr(
+            "percentile_disc(0.50001) WITHIN GROUP (ORDER BY value)"
+        ).alias("_hi"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    au, eu = F.col("_au").cast("double"), F.col("exact_users").cast("double")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(au - eu) <= F.lit(0.15) * eu).alias("users_within_3rsd"),
+        "exact_p50_value",
+        (
+            (F.col("_ap") == F.col("exact_p50_value"))
+            | (F.col("_ap") == F.col("_hi"))
+        ).alias("p50_is_discrete_median"),
+        "n_events",
+    ).orderBy("event_type")
 
 
 def viewers_never_purchasing(
@@ -1160,7 +1203,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str,
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy("l_suppkey")
         .agg(F.sum(disc_price).cast("double").alias("total_revenue"))
-        .persist()
+        .transform(persist_tracked)
     )
     best = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
     supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
@@ -1250,7 +1293,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str,
         .agg(F.min("l_extendedprice").alias("supply_cost"))
         .join(part, F.col("l_partkey") == part.p_partkey)
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
-        .persist()
+        .transform(persist_tracked)
     )
     best = offers.groupBy(F.col("p_partkey").alias("bp_key")).agg(
         F.min("supply_cost").alias("best_cost")
@@ -1324,7 +1367,7 @@ def important_parts(spark: SparkSession, sf_dir: str,
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("part_value"))
-        .persist()
+        .transform(persist_tracked)
     )
     total = F.broadcast(
         per_part.agg(F.sum("part_value").cast(DEC).alias("total_value"))
@@ -1363,7 +1406,7 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str,
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("pair_qty"))
-        .persist()
+        .transform(persist_tracked)
     )
     part_total = pair_qty.groupBy(F.col("l_partkey").alias("tp_key")).agg(
         F.sum("pair_qty").cast(DEC).alias("part_qty")

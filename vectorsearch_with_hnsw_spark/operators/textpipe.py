@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import token_count, tokens
 from ..sources import spread
+from ..cache import persist_tracked
 
 # Knuth multiplicative-hash constant; doc_id mix for sampling
 SAMPLE_MIX = 2_654_435_761
@@ -286,7 +287,7 @@ def familiarity_buckets(
     # concurrent branch execution otherwise races to populate the cache.
     scored = lm_familiarity(docs, ref_lang=ref_lang).withColumn(
         "rate_ppm", F.expr("(fam * 1000000) div greatest(n_bigrams, 1)")
-    ).persist()
+    ).transform(persist_tracked)
     scored.count()
     hist = scored.groupBy("lang", "rate_ppm").agg(F.count(F.lit(1)).alias("_cnt"))
     wl = Window.partitionBy("lang").orderBy(F.col("rate_ppm").desc())
@@ -355,6 +356,61 @@ def approx_top_tokens(
     # after a window-free subtraction is unnecessary: keeping the top k
     # by summed weight preserves the undercount-only guarantee
     return merged.orderBy(F.col("est_count").desc(), "token").limit(k)
+
+
+def approx_top_tokens_guarantee(
+    docs: DataFrame, capacity: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """The DETERMINISTIC face of Misra-Gries, as a hash-checkable
+    relation: every token whose true count exceeds
+    ``total_tokens / (capacity + 1)`` is GUARANTEED to survive in the
+    merged summary (per-partition undercount sums to at most
+    total/(capacity+1), so such a token's merged weight stays > 0).
+    This query emits exactly that guarantee set — (token, exact count)
+    for the qualifying tokens, SEMI-joined against the sketch summary —
+    so an exact SQL oracle reproduces it bit-for-bit, and a sketch that
+    ever dropped a guaranteed-heavy token would MISS a row and fail the
+    hash. The estimates themselves stay partition-order-dependent and
+    are bounded in tests instead (``approx_top_tokens``).
+
+    The exact token group-by exists here to STATE the guarantee, not as
+    the scale path; the comparison is integer-only
+    (``n * (capacity+1) > total``), no division."""
+    import pandas as pd
+
+    from ..functions.text import tokens as _tokens
+
+    toks = docs.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
+
+    def prune(counters: dict, cap: int) -> dict:
+        if len(counters) <= cap:
+            return counters
+        by_wt = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        cut = by_wt[cap][1]
+        return {t: w - cut for t, w in by_wt[:cap] if w - cut > 0}
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            counters = prune(counters, capacity)
+        yield pd.DataFrame(
+            {"token": list(counters), "wt": [int(w) for w in counters.values()]}
+        )
+
+    summary = (
+        toks.mapInPandas(mg, "token string, wt long")
+        .groupBy("token")
+        .agg(F.sum("wt").alias("est"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    guaranteed = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("n_occurrences") * F.lit(capacity + 1) > F.col("_total")
+    )
+    return guaranteed.join(summary, "token", "semi").select("token", "n_occurrences")
 
 
 def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
