@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "doc_len_outliers",
     "sq8_ann",
     "ivf_sq8_ann",
+    "ivf_sq8_refine_ann",
     "purchase_view_window",
     "curation_pipeline",
     "quantity_order_stats",
@@ -522,6 +523,7 @@ def main() -> None:
     for name, metric in (
         ("sq8_ann", "l2"),
         ("ivf_sq8_ann", "l2"),
+        ("ivf_sq8_refine_ann", "cosine"),
         ("lsh_ann_cosine", "cosine"),
         ("ivf_ann_cosine", "cosine"),
         ("pq_adc_ann", "l2"),

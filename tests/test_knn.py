@@ -82,10 +82,14 @@ def test_similarity_search_unified_api(spark, sf_smoke):
 
 def test_similarity_search_recall_floor(spark, sf_smoke):
     """Every method reachable from similarity_search AT ITS DEFAULTS clears
-    recall@10 >= 0.7 vs exact kNN. The README's recall claim holds today only
+    recall@10 >= 0.75 vs exact kNN. The README's recall claim holds today only
     because the raw sign/ADC shortlists deploy through an exact re-rank; this
     sweep makes that mechanical, so a future default change can't silently
-    route callers onto a 0.2-recall shortlist path."""
+    route callers onto a 0.2-recall shortlist path. The floor carries
+    headroom by construction: the weakest methods at defaults measure
+    >= 0.82 on this data (sq8 0.824, lsh 0.841, ivf/ivf_sq8 0.876 after
+    the per-method probe-width defaults), so a dataset tweak shifts a
+    margin, not the gate."""
     from vectorsearch_with_hnsw_spark.operators.search import METHODS, similarity_search
     from vectorsearch_with_hnsw_spark.sources import load_table
 
@@ -110,7 +114,7 @@ def test_similarity_search_recall_floor(spark, sf_smoke):
             similarity_search(emb, q, method=method, k=10, metric="cosine", dim=64, num_partitions=2)
         )
         recall = sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / (10.0 * n_q)
-        if recall < 0.7:
+        if recall < 0.75:
             failures.append((method, round(recall, 3)))
     emb.unpersist()
-    assert not failures, f"methods below the 0.7 recall@10 floor at defaults: {failures}"
+    assert not failures, f"methods below the 0.75 recall@10 floor at defaults: {failures}"

@@ -181,3 +181,44 @@ def ivf_sq8_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "qdist2")
     )
+
+
+def ivf_sq8_refine_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 5,
+    expand: int = 10,
+) -> DataFrame:
+    """IVF-SQ8 shortlist + exact cosine re-rank — how the quantized scan
+    is actually deployed (same contract as binary_refine_knn /
+    pq_refine_knn: the coarse pass reads 4x fewer bytes over
+    n_probe/cells of the data; the full-precision reads are an
+    ``expand * k`` per-query constant). Recall within the probed cells
+    recovers the SQ8 ranking loss entirely — the residual miss is cell
+    coverage, the n_probe knob. Shortlist selection is deterministic
+    ((qdist2, neighbor_id) order), so the whole hybrid stays
+    DuckDB-oracle-checkable."""
+    from ..functions.vector import cosine_distance, to_vec
+    from .knn import topk_per_group
+
+    shortlist = ivf_sq8_knn(emb, queries, dim=dim, k=expand * k, n_probe=n_probe).select(
+        "query_id", "neighbor_id"
+    )
+    base = emb.select(F.col("vec_id").alias("neighbor_id"), to_vec("embedding").alias("_v"))
+    q = F.broadcast(
+        queries.select(F.col("query_id"), to_vec("query_vec").alias("_q"))
+    )
+    rescored = (
+        shortlist.join(base, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_distance(F.col("_v"), F.col("_q")).alias("dist"),
+        )
+    )
+    return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", F.col("rnk").cast("int").alias("rnk")
+    )

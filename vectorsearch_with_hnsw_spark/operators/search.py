@@ -12,7 +12,8 @@ operator signatures:
 | hnsw_rescored| = exact when shortlist covers top-k | probes + 4k·Q exact re-scores |
 | hnsw_routed  | ~0.93 at P=128 (worst case) | ~3·sqrt(P) cells probed — sublinear in P |
 | sq8          | high                  | full scan, 4x smaller codes    |
-| ivf_sq8      | medium-high           | cell-pruned quantized scan     |
+| ivf_sq8      | high (exact re-rank)  | cell-pruned quantized scan + expand·k reads |
+| ivf_sq8_refine| alias of above       | cell-pruned quantized scan + expand·k reads |
 | ivf          | high (probe-tuned)    | cell-pruned full vectors       |
 | ivf_kmeans   | high (trained)        | cell-pruned, kmeans-routed     |
 | lsh          | medium-high           | band-bucket joins only         |
@@ -28,12 +29,15 @@ Every method takes the same (base, queries) relations — base
 returns at least ``(query_id, neighbor_id, rnk)`` with a
 family-specific score column. Measured recalls on the synthetic
 testdata are published by bench.py (``extra.recall_*``); every method
-here clears recall@10 >= 0.7 at its defaults (ivf probe count and lsh
-band count tuned for that bar; the pq/binary names deploy their
-shortlist with the exact re-rank on top). The raw shortlist stages
-(Hamming sketch 0.21, ADC ~0.5 — candidate generators, not final
-rankings) stay reachable directly as ``operators.ann.binary_sign_knn``,
-``operators.pq.pq_adc_knn`` and ``operators.pq.ivf_pq_knn``.
+here clears recall@10 >= 0.8 at its defaults (per-method probe widths
+in ``_DEFAULT_PROBES``, lsh band count tuned for the bar; the
+pq/binary/ivf_sq8 names deploy their shortlist with the exact re-rank
+on top), and tests/test_knn.py gates the sweep at a 0.75 floor so the
+margin is mechanical. The raw shortlist stages (Hamming sketch 0.21,
+ADC ~0.5, SQ8-ranked probe — candidate generators, not final rankings)
+stay reachable directly as ``operators.ann.binary_sign_knn``,
+``operators.pq.pq_adc_knn``, ``operators.pq.ivf_pq_knn`` and
+``operators.quantize.ivf_sq8_knn``.
 """
 
 from __future__ import annotations
@@ -41,7 +45,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "ivf_sq8_refine", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
+
+# per-method probe widths when the caller leaves n_probe unset: the
+# label-routed families need 7 of the ~10 label cells to clear
+# recall@10 >= 0.8 at defaults on the worst-case gaussian testdata
+# (0.88 ivf / ~0.87 ivf_sq8 measured; the registry's oracle rows keep
+# their own explicit half-scan settings as the cost-profile exhibit);
+# the trained/quantized families were already >= 0.9 at 5.
+_DEFAULT_PROBES = {"ivf": 7, "ivf_sq8": 7, "ivf_sq8_refine": 7}
 
 
 def similarity_search(
@@ -51,7 +63,7 @@ def similarity_search(
     k: int = 10,
     metric: str = "l2",
     dim: int | None = None,
-    n_probe: int = 5,
+    n_probe: int | None = None,
     index=None,
     num_partitions: int = 4,
     ef: int | None = None,
@@ -68,6 +80,8 @@ def similarity_search(
     (hsnw_trial.py:88-89)."""
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+    if n_probe is None:
+        n_probe = _DEFAULT_PROBES.get(method, 5)
     if method == "exact":
         from .knn import knn_exact
 
@@ -88,10 +102,16 @@ def similarity_search(
         from .quantize import sq8_knn
 
         return sq8_knn(base, queries, k=k)
-    if method == "ivf_sq8":
-        from .quantize import ivf_sq8_knn
+    if method in ("ivf_sq8", "ivf_sq8_refine"):
+        # deployed form: quantized shortlist within the probed cells +
+        # exact re-rank (same contract as pq/binary — the raw
+        # SQ8-ranked probe stays reachable as
+        # operators.quantize.ivf_sq8_knn)
+        from .quantize import ivf_sq8_refine_knn
 
-        return ivf_sq8_knn(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
+        return ivf_sq8_refine_knn(
+            base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe
+        )
     if method == "pq":
         # deployed form: ADC shortlist + exact re-rank (raw ADC ranking
         # saturates at ~0.52 recall@10 on the testdata — it is the
