@@ -237,6 +237,34 @@ def _release_row_state(spark) -> tuple[int, int]:
     return residue, int(jsc.getPersistentRDDs().size())
 
 
+def _env_stats(spark) -> dict:
+    """Cheap per-row environment probe for the order-dependence
+    investigation: shuffle/disk-block bytes left on the local dirs, JVM
+    heap in use, and live persistent-RDD count. Forward-vs-reversed
+    divergence on clean-RDD rows must come from somewhere — these
+    series say whether it is disk-state growth, old-gen pressure, or
+    neither (pointing at scheduler/codegen warmth instead)."""
+    import glob
+
+    shuffle_bytes = 0
+    # local-mode block manager dirs live under java.io.tmpdir/blockmgr-*
+    # and the spark-* scratch dirs
+    for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
+        for root in glob.glob(pat):
+            for dirpath, _, files in os.walk(root):
+                for fn in files:
+                    try:
+                        shuffle_bytes += os.path.getsize(os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    return {
+        "disk_mb": round(shuffle_bytes / 1e6, 1),
+        "heap_mb": round((rt.totalMemory() - rt.freeMemory()) / 1e6, 1),
+        "rdds": int(spark.sparkContext._jsc.getPersistentRDDs().size()),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -267,6 +295,7 @@ def main() -> None:
 
     leaked_rows: list[str] = []
     row_residue: dict[str, int] = {}
+    row_env: dict[str, dict] = {}
     t_all = time.perf_counter()
     for name in order:
         nrows = 0
@@ -288,6 +317,7 @@ def main() -> None:
         best, spread2, _ = _min_of_reps(run_once)
         timings[name] = round(best, 3)
         spreads[name] = round(spread2, 3)
+        row_env[name] = _env_stats(spark)
         print(
             f"# {name}: {nrows} rows in {timings[name]}s (spread2 {spreads[name]})",
             file=sys.stderr,
@@ -602,17 +632,51 @@ def main() -> None:
     }
     full = dict(result)
     full["spreads"] = spreads  # per-row (2nd_fastest - fastest)/fastest
+    # per-row environment series (after the row's cleanup): disk blocks
+    # on the local dirs, JVM heap, live RDDs — the order-dependence
+    # attribution data (compare forward vs reversed at the same row)
+    full["row_env"] = row_env
     full["build_runs"] = [round(t, 3) for t in build_ts]
     full["build512_runs"] = [round(t, 3) for t in build512_ts]
     out_name = "BENCH_REVERSED.json" if reversed_order else "BENCH_FULL.json"
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               out_name), "w") as f:
+        with open(os.path.join(repo_dir, out_name), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout line still carries the summary
     print(json.dumps(result))
+    _commit_artifact(repo_dir, out_name)
     spark.stop()
+
+
+def _commit_artifact(repo_dir: str, out_name: str) -> None:
+    """Commit the refreshed artifact so bench history stays auditable
+    (every recorded run's full per-row JSON is a commit, not a
+    working-tree leftover at snapshot time). Best-effort: skipped
+    outside a writable git checkout or with SPARK_GRAFT_NO_COMMIT=1."""
+    if os.environ.get("SPARK_GRAFT_NO_COMMIT", "") == "1":
+        return
+    import subprocess
+
+    try:
+        changed = subprocess.run(
+            ["git", "-C", repo_dir, "status", "--porcelain", "--", out_name],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not changed:
+            return
+        subprocess.run(
+            ["git", "-C", repo_dir, "add", "--", out_name],
+            check=True, capture_output=True, timeout=30,
+        )
+        subprocess.run(
+            ["git", "-C", repo_dir, "commit", "-m", f"bench: refresh {out_name}",
+             "--", out_name],
+            check=True, capture_output=True, timeout=30,
+        )
+    except Exception:
+        pass  # not a repo / no identity / read-only: artifact still on disk
 
 
 if __name__ == "__main__":

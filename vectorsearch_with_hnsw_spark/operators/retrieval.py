@@ -201,6 +201,13 @@ def _knn_graph_hnsw(
     return g
 
 
+# budget for shipping the whole vector matrix to executors during the
+# stitch: below this the scorer is a zero-join map-side kernel; above
+# it, co-partitioned joins attach the vectors and the same kernel
+# scores the assembled pairs
+_STITCH_BCAST_BYTES = 256 * 1024 * 1024
+
+
 def _stitch_graph(
     g: DataFrame,
     base: DataFrame,
@@ -217,14 +224,121 @@ def _stitch_graph(
     v but found w ~ v, the w->v edge bridges them) — the standard
     repair pass for partitioned ANN graphs (SURVEY §7 risk 1).
 
-    Scale shape per round: two self-joins of the O(N*k) edge list (8-byte
-    keys), one join against the vector table for re-scoring (O(N*k^2)
-    candidate rows), one window. All co-partitioned shuffles on node
-    ids; localCheckpoint truncates the per-round lineage."""
-    from ..functions.vector import metric_expr, to_vec
+    Scoring is an Arrow kernel, BIT-IDENTICAL to the declarative fold
+    it replaced (per-dimension-ascending accumulation = the sequential
+    zip_with/aggregate fold; cosine keeps the three-rounding
+    1 - dot/(na*nb) shape and the zero-norm -> 1.0 guard). The old
+    shape evaluated an interpreted HOF fold per candidate — at 128k
+    nodes / k=5 that is ~13M candidates x dim lambda steps, the
+    dominant cost of the whole graph build (measured 536 s; the kernel
+    does the same arithmetic in vectorized batches).
 
-    dist = metric_expr(metric)
+    Scale shape per round: two self-joins of the O(N*k) edge list
+    (8-byte keys) generate candidates; when the vector matrix fits
+    ``_STITCH_BCAST_BYTES`` it broadcasts ONCE and candidates never
+    carry arrays through a shuffle (the kernel looks both endpoints up
+    by sorted-id binary search); above the budget the fallback is the
+    same two co-partitioned joins as before with the kernel scoring the
+    assembled pairs. localCheckpoint truncates the per-round lineage."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vector import to_vec
+    from ..sources.tables import spread
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"Unknown metric '{metric}'")
+    spark = base.sparkSession
     v = base.select(F.col(id_col).cast("long").alias("_vid"), to_vec(vec_col).alias("_v"))
+
+    def _pair_dists(S: "np.ndarray", D: "np.ndarray") -> "np.ndarray":
+        """Fold-exact metric over row-aligned pairs (n, dim) x (n, dim)."""
+        dim = S.shape[1]
+        if metric == "l2":
+            acc = np.zeros(len(S), dtype=np.float64)
+            for d0 in range(dim):
+                diff = S[:, d0] - D[:, d0]
+                acc += diff * diff
+            return np.sqrt(acc)
+        dot = np.zeros(len(S), dtype=np.float64)
+        s2 = np.zeros(len(S), dtype=np.float64)
+        d2 = np.zeros(len(S), dtype=np.float64)
+        for d0 in range(dim):
+            sd, dd = S[:, d0], D[:, d0]
+            dot += sd * dd
+            s2 += sd * sd
+            d2 += dd * dd
+        na, nb = np.sqrt(s2), np.sqrt(d2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 1.0 - dot / (na * nb)
+        return np.where((na == 0.0) | (nb == 0.0), 1.0, out)
+
+    first = v.select("_v").first()
+    dim = len(first[0]) if first is not None else 0
+    n_vec = v.count()
+    if n_vec * dim * 8 <= _STITCH_BCAST_BYTES:
+        rows = v.collect()
+        ids = np.array([r["_vid"] for r in rows], dtype=np.int64)
+        X = np.array([r["_v"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        bv = spark.sparkContext.broadcast((ids[order], X[order]))
+
+        def score(cand: DataFrame) -> DataFrame:
+            def kern(batches):
+                ids_v, Xv = bv.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    s = pdf["src_id"].to_numpy(dtype=np.int64)
+                    d = pdf["dst_id"].to_numpy(dtype=np.int64)
+                    si = np.searchsorted(ids_v, s)
+                    di = np.searchsorted(ids_v, d)
+                    if (ids_v[si] != s).any() or (ids_v[di] != d).any():
+                        raise ValueError(
+                            "stitch: candidate endpoint missing from the "
+                            "vector table (graph/base id mismatch)"
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "src_id": s,
+                            "dst_id": d,
+                            "dist": _pair_dists(Xv[si], Xv[di]),
+                        }
+                    )
+
+            return spread(cand).mapInPandas(
+                kern, "src_id long, dst_id long, dist double"
+            )
+
+    else:
+
+        def score(cand: DataFrame) -> DataFrame:
+            assembled = cand.join(
+                v.select(F.col("_vid").alias("src_id"), F.col("_v").alias("_sv")),
+                "src_id",
+            ).join(
+                v.select(F.col("_vid").alias("dst_id"), F.col("_v").alias("_dv")),
+                "dst_id",
+            )
+
+            def kern(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    S = np.array(list(pdf["_sv"]), dtype=np.float64)
+                    D = np.array(list(pdf["_dv"]), dtype=np.float64)
+                    yield pd.DataFrame(
+                        {
+                            "src_id": pdf["src_id"].to_numpy(dtype=np.int64),
+                            "dst_id": pdf["dst_id"].to_numpy(dtype=np.int64),
+                            "dist": _pair_dists(S, D),
+                        }
+                    )
+
+            return assembled.mapInPandas(
+                kern, "src_id long, dst_id long, dist double"
+            )
+
     g = g.select("src_id", "dst_id").localCheckpoint(eager=True)
     for _ in range(rounds):
         e = g.select("src_id", "dst_id")
@@ -241,13 +355,8 @@ def _stitch_graph(
             .filter(F.col("src_id") != F.col("dst_id"))
             .distinct()
         )
-        scored = (
-            cand.join(v.select(F.col("_vid").alias("src_id"), F.col("_v").alias("_sv")), "src_id")
-            .join(v.select(F.col("_vid").alias("dst_id"), F.col("_v").alias("_dv")), "dst_id")
-            .select("src_id", "dst_id", dist(F.col("_sv"), F.col("_dv")).alias("dist"))
-        )
         g = (
-            topk_per_group(scored, ["src_id"], ["dist", "dst_id"], k)
+            topk_per_group(score(cand), ["src_id"], ["dist", "dst_id"], k)
             .select("src_id", "dst_id", "dist", "rnk")
             .localCheckpoint(eager=True)
         )
