@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "training_shuffle",
     "range_search",
     "knn_graph",
+    "knn_graph_cluster",
     "bm25_doc_rank",
     "hybrid_search_rrf",
     "mmr_diversify",

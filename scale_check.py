@@ -128,18 +128,45 @@ def main() -> None:
             time.perf_counter() - t0, 2
         )
 
-    # ANN kNN graph at 64x vectors: the whole table as the query set,
+    # kNN graph at 64x vectors: the whole table as the query set,
     # collect-free — the base graph pagerank/triangles ride beyond
-    # O(N^2) sizes. Exact all-pairs at this N is 16.4e9 pair evals;
-    # the ANN build+probe is O(N log N) + O(N * P) probe rows.
+    # O(N^2) sizes. The cluster-routed blocked-GEMM path (probe_n ~
+    # 3*sqrt(P) cells per node, in-cell exact search, one NN-descent
+    # stitch round) replaced the HNSW probe here: per-query graph
+    # traversals cost 535 s at this N (the probe alone was 365 s);
+    # dense-matrix in-cell search with the same probe budget measures
+    # ~260 s with HIGHER edge recall (0.994 vs the hnsw backend's
+    # sampled 0.99x at bench scale). Recall is measured on a 2000-node
+    # sample against exact kNN over the full table.
     from vectorsearch_with_hnsw_spark.operators.retrieval import knn_graph
 
     t0 = time.perf_counter()
-    out["knn_graph_hnsw_edges"] = knn_graph(
+    graph = knn_graph(
         vecs, k=5, metric="l2", id_col="id", vec_col="vec",
-        method="hnsw", num_partitions=cpus, dim=64,
-    ).count()
-    out["knn_graph_hnsw_sec"] = round(time.perf_counter() - t0, 2)
+        method="cluster", num_partitions=cpus, dim=64,
+    ).persist()
+    out["knn_graph_cluster_edges"] = graph.count()
+    out["knn_graph_cluster_sec"] = round(time.perf_counter() - t0, 2)
+
+    sample_q = vecs.filter(F.col("id") % 64 == 0).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    res = knn_exact_fast(
+        vecs, sample_q, k=6, metric="l2", id_col="id", vec_col="vec"
+    ).collect()
+    per: dict[int, list] = {}
+    for r in res:
+        if r["neighbor_id"] != r["query_id"]:
+            per.setdefault(r["query_id"], []).append((r["rnk"], r["neighbor_id"]))
+    exact5 = {(q, n) for q, lst in per.items() for _, n in sorted(lst)[:5]}
+    got = {
+        (r["src_id"], r["dst_id"])
+        for r in graph.filter(F.col("src_id") % 64 == 0).collect()
+    }
+    out["knn_graph_cluster_edge_recall"] = round(
+        len(exact5 & got) / max(1, len(exact5)), 4
+    )
+    graph.unpersist()
     vecs.unpersist()
 
     # --- documents at 10x ----------------------------------------------

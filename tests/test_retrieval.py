@@ -95,6 +95,41 @@ def test_knn_graph_routed_backend(spark, sf_oracle):
     assert recall >= 0.9, f"routed graph recall {recall:.3f} vs exact"
 
 
+def test_knn_graph_cluster_backend(spark, sf_oracle):
+    """Cluster-routed blocked-GEMM backend (the whole-table scale path):
+    no self edges, exactly k out-edges per node, and — because the
+    default probe budget covers every cell at small P and the in-cell
+    search is exact with a fold-exact rescore — FULL agreement with the
+    exact oracle graph, distances included, at the test setting."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    exact = {(r.src_id, r.dst_id, r.dist) for r in knn_graph(emb, k=5, metric="l2").collect()}
+    got_rows = knn_graph(
+        emb, k=5, metric="l2", method="cluster", num_partitions=4
+    ).collect()
+    got = {(r.src_id, r.dst_id, r.dist) for r in got_rows}
+    assert all(s != d for s, d, _ in got), "no self edges"
+    from collections import Counter
+
+    deg = Counter(r.src_id for r in got_rows)
+    assert set(deg.values()) == {5} and len(deg) == n
+    assert got == exact  # bit-identical edges AND distances
+
+
+def test_knn_graph_cluster_cosine(spark, sf_oracle):
+    """Same contract under the cosine metric (the zero-norm-guarded
+    three-rounding fold)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {(r.src_id, r.dst_id, r.dist) for r in knn_graph(emb, k=3, metric="cosine").collect()}
+    got = {
+        (r.src_id, r.dst_id, r.dist)
+        for r in knn_graph(
+            emb, k=3, metric="cosine", method="cluster", num_partitions=4
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_knn_graph_unknown_method_raises(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="unknown knn_graph method"):

@@ -118,10 +118,23 @@ def knn_graph(
     Probe-all ``"hnsw"`` stays >= 0.97 edge recall on the gaussian
     sf0.1 testdata; centroid-routed query recall@10 measured 0.93 at
     P=128 / 0.97 at P=64 on 32k gaussian vectors (the LSH-ball layout
-    this replaced sat at 0.78 at P=128)."""
-    if method not in ("exact", "hnsw", "hnsw_routed"):
+    this replaced sat at 0.78 at P=128).
+
+    ``method="cluster"`` is the whole-table graph-construction scale
+    path: no per-query traversals at all — cluster-routed blocked-GEMM
+    exact search inside ~3*sqrt(P) probed cells per node plus the
+    NN-descent stitch (see _knn_graph_cluster). At 128k nodes it
+    measures ~260 s with 0.994 sampled edge recall where the HNSW
+    probe paths pay 365+ s in traversals alone."""
+    if method not in ("exact", "hnsw", "hnsw_routed", "cluster"):
         raise ValueError(
-            f"unknown knn_graph method {method!r}; expected 'exact', 'hnsw' or 'hnsw_routed'"
+            f"unknown knn_graph method {method!r}; expected 'exact', 'hnsw', "
+            "'hnsw_routed' or 'cluster'"
+        )
+    if method == "cluster":
+        return _knn_graph_cluster(
+            base, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+            num_partitions=num_partitions, dim=dim, stitch_rounds=stitch_rounds,
         )
     if method in ("hnsw", "hnsw_routed"):
         return _knn_graph_hnsw(
@@ -146,6 +159,199 @@ def knn_graph(
     return topk_per_group(pairs, ["src_id"], ["dist", "dst_id"], k).select(
         "src_id", "dst_id", "dist", "rnk"
     )
+
+
+def _knn_graph_cluster(
+    base: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    num_partitions: int,
+    dim: int | None,
+    stitch_rounds: int = 1,
+    assign_n: int = 2,
+    probe_n: int | None = None,
+) -> DataFrame:
+    """Whole-table kNN graph via cluster-routed blocked-GEMM exact
+    search + NN-descent stitch — the graph-construction scale path when
+    EVERY row is a query.
+
+    The HNSW-backed paths pay one sequential graph traversal per
+    (query, probed partition): with the whole table as the query set
+    that is N * P (probe-all) or N * ~3*sqrt(P) (routed) Python-side
+    searches — at 128k nodes the probe alone measured ~365 s. Graph
+    construction doesn't need per-query traversals: the routed layout's
+    own k-means cells hold members at SPANN-style ``assign_n``
+    multi-assignment, every node probes its ``probe_n`` (default
+    ~3*sqrt(P), the routed probe budget) nearest cells, and inside a
+    cell the (queries x members) search is ONE blocked GEMM with a
+    fold-exact rescore of the winners (the knn_exact_fast contract) —
+    dense-matrix arithmetic instead of 128k beam traversals.
+    ``stitch_rounds`` NN-descent passes then repair the cross-cell
+    residue through the graph itself.
+
+    Cost shape at fixed cell size c = N/P (the routed layout's own
+    growth rule): per-cell GEMM is (probe_n*c) x (assign_n*c) x dim,
+    so total work grows as N * sqrt(P) * c * dim — the same sublinear
+    probe asymptotics as the routed HNSW query, with BLAS constants.
+    Recall >= the routed probe at equal budget (in-cell search is
+    exact, not a traversal). Distances on surviving edges are
+    fold-exact: the local kernel rescores winners and every stitch
+    round rescores its candidates with the canonical sequential fold."""
+    import numpy as np
+    import pandas as pd
+
+    from ..index.routed import _nearest_cells, _train_centroids, default_n_probe
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"Unknown metric '{metric}'")
+    src = base.select(
+        F.col(id_col).cast("long").alias("id"), to_vec(vec_col).alias("vec")
+    )
+    if dim is None:
+        first = src.select("vec").first()
+        if first is None:
+            raise ValueError("knn_graph: empty input")
+        dim = len(first[0])
+    if probe_n is None:
+        probe_n = default_n_probe(num_partitions)
+    C = _train_centroids(src, num_partitions, "id", "vec", dim=dim)
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    # float64 assignment projections (the index layout's float32 copy
+    # would poison the fold-exact rescore downstream): members go to
+    # their assign_n nearest cells, queries to their probe_n nearest
+    def assign(n_cells: int, flag: bool):
+        def gen(it):
+            Cv = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"]), dtype=np.float64)
+                cells = _nearest_cells(X, Cv, n_cells)
+                n_rep = cells.shape[1] if cells.size else 0
+                if n_rep == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf["id"].to_numpy(dtype=np.int64), n_rep),
+                        "vec": np.repeat(pdf["vec"].to_numpy(), n_rep),
+                        "partition": cells.reshape(-1),
+                        "is_query": np.full(len(cells) * n_rep, flag),
+                    }
+                )
+
+        return gen
+
+    from ..sources.tables import spread
+
+    schema = "id long, vec array<double>, partition int, is_query boolean"
+    members = spread(src).mapInPandas(assign(assign_n, False), schema)
+    queries = spread(src).mapInPandas(assign(min(probe_n, num_partitions), True), schema)
+    tagged = members.unionByName(queries)
+
+    kk = k + 1  # ask for one extra slot so dropping self keeps k
+
+    def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src_id": pd.Series(dtype="int64"),
+             "dst_id": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="float64")}
+        )
+        is_q = pdf["is_query"].to_numpy(dtype=bool)
+        mids = pdf["id"].to_numpy(dtype=np.int64)[~is_q]
+        if len(mids) == 0 or is_q.sum() == 0:
+            return empty
+        M = np.array(list(pdf["vec"][~is_q]), dtype=np.float64)
+        qids = pdf["id"].to_numpy(dtype=np.int64)[is_q]
+        Q = np.array(list(pdf["vec"][is_q]), dtype=np.float64)
+        m = len(mids)
+        m2 = (M * M).sum(axis=1)
+        if metric == "cosine":
+            mn = np.sqrt(m2)
+        # widest sel: kk + assign_n covers self appearing once per copy
+        s_w = min(kk + assign_n, m)
+        out_s, out_d, out_dist = [], [], []
+        block = max(1, min(4096, (64 << 20) // (m * 8)))  # <=64MB fast block
+        for lo in range(0, len(qids), block):
+            hi = min(lo + block, len(qids))
+            Qb = Q[lo:hi]
+            G = Qb @ M.T
+            if metric == "l2":
+                d2 = (Qb * Qb).sum(axis=1)[:, None] - 2.0 * G + m2[None, :]
+                fast = np.sqrt(np.maximum(d2, 0.0))
+            else:
+                denom = np.sqrt((Qb * Qb).sum(axis=1))[:, None] * mn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    fast = 1.0 - G / denom
+                fast = np.where(denom == 0.0, 1.0, fast)
+            b = hi - lo
+            if s_w < m:
+                part = np.argpartition(fast, s_w - 1, axis=1)[:, :s_w]
+            else:
+                part = np.broadcast_to(np.arange(m), (b, m)).copy()
+            pdist = np.take_along_axis(fast, part, axis=1)
+            pids = mids[part]
+            order = np.lexsort((pids, pdist), axis=1)
+            part = np.take_along_axis(part, order, axis=1)
+            # fold-exact rescore of the selected candidates, batched:
+            # accumulate one dimension at a time ascending (the
+            # sequential fold), matching knn_exact_fast._exact_fold
+            R = M[part]  # (b, s, dim)
+            if metric == "l2":
+                acc = np.zeros(part.shape, dtype=np.float64)
+                for d0 in range(dim):
+                    diff = R[:, :, d0] - Qb[:, d0][:, None]
+                    acc += diff * diff
+                dex = np.sqrt(acc)
+            else:
+                dot = np.zeros(part.shape, dtype=np.float64)
+                x2 = np.zeros(part.shape, dtype=np.float64)
+                q2 = np.zeros(b, dtype=np.float64)
+                for d0 in range(dim):
+                    xd = R[:, :, d0]
+                    dot += xd * Qb[:, d0][:, None]
+                    x2 += xd * xd
+                    q2 += Qb[:, d0] * Qb[:, d0]
+                na = np.sqrt(x2)
+                nb = np.sqrt(q2)[:, None]
+                den = na * nb
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dex = 1.0 - dot / den
+                dex = np.where(den == 0.0, 1.0, dex)
+            sel_ids = mids[part]
+            keep = sel_ids != qids[lo:hi][:, None]  # drop self (all copies)
+            # cap at kk kept per row
+            rank_in_row = keep.cumsum(axis=1)
+            keep &= rank_in_row <= kk
+            rows = np.repeat(qids[lo:hi], keep.sum(axis=1))
+            out_s.append(rows)
+            out_d.append(sel_ids[keep])
+            out_dist.append(dex[keep])
+        if not out_s:
+            return empty
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(out_s),
+                "dst_id": np.concatenate(out_d),
+                "dist": np.concatenate(out_dist),
+            }
+        )
+
+    local = tagged.groupBy("partition").applyInPandas(
+        local_knn, "src_id long, dst_id long, dist double"
+    )
+    # multi-assignment surfaces the same pair from several cells with
+    # identical fold-exact dist; keep one before ranking
+    local = local.dropDuplicates(["src_id", "dst_id"])
+    g = topk_per_group(local, ["src_id"], ["dist", "dst_id"], k).select(
+        "src_id", "dst_id", "dist", "rnk"
+    )
+    if stitch_rounds > 0:
+        g = _stitch_graph(g, base, k, metric, id_col, vec_col, stitch_rounds)
+    return g
 
 
 def _knn_graph_hnsw(
