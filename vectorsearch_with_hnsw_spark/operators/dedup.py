@@ -101,13 +101,24 @@ def ngram_jaccard_pairs(
         import math
 
         cap = int(math.floor(max_df_frac * docs.count()))
-        hot = (
+        # the hot set is bounded by construction (each hot shingle has
+        # > cap rows, so there are at most total_rows/cap of them) —
+        # COLLECT it so the df aggregation runs once, not once per
+        # consumer of the capped relation (Spark does not CSE the
+        # subtree across the three consumers below; measured 3 extra
+        # full agg passes without this)
+        hot_rows = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > cap)
             .select("shingle")
+            .collect()
         )
-        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        if hot_rows:
+            hot = docs.sparkSession.createDataFrame(hot_rows, "shingle long")
+            kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        else:
+            kept = sh
     else:
         kept = sh
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
