@@ -140,13 +140,24 @@ def main() -> None:
     # sample against exact kNN over the full table.
     from vectorsearch_with_hnsw_spark.operators.retrieval import knn_graph
 
-    t0 = time.perf_counter()
-    graph = knn_graph(
-        vecs, k=5, metric="l2", id_col="id", vec_col="vec",
-        method="cluster", num_partitions=cpus, dim=64,
-    ).persist()
-    out["knn_graph_cluster_edges"] = graph.count()
-    out["knn_graph_cluster_sec"] = round(time.perf_counter() - t0, 2)
+    # min-of-2 like bench.py's min-of-reps: this host's run-to-run
+    # envelope on multi-minute computations is ~1.3-1.7x (see
+    # ORDERPROBE*.json — time-correlated host variance), and a single
+    # draw of a 4-minute phase is noise-dominated
+    graph = None
+    g_times = []
+    for _ in range(2):
+        if graph is not None:
+            graph.unpersist()
+        t0 = time.perf_counter()
+        graph = knn_graph(
+            vecs, k=5, metric="l2", id_col="id", vec_col="vec",
+            method="cluster", num_partitions=cpus, dim=64,
+        ).persist()
+        out["knn_graph_cluster_edges"] = graph.count()
+        g_times.append(round(time.perf_counter() - t0, 2))
+    out["knn_graph_cluster_sec"] = min(g_times)
+    out["knn_graph_cluster_runs"] = g_times
 
     sample_q = vecs.filter(F.col("id") % 64 == 0).select(
         F.col("id").alias("query_id"), F.col("vec").alias("query_vec")
