@@ -413,6 +413,69 @@ def approx_top_tokens_guarantee(
     return guaranteed.join(summary, "token", "semi").select("token", "n_occurrences")
 
 
+def approx_top_tokens_verified(
+    docs: DataFrame, k: int = 10, capacity: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Sketch-pruned EXACT heavy hitters — the production two-pass shape:
+    pass 1 builds the mergeable Misra-Gries summary (fixed memory,
+    ``capacity`` counters per partition, at most ``capacity`` rows per
+    partition into one shuffle); pass 2 exact-counts ONLY the summary's
+    survivor tokens (broadcast semi-join, so the group-by state is
+    bounded by the candidate set, never the vocabulary) and keeps tokens
+    whose exact count clears the guarantee threshold
+    ``count * (capacity+1) > total_tokens``. Because every such token is
+    guaranteed to survive the sketch (MG theorem), the output is the
+    DETERMINISTIC strict-heavy-hitter set with exact counts — top ``k``
+    by (count desc, token) — hash-checkable against an exact SQL oracle,
+    while the scan-side memory stays O(capacity) whatever the vocabulary.
+
+    This is the oracle-backed face of ``approx_top_tokens`` (whose raw
+    estimates stay partition-order dependent): same sketch, plus the
+    verify pass a real pipeline runs before acting on a heavy-hitter
+    list. Derives from the reference's exact top-token reporting
+    (README.md feature list); scale shape is ours."""
+    import pandas as pd
+
+    from ..functions.text import tokens as _tokens
+
+    toks = spread(docs).select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+
+    def prune(counters: dict, cap: int) -> dict:
+        if len(counters) <= cap:
+            return counters
+        by_wt = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        cut = by_wt[cap][1]
+        return {t: w - cut for t, w in by_wt[:cap] if w - cut > 0}
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            counters = prune(counters, capacity)
+        yield pd.DataFrame({"token": list(counters)})
+
+    # candidate set: <= capacity rows per partition, deduped — bounded by
+    # capacity * P regardless of vocabulary size, so broadcast is safe
+    candidates = toks.mapInPandas(mg, "token string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * F.lit(capacity + 1) > F.col("_total"))
+        .select("token", "n_occurrences")
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )
+
+
 def doc_len_outliers(docs: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Length outliers by z-score, with mean/std derived from EXACT
     integer moment sums (n, Σx, Σx²) so the result is engine-independent:
