@@ -217,7 +217,7 @@ def main() -> None:
     t0 = time.perf_counter()
     out["semantic_neardup_pairs"] = D.semantic_neardup_pairs(big_docs).count()
     out["semantic_neardup_sec"] = round(time.perf_counter() - t0, 2)
-    hv = hashed_doc_vectors(big_docs, 64)
+    hv = hashed_doc_vectors(big_docs, 64).persist()
     bucket_sizes = (
         hv.select(lsh_band_bucket(F.col("vec"), 64, 0, 4).alias("bucket"))
         .groupBy("bucket")
@@ -225,8 +225,42 @@ def main() -> None:
         .agg(F.max("n").alias("max_n"))
         .collect()[0]
     )
-    out["semantic_neardup_max_block"] = int(bucket_sizes["max_n"])
-    out["semantic_neardup_max_block_frac"] = round(bucket_sizes["max_n"] / n_docs, 4)
+    # raw band-0 bucket skew = the INPUT degeneracy (one 4-bit bucket
+    # held 44% of this corpus in r8) ...
+    out["semantic_neardup_max_raw_block"] = int(bucket_sizes["max_n"])
+    out["semantic_neardup_max_raw_block_frac"] = round(bucket_sizes["max_n"] / n_docs, 4)
+    # ... and the post-split bound the kernel actually sees: hot blocks
+    # are recursively sub-split by fresh hyperplane bits
+    # (ann.banded_bucket_frame_split), so only byte-identical vector
+    # groups can exceed the cap
+    from vectorsearch_with_hnsw_spark.operators.ann import banded_bucket_frame_split
+
+    split_max = (
+        banded_bucket_frame_split(hv, "vec", 64, 8, 4)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"))
+        .collect()[0]
+    )
+    out["semantic_neardup_max_final_block"] = int(split_max["max_n"])
+    out["semantic_neardup_max_final_block_frac"] = round(split_max["max_n"] / n_docs, 4)
+    hv.unpersist()
+
+    # curation chain end-to-end at 10x docs (VERDICT r8 #6): the whole
+    # score -> gate -> dedup -> sample -> chunk -> pack plan, with its
+    # exchange count as the plan-shape evidence (the shuffle ledger in
+    # the docstring, counted from the optimized physical plan)
+    from vectorsearch_with_hnsw_spark.operators.pipeline import pretrain_sequences
+
+    seq = pretrain_sequences(big_docs)
+    plan = seq._jdf.queryExecution().executedPlan().toString()
+    out["pretrain_sequences_exchanges"] = plan.count("Exchange")
+    t0 = time.perf_counter()
+    out["pretrain_sequences_rows"] = seq.count()
+    out["pretrain_sequences_sec"] = round(time.perf_counter() - t0, 2)
+    out["pretrain_sequences_docs_per_sec"] = round(
+        n_docs / max(out["pretrain_sequences_sec"], 1e-9), 1
+    )
 
     # hot-shingle skew guard (ngram_jaccard_pairs max_df cap): prepend
     # the SAME boilerplate header to every document — the 100 TB
@@ -266,7 +300,9 @@ def main() -> None:
     out["ngram_boiler_join_rows_capped"] = int(st["capped"])
     out["ngram_boiler_hot_shingles"] = int(st["hot"])
     t0 = time.perf_counter()
-    out["ngram_boiler_pairs"] = D.ngram_jaccard_pairs(boiler).count()
+    # explicit cap: the library default is None (uncapped true Jaccard);
+    # this phase exists to measure the capped production shape
+    out["ngram_boiler_pairs"] = D.ngram_jaccard_pairs(boiler, max_df_frac=0.5).count()
     out["ngram_boiler_sec"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(out))

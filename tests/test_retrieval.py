@@ -617,3 +617,25 @@ def test_label_vote_null_prediction_and_null_label_never_correct(spark):
     assert got[0]["correct"] is True
     assert got[2]["predicted_label"] is not None
     assert got[2]["correct"] is False, "null true label must not score correct"
+
+
+def test_ivf_pq_lut_chunk_invariance(spark, sf_smoke):
+    """The kernel-side LUT build (bounded executor temp, no driver
+    tensor) is bit-invariant to the chunk size: a large query batch
+    probed with a tiny lut_chunk (many slices per cell) returns exactly
+    the rows of the default single-slice run — same ids, same ranks,
+    same adc_d2 bits."""
+    from vectorsearch_with_hnsw_spark.operators.pq import ivf_pq_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=60)  # 60 queries x n_probe probes >> chunk
+    kwargs = dict(dim=64, m=8, k=5, n_probe=3, n_cells=8, iters=2)
+    base = {
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in ivf_pq_knn(emb, q, **kwargs).collect()
+    }
+    tiny = {
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in ivf_pq_knn(emb, q, lut_chunk=3, **kwargs).collect()
+    }
+    assert base == tiny and len(base) > 0

@@ -59,7 +59,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.2,
-    max_df_frac: float | None = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -80,7 +80,12 @@ def ngram_jaccard_pairs(
     union). The hot set is bounded by construction: each hot shingle
     has > max_df_frac*n rows, so there are at most
     avg_shingles_per_doc / max_df_frac of them — a broadcastable
-    anti-join side at any corpus size. ``None`` disables the cap.
+    anti-join side at any corpus size. ``None`` (the default) disables
+    the cap: capping is OPT-IN because it carries a blind spot — a
+    document duplicated across more than ``max_df_frac`` of the corpus
+    (the canonical mass-duplication target) has ALL its shingles
+    dropped and yields zero pairs, silently. When the cap is on and
+    fires, a one-line warning names how many shingles were dropped.
     Mirrored bit-for-bit in the DuckDB oracle (same floor(frac * count)
     cap, same <= keep rule).
 
@@ -115,6 +120,15 @@ def ngram_jaccard_pairs(
             .collect()
         )
         if hot_rows:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard_pairs: max_df_frac={max_df_frac} dropped "
+                f"{len(hot_rows)} hot shingle(s) (df > {cap}); documents "
+                "duplicated across more than that fraction of the corpus "
+                "cannot pair",
+                stacklevel=2,
+            )
             hot = docs.sparkSession.createDataFrame(hot_rows, "shingle long")
             kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
         else:
@@ -822,6 +836,8 @@ def semantic_neardup_pairs(
     planes_per_band: int = 4,
     chunk: int = 4096,
     n_salt: int = 4,
+    block_cap: int = 256,
+    extra_bits: int = 6,
 ) -> DataFrame:
     """Model-free semantic near-dup: cosine pairs over the feature-hashed
     document vectors (textpipe.hashed_doc_vectors), blocked by banded
@@ -832,15 +848,25 @@ def semantic_neardup_pairs(
 
     Scale shape: each doc lands in ``bands`` buckets (disjoint plane
     sets); per-(band, bucket) groups run the exact pair kernel, then
-    pairs found in several bands dedup to one row. No data-dependent
-    degenerate block (the previous per-language blocking put an entire
-    language — most of a real corpus — in ONE task); bucket population
-    is ~n / 2^planes_per_band per band, and the kernel's candidate mask
-    is computed in row chunks of ``chunk`` so per-task temp memory is
-    O(chunk * block) regardless of block size. For a pair with
-    per-plane collision prob p (= 1 - theta/pi), miss prob is
+    pairs found in several bands dedup to one row. Blocks are
+    SIZE-BOUNDED: any (band, bucket) holding more than ``block_cap``
+    rows is recursively sub-split by ``extra_bits`` fresh hyperplane
+    bits (two levels, ~4096x shrink — see
+    ann.banded_bucket_frame_split), so a duplicate-heavy corpus cannot
+    put O(corpus) rows into one block and the within-block pair join
+    stays O(cap * n), never O(block^2) (previously measured: one
+    bucket held 44% of a 50k-doc corpus -> 145M candidate pairs; only
+    byte-identical vectors — genuine duplicate clusters whose pairs ARE
+    the output — can still exceed the cap, and those are salted). The
+    kernel's candidate mask is computed in row chunks of ``chunk`` so
+    per-task temp memory is O(chunk * block) regardless. For a pair
+    with per-plane collision prob p (= 1 - theta/pi), miss prob is
     (1 - p^planes_per_band)^bands — at threshold 0.8 and the 4x8
-    default, ~1.7% miss.
+    default, ~1.7% miss in cold blocks; pairs inside hot blocks must
+    also agree on the extra planes (near-exact duplicates keep >99%
+    per-band collision, threshold-grade pairs are attenuated — the
+    standard LSH price of bounding block size, mirrored exactly in the
+    oracle).
 
     All-pairs dots within a block are vectorized-but-bit-exact: a GEMM
     candidate mask (1e-9 slack, lossless for unit vectors), then exact
@@ -865,11 +891,17 @@ def semantic_neardup_pairs(
     is now O(n_salt^2) tasks with the same total work. Measured at
     sf0.1 (1.45M pairs from 5k near-identical docs): 8.9s -> ~3.5s
     min-of-3."""
-    from .ann import banded_bucket_frame_fast
+    from ..cache import persist_tracked
+    from .ann import banded_bucket_frame_split
     from .textpipe import hashed_doc_vectors
 
-    vecs = hashed_doc_vectors(docs, dim)
-    banded = banded_bucket_frame_fast(vecs, "vec", dim, bands, planes_per_band)
+    # persisted: the splitter's hotness census and the final bucket pass
+    # both scan the vectors; without the persist the corpus tokenizes
+    # twice (Spark does not CSE across jobs)
+    vecs = persist_tracked(hashed_doc_vectors(docs, dim))
+    banded = banded_bucket_frame_split(
+        vecs, "vec", dim, bands, planes_per_band, extra_bits=extra_bits, cap=block_cap
+    )
     # salt grid: doc in sub-group g joins every task (min(g,h), max(g,h))
     # — each unordered sub-group pair meets in exactly one task, so each
     # candidate pair is still examined exactly once

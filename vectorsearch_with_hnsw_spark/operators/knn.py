@@ -94,6 +94,14 @@ def knn_exact_fast(
     """Vectorized exact kNN: per-partition BLAS candidate selection with
     an IN-KERNEL fold-exact rescore, then ONE global top-k window.
 
+    Query-batch bound: the query side is COLLECTED and broadcast
+    (|queries| x dim doubles on the driver and per executor) — right
+    for bounded probe batches (the reference's interactive use), wrong
+    for query tables that rival the corpus; for those use the
+    collect-free ``knn_hnsw_distributed`` (index/query.py) or the
+    declarative ``knn_exact``, whose join shuffles instead of
+    broadcasting.
+
     Candidates are picked per Arrow batch with the fast algebraic form
     (|x-q|^2 = |x|^2 - 2 x.q + |q|^2, one GEMM), then the kept k-per-
     query rows are rescored inside the kernel by accumulating the

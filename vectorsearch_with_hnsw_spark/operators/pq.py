@@ -275,6 +275,7 @@ def ivf_pq_knn(
     n_anchors: int = NUM_ANCHORS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lut_chunk: int = 4096,
 ) -> DataFrame:
     """IVF-PQ with residual encoding — the FAISS ``IndexIVFPQ`` scheme
     and the canonical billion-scale layout: a trained coarse quantizer
@@ -299,7 +300,10 @@ def ivf_pq_knn(
     codes, cents, _, cb_np, cached = _ivf_pq_build(
         emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
     )
-    out = _ivf_pq_score(codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe)
+    out = _ivf_pq_score(
+        codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
+        lut_chunk=lut_chunk,
+    )
     # one-shot contract: leak nothing into the CacheManager. The scoring
     # plan reads codes (and hence the assignment) exactly once, so the
     # consumer's action re-runs the assign kernel once instead of
@@ -364,6 +368,7 @@ def _ivf_pq_score(
     m: int,
     k: int,
     n_probe: int,
+    lut_chunk: int = 4096,
 ) -> DataFrame:
     """Residual-ADC top-k over an existing (vec_id, cell, code) table —
     the probe half of IVF-PQ, shared verbatim by the one-shot
@@ -376,12 +381,20 @@ def _ivf_pq_score(
     order (the exact _sub_d2 fold), and the per-candidate ADC sum
     adds LUT entries in subspace-ascending order (the exact aggregate
     fold). The probe set is a bounded query batch (same contract as
-    the broadcast join this replaces), so the LUT is built ONCE on
-    the driver (|probes| x m x C doubles, ~13 MB at defaults) and
-    broadcast; the codes table never shuffles — the only exchange
-    stays the final per-query top-k. The codes scan is filtered to the
-    UNION of probed cells before the kernel (values unchanged — the
-    kernel emits nothing for unprobed cells), so a codes table written
+    the broadcast join this replaced; for unbounded query streams use
+    the distributed exact/HNSW paths) — the broadcast carries only the
+    probes' RESIDUAL vectors (|probes| x dim doubles, m*C/dim = ~64x
+    smaller than the LUT tensor a previous version built on the
+    driver: at a 1M-query batch that tensor was ~80 GB of driver
+    memory, the residuals are ~2 GB). LUTs are built INSIDE the kernel
+    per probed cell in ``lut_chunk``-row slices, so executor temp
+    memory is O(lut_chunk * m * C) however large the batch, and the
+    extra arithmetic is the same per-(probe, codeword) subtract-square
+    the driver paid once — now paid once per task that actually holds
+    the cell. The codes table never shuffles — the only exchange stays
+    the final per-query top-k. The codes scan is filtered to the UNION
+    of probed cells before the kernel (values unchanged — the kernel
+    emits nothing for unprobed cells), so a codes table written
     partitioned by cell is read partition-pruned: a probe touches
     n_probe/n_cells of the data at rest."""
     from .ivf import _l2sq
@@ -415,16 +428,11 @@ def _ivf_pq_score(
     p_qids = np.array([r["query_id"] for r in probe_rows], dtype=np.int64)
     p_cells = np.array([r["cell"] for r in probe_rows], dtype=np.int64)
     QR = np.array([r["qr"] for r in probe_rows], dtype=np.float64)
-    lut_np = np.zeros((len(probe_rows), m, n_codewords), dtype=np.float64)
-    for s in range(m):
-        for d0 in range(d):
-            diff = QR[:, s * d + d0][:, None] - cb_np[s][None, :, d0]
-            lut_np[:, s, :] += diff * diff
     spark_ = queries.sparkSession
-    blut = spark_.sparkContext.broadcast((p_qids, p_cells, lut_np))
+    blut = spark_.sparkContext.broadcast((p_qids, p_cells, QR, cb_np))
 
     def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_v, cells_v, lut_v = blut.value
+        qids_v, cells_v, qr_v, cb = blut.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -439,19 +447,32 @@ def _ivf_pq_score(
                 nm = ccells == cell
                 sub_codes = cmat[nm]
                 sub_vids = vids[nm]
-                sub_lut = lut_v[pm]  # (Pc, m, C)
-                adc = np.zeros((len(sub_lut), len(sub_codes)), dtype=np.float64)
-                for s in range(m):
-                    adc += sub_lut[:, s, :][:, sub_codes[:, s]]
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(qids_v[pm], len(sub_codes)),
-                            "neighbor_id": np.tile(sub_vids, pm.sum()),
-                            "adc_d2": adc.reshape(-1),
-                        }
+                qr_c = qr_v[pm]  # (Pc, dim) residuals, not LUTs
+                qid_c = qids_v[pm]
+                # LUT built here, in lut_chunk probe slices: temp is
+                # O(lut_chunk * m * C) whatever the query batch size,
+                # and the (qr - cb)^2 sub-fold keeps the exact
+                # d0-ascending accumulation order of the driver build
+                # it replaces (bit-identical ADC sums)
+                for c0 in range(0, len(qr_c), lut_chunk):
+                    c1 = min(c0 + lut_chunk, len(qr_c))
+                    sub_lut = np.zeros((c1 - c0, m, n_codewords), dtype=np.float64)
+                    for s in range(m):
+                        for d0 in range(d):
+                            diff = qr_c[c0:c1, s * d + d0][:, None] - cb[s][None, :, d0]
+                            sub_lut[:, s, :] += diff * diff
+                    adc = np.zeros((c1 - c0, len(sub_codes)), dtype=np.float64)
+                    for s in range(m):
+                        adc += sub_lut[:, s, :][:, sub_codes[:, s]]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(qid_c[c0:c1], len(sub_codes)),
+                                "neighbor_id": np.tile(sub_vids, c1 - c0),
+                                "adc_d2": adc.reshape(-1),
+                            }
+                        )
                     )
-                )
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
@@ -697,7 +718,9 @@ class IvfPqIndex:
         cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)
         return cls(codes, cents, cb, cb_np, int(meta["dim"]), int(meta["m"]))
 
-    def search(self, queries: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int = 10, n_probe: int = 4, lut_chunk: int = 4096
+    ) -> DataFrame:
         """Residual-ADC top-k over the stored codes (no training, no
         encode pass; the codes scan prunes to the probed cells)."""
         return _ivf_pq_score(
@@ -709,4 +732,5 @@ class IvfPqIndex:
             m=self.m,
             k=k,
             n_probe=n_probe,
+            lut_chunk=lut_chunk,
         )

@@ -190,6 +190,7 @@ def ivf_sq8_refine_knn(
     k: int = 10,
     n_probe: int = 5,
     expand: int = 10,
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF-SQ8 shortlist + exact cosine re-rank — how the quantized scan
     is actually deployed (same contract as binary_refine_knn /
@@ -199,9 +200,16 @@ def ivf_sq8_refine_knn(
     recovers the SQ8 ranking loss entirely — the residual miss is cell
     coverage, the n_probe knob. Shortlist selection is deterministic
     ((qdist2, neighbor_id) order), so the whole hybrid stays
-    DuckDB-oracle-checkable."""
-    from ..functions.vector import cosine_distance, to_vec
+    DuckDB-oracle-checkable. ``metric`` picks the RE-RANK distance
+    (cosine or l2); the coarse SQ8 shortlist ranks by integer L2
+    either way — it is the pruning stage, and the kept rows are
+    rescored exactly in the caller's metric."""
+    from ..functions.vector import cosine_distance, l2_distance, to_vec
     from .knn import topk_per_group
+
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unsupported metric {metric!r}; expected cosine or l2")
+    dist_fn = cosine_distance if metric == "cosine" else l2_distance
 
     shortlist = ivf_sq8_knn(emb, queries, dim=dim, k=expand * k, n_probe=n_probe).select(
         "query_id", "neighbor_id"
@@ -216,7 +224,7 @@ def ivf_sq8_refine_knn(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_distance(F.col("_v"), F.col("_q")).alias("dist"),
+            dist_fn(F.col("_v"), F.col("_q")).alias("dist"),
         )
     )
     return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(

@@ -499,7 +499,18 @@ def _stitch_graph(
                     d = pdf["dst_id"].to_numpy(dtype=np.int64)
                     si = np.searchsorted(ids_v, s)
                     di = np.searchsorted(ids_v, d)
-                    if (ids_v[si] != s).any() or (ids_v[di] != d).any():
+                    # clamp before the equality check: an id greater
+                    # than every vector id makes searchsorted return
+                    # len(ids_v), and the intended descriptive error
+                    # would otherwise surface as an opaque IndexError
+                    last = len(ids_v) - 1
+                    miss = (
+                        (si > last)
+                        | (di > last)
+                        | (ids_v[np.minimum(si, last)] != s)
+                        | (ids_v[np.minimum(di, last)] != d)
+                    )
+                    if miss.any():
                         raise ValueError(
                             "stitch: candidate endpoint missing from the "
                             "vector table (graph/base id mismatch)"

@@ -110,7 +110,7 @@ def similarity_search(
         from .quantize import ivf_sq8_refine_knn
 
         return ivf_sq8_refine_knn(
-            base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe
+            base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe, metric=metric
         )
     if method == "pq":
         # deployed form: ADC shortlist + exact re-rank (raw ADC ranking
