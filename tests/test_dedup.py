@@ -267,3 +267,40 @@ def test_semantic_neardup_negative_ids_not_dropped(spark):
         for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5, n_salt=4).collect()
     }
     assert out[(-3, 5)] == 1.0, f"negative-id pair dropped: {out}"
+
+
+def test_banded_split_bounds_hot_blocks(spark, sf_smoke):
+    """A duplicate-heavy corpus (every doc a near-copy of one template)
+    puts ~everything in one raw LSH bucket; the size-bounded splitter
+    must sub-split it so no final (band, bucket) block exceeds the cap
+    unless its members are byte-identical vectors — and exact-duplicate
+    pairs must still collide in every band (their extra bits are equal
+    by construction)."""
+    from vectorsearch_with_hnsw_spark.operators.ann import banded_bucket_frame_split
+    from vectorsearch_with_hnsw_spark.operators.textpipe import hashed_doc_vectors
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    # 10 copies of each doc with tiny suffix edits: correlated but
+    # DISTINCT vectors -> one dominant raw bucket the splitter can cut
+    big = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 100 + F.col("_c")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix"), F.col("_c").cast("string")).alias("text"),
+    )
+    vecs = hashed_doc_vectors(big, 64)
+    cap = 64
+    blocks = (
+        banded_bucket_frame_split(vecs, "vec", 64, 8, 4, extra_bits=6, cap=cap)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert max(r["n"] for r in blocks) <= cap
+
+    # byte-identical duplicates always pair, split or not
+    ident = docs.limit(5).crossJoin(
+        spark.range(2).select(F.col("id").alias("_c"))
+    ).select((F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"), "text")
+    pairs = D.semantic_neardup_pairs(ident, dim=64, threshold=0.99, block_cap=4)
+    assert pairs.count() >= 5  # each of the 5 identical twins pairs

@@ -639,3 +639,27 @@ def test_ivf_pq_lut_chunk_invariance(spark, sf_smoke):
         for r in ivf_pq_knn(emb, q, lut_chunk=3, **kwargs).collect()
     }
     assert base == tiny and len(base) > 0
+
+
+def test_cluster_graph_bcast_equals_shuffle_path(spark, sf_smoke, monkeypatch):
+    """The broadcast-members fast path of knn_graph(method='cluster')
+    must return exactly the shuffle path's rows (ids, ranks, distance
+    bits): both select the same s_w fast window per probed cell and
+    rescore with the same fold, so the outputs are bit-identical."""
+    import vectorsearch_with_hnsw_spark.operators.retrieval as R
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    kwargs = dict(
+        k=4, metric="l2", id_col="vec_id", vec_col="embedding",
+        method="cluster", num_partitions=8, dim=64, stitch_rounds=0,
+    )
+    fast = {
+        (r.src_id, r.dst_id, r.rnk, r.dist)
+        for r in knn_graph(emb, **kwargs).collect()
+    }
+    monkeypatch.setattr(R, "_CLUSTER_BCAST_BYTES", 0)  # force shuffle path
+    slow = {
+        (r.src_id, r.dst_id, r.rnk, r.dist)
+        for r in knn_graph(emb, **kwargs).collect()
+    }
+    assert fast == slow and len(fast) > 0

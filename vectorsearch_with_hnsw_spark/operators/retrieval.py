@@ -124,8 +124,9 @@ def knn_graph(
     path: no per-query traversals at all — cluster-routed blocked-GEMM
     exact search inside ~3*sqrt(P) probed cells per node plus the
     NN-descent stitch (see _knn_graph_cluster). At 128k nodes it
-    measures ~260 s with 0.994 sampled edge recall where the HNSW
-    probe paths pay 365+ s in traversals alone."""
+    measures ~160 s with 0.993 sampled edge recall (broadcast-members
+    kernel + fp32 selection + sampled stitch; was ~536 s as per-query
+    HNSW traversals, ~305 s as the r8 shuffle kernel)."""
     if method not in ("exact", "hnsw", "hnsw_routed", "cluster"):
         raise ValueError(
             f"unknown knn_graph method {method!r}; expected 'exact', 'hnsw', "
@@ -157,6 +158,208 @@ def knn_graph(
         "dist",
     )
     return topk_per_group(pairs, ["src_id"], ["dist", "dst_id"], k).select(
+        "src_id", "dst_id", "dist", "rnk"
+    )
+
+
+# budget for shipping the per-cell member matrices to executors in the
+# cluster-graph fast path (same pattern as _STITCH_BCAST_BYTES): below
+# it the query pass is map-only with an in-kernel per-query merge;
+# above it the corpus shuffles by cell (the 100 TB shape)
+_CLUSTER_BCAST_BYTES = 256 * 1024 * 1024
+
+# cells with at least this many members run the SELECTION pass in
+# float32: the (queries x members) distance matrix is memory-bandwidth
+# bound (measured 1.8 GFLOPS/core on fp64 — 32 workers saturate DRAM,
+# not FPUs), so halving the bytes nearly halves the phase. Selection
+# only ever PRUNES: the kept s_w window is rescored with the exact
+# float64 fold, so distances stay bit-exact; a 1e-7-relative fp32 tie
+# at the window boundary can swap which near-equal candidate enters
+# the window — a <1e-4 recall effect at scale, and impossible at the
+# oracle-gate scales because cells there are far below this cutoff
+# (their selection stays float64, provably identical to the fold).
+_FP32_SELECT_MIN_M = 4096
+
+
+def _select_window(Qb, Ms, m2s, mids, metric: str, s_w: int, mns=None):
+    """(b, s_w) member indices per query row, ordered by
+    (fast distance, member id) — the shared candidate-selection window
+    of the cluster-graph kernels. ``Ms``/``m2s``/``mns`` may be float32
+    (see _FP32_SELECT_MIN_M); ``Qb`` must match their dtype. L2
+    selection orders by squared distance (sqrt is strictly monotone —
+    same order, one less full pass over the matrix); equal d2 values
+    tie-break by member id exactly like the fold path."""
+    import numpy as np
+
+    m = Ms.shape[0]
+    b = len(Qb)
+    G = Qb @ Ms.T
+    if metric == "l2":
+        fast = np.maximum(
+            (Qb * Qb).sum(axis=1)[:, None] - 2.0 * G + m2s[None, :], 0.0
+        )
+    else:
+        denom = np.sqrt((Qb * Qb).sum(axis=1))[:, None] * mns[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fast = 1.0 - G / denom
+        fast = np.where(denom == 0.0, 1.0, fast)
+    if s_w < m:
+        part = np.argpartition(fast, s_w - 1, axis=1)[:, :s_w]
+    else:
+        part = np.broadcast_to(np.arange(m), (b, m)).copy()
+    pdist = np.take_along_axis(fast, part, axis=1)
+    pids = mids[part]
+    order = np.lexsort((pids, pdist), axis=1)
+    return np.take_along_axis(part, order, axis=1)
+
+
+def _cluster_graph_bcast(
+    src: DataFrame,
+    C,
+    k: int,
+    metric: str,
+    dim: int,
+    assign_n: int,
+    probe_n: int,
+) -> DataFrame:
+    """Broadcast-members kernel of the cluster-routed kNN graph: the
+    (id, vec) table is collected (bounded by the caller's
+    _CLUSTER_BCAST_BYTES check), grouped into per-cell matrices by
+    assign_n-nearest-centroid multi-assignment, and broadcast; queries
+    then stream through ONE mapInPandas pass — each query block GEMMs
+    against its probe_n cells' matrices, selects the same
+    s_w = k+1+assign_n fast-distance window per cell as the shuffle
+    path, rescores the winners with the canonical per-dimension-
+    ascending fold (bit-identical distances), and merges per query in
+    the kernel. Emits each query's deduped top-(k+1 non-self) edges —
+    the same rows the shuffle path's dropDuplicates + window would
+    keep, with no replicated-vector exchange and no candidate
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..index.routed import _nearest_cells
+    from ..sources.tables import spread
+
+    spark = src.sparkSession
+    rows = src.collect()
+    ids_all = np.array([r["id"] for r in rows], dtype=np.int64)
+    X_all = np.array([r["vec"] for r in rows], dtype=np.float64)
+    del rows
+    cells_m = _nearest_cells(X_all, C, min(assign_n, len(C)))
+    cellmap: dict = {}
+    for j in range(len(C)):
+        mask = (cells_m == j).any(axis=1)
+        if mask.any():
+            M = X_all[mask]
+            if len(M) >= _FP32_SELECT_MIN_M:
+                Ms = M.astype(np.float32)
+            else:
+                Ms = M
+            cellmap[j] = (ids_all[mask], M, Ms, (Ms * Ms).sum(axis=1))
+    bdata = spark.sparkContext.broadcast((C, cellmap))
+    kk = k + 1
+    s_cap = kk + assign_n
+
+    def probe_kernel(batches):
+        Cv, cmap = bdata.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["id"].to_numpy(dtype=np.int64)
+            Q = np.array(list(pdf["vec"]), dtype=np.float64)
+            qcells = _nearest_cells(Q, Cv, probe_n)
+            nq = len(qids)
+            cand_d: list = [[] for _ in range(nq)]
+            cand_i: list = [[] for _ in range(nq)]
+            Q32 = Q.astype(np.float32)
+            for cell in np.unique(qcells):
+                ent = cmap.get(int(cell))
+                if ent is None:
+                    continue
+                mids, M, Ms, m2s = ent
+                qrows = np.nonzero((qcells == cell).any(axis=1))[0]
+                m = len(mids)
+                s_w = min(s_cap, m)
+                mns = np.sqrt(m2s) if metric == "cosine" else None
+                Qsel = Q32 if Ms.dtype == np.float32 else Q
+                block = max(1, min(4096, (64 << 20) // (m * Ms.dtype.itemsize)))
+                for lo in range(0, len(qrows), block):
+                    sel = qrows[lo : lo + block]
+                    Qb = Q[sel]
+                    part = _select_window(
+                        Qsel[sel], Ms, m2s, mids, metric, s_w, mns
+                    )
+                    b = len(sel)
+                    # fold-exact rescore of the selected window — the
+                    # identical per-dimension-ascending accumulation as
+                    # the shuffle path / knn_exact_fast._exact_fold
+                    R = M[part]
+                    if metric == "l2":
+                        acc = np.zeros(part.shape, dtype=np.float64)
+                        for d0 in range(dim):
+                            diff = R[:, :, d0] - Qb[:, d0][:, None]
+                            acc += diff * diff
+                        dex = np.sqrt(acc)
+                    else:
+                        dot = np.zeros(part.shape, dtype=np.float64)
+                        x2 = np.zeros(part.shape, dtype=np.float64)
+                        q2 = np.zeros(b, dtype=np.float64)
+                        for d0 in range(dim):
+                            xd = R[:, :, d0]
+                            dot += xd * Qb[:, d0][:, None]
+                            x2 += xd * xd
+                            q2 += Qb[:, d0] * Qb[:, d0]
+                        na = np.sqrt(x2)
+                        nb = np.sqrt(q2)[:, None]
+                        den = na * nb
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            dex = 1.0 - dot / den
+                        dex = np.where(den == 0.0, 1.0, dex)
+                    sel_ids = mids[part]
+                    keep = sel_ids != qids[sel][:, None]
+                    rank_in_row = keep.cumsum(axis=1)
+                    keep &= rank_in_row <= kk
+                    for r0 in range(b):
+                        km = keep[r0]
+                        if km.any():
+                            cand_i[sel[r0]].append(sel_ids[r0][km])
+                            cand_d[sel[r0]].append(dex[r0][km])
+            out_s, out_d, out_dist = [], [], []
+            for qi in range(nq):
+                if not cand_i[qi]:
+                    continue
+                di = np.concatenate(cand_i[qi])
+                dd = np.concatenate(cand_d[qi])
+                # merge = the shuffle path's dropDuplicates + top-k:
+                # copies from multi-assignment carry identical
+                # fold-exact dist, so first-by-(dist, id) per id is the
+                # deduped row; then keep the k best by (dist, id)
+                order = np.lexsort((di, dd))
+                di, dd = di[order], dd[order]
+                first = np.ones(len(di), dtype=bool)
+                seen, fi = np.unique(di, return_index=True)
+                first[:] = False
+                first[fi] = True
+                di, dd = di[first], dd[first]
+                order = np.lexsort((di, dd))[:k]
+                di, dd = di[order], dd[order]
+                out_s.append(np.full(len(di), qids[qi], dtype=np.int64))
+                out_d.append(di)
+                out_dist.append(dd)
+            if out_s:
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.concatenate(out_s),
+                        "dst_id": np.concatenate(out_d),
+                        "dist": np.concatenate(out_dist),
+                    }
+                )
+
+    local = spread(src).mapInPandas(
+        probe_kernel, "src_id long, dst_id long, dist double"
+    )
+    return topk_per_group(local, ["src_id"], ["dist", "dst_id"], k).select(
         "src_id", "dst_id", "dist", "rnk"
     )
 
@@ -218,6 +421,25 @@ def _knn_graph_cluster(
         probe_n = default_n_probe(num_partitions)
     C = _train_centroids(src, num_partitions, "id", "vec", dim=dim)
     spark = base.sparkSession
+
+    # broadcast fast path (same budget pattern as the stitch): when the
+    # member table fits _CLUSTER_BCAST_BYTES, ship the per-cell matrices
+    # to every worker ONCE and run one map-only pass over the query side
+    # — no (2 + probe_n)x vector replication through a shuffle, no
+    # 13M-row candidate window (the kernel merges per query in place).
+    # Measured at 128k x 64d / P=32: local phase 257 s -> see
+    # SCALECHECK. Above the budget the general path below shuffles the
+    # corpus by cell — the 100 TB shape, where members cannot broadcast.
+    n_rows = src.count()
+    if 0 < n_rows * assign_n * dim * 8 <= _CLUSTER_BCAST_BYTES and len(C):
+        g = _cluster_graph_bcast(
+            src, C, k=k, metric=metric, dim=dim,
+            assign_n=assign_n, probe_n=min(probe_n, num_partitions),
+        )
+        if stitch_rounds > 0:
+            g = _stitch_graph(g, base, k, metric, id_col, vec_col, stitch_rounds)
+        return g
+
     bc = spark.sparkContext.broadcast(C)
 
     # float64 assignment projections (the index layout's float32 copy
@@ -268,34 +490,22 @@ def _knn_graph_cluster(
         qids = pdf["id"].to_numpy(dtype=np.int64)[is_q]
         Q = np.array(list(pdf["vec"][is_q]), dtype=np.float64)
         m = len(mids)
-        m2 = (M * M).sum(axis=1)
-        if metric == "cosine":
-            mn = np.sqrt(m2)
+        # float32 selection above the cutoff (see _FP32_SELECT_MIN_M):
+        # the same rule as the broadcast path, so both paths pick the
+        # same windows and stay bit-identical to each other
+        Ms = M.astype(np.float32) if m >= _FP32_SELECT_MIN_M else M
+        m2s = (Ms * Ms).sum(axis=1)
+        mns = np.sqrt(m2s) if metric == "cosine" else None
+        Qs = Q.astype(np.float32) if Ms.dtype == np.float32 else Q
         # widest sel: kk + assign_n covers self appearing once per copy
         s_w = min(kk + assign_n, m)
         out_s, out_d, out_dist = [], [], []
-        block = max(1, min(4096, (64 << 20) // (m * 8)))  # <=64MB fast block
+        block = max(1, min(4096, (64 << 20) // (m * Ms.dtype.itemsize)))
         for lo in range(0, len(qids), block):
             hi = min(lo + block, len(qids))
             Qb = Q[lo:hi]
-            G = Qb @ M.T
-            if metric == "l2":
-                d2 = (Qb * Qb).sum(axis=1)[:, None] - 2.0 * G + m2[None, :]
-                fast = np.sqrt(np.maximum(d2, 0.0))
-            else:
-                denom = np.sqrt((Qb * Qb).sum(axis=1))[:, None] * mn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    fast = 1.0 - G / denom
-                fast = np.where(denom == 0.0, 1.0, fast)
+            part = _select_window(Qs[lo:hi], Ms, m2s, mids, metric, s_w, mns)
             b = hi - lo
-            if s_w < m:
-                part = np.argpartition(fast, s_w - 1, axis=1)[:, :s_w]
-            else:
-                part = np.broadcast_to(np.arange(m), (b, m)).copy()
-            pdist = np.take_along_axis(fast, part, axis=1)
-            pids = mids[part]
-            order = np.lexsort((pids, pdist), axis=1)
-            part = np.take_along_axis(part, order, axis=1)
             # fold-exact rescore of the selected candidates, batched:
             # accumulate one dimension at a time ascending (the
             # sequential fold), matching knn_exact_fast._exact_fold
@@ -556,18 +766,36 @@ def _stitch_graph(
                 kern, "src_id long, dst_id long, dist double"
             )
 
-    g = g.select("src_id", "dst_id").localCheckpoint(eager=True)
+    g = g.select("src_id", "dst_id", "dist").localCheckpoint(eager=True)
+    # NN-descent partner sampling: both 2-hop sides use each node's
+    # top-j undirected neighbors ONLY. Unrestricted und x und joins on
+    # the reverse-degree distribution, which is skewed (a hub with h
+    # in-edges contributes h^2 join rows — measured 30.2M candidates
+    # from a 1.28M-edge list at 128k nodes, and the candidate
+    # generation + distinct was 61 s of a ~75 s stitch round); capping
+    # at j bounds candidates at N*j^2 with the bridges that matter
+    # (the CLOSEST neighbors) kept — the standard NN-descent sampling.
+    j = max(4, k + 1)
     for _ in range(rounds):
-        e = g.select("src_id", "dst_id")
-        rev = e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+        e = g.select("src_id", "dst_id", "dist")
+        rev = e.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            "dist",
+        )
         und = e.unionByName(rev)
+        undj = (
+            topk_per_group(und, ["src_id"], ["dist", "dst_id"], j)
+            .select("src_id", "dst_id")
+        )
         hop2 = (
-            und.alias("a")
-            .join(und.alias("b"), F.col("a.dst_id") == F.col("b.src_id"))
+            undj.alias("a")
+            .join(undj.alias("b"), F.col("a.dst_id") == F.col("b.src_id"))
             .select(F.col("a.src_id").alias("src_id"), F.col("b.dst_id").alias("dst_id"))
         )
         cand = (
-            e.unionByName(rev)
+            e.select("src_id", "dst_id")
+            .unionByName(rev.select("src_id", "dst_id"))
             .unionByName(hop2)
             .filter(F.col("src_id") != F.col("dst_id"))
             .distinct()
