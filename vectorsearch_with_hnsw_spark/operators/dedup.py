@@ -853,11 +853,13 @@ def semantic_neardup_pairs(
     rows is recursively sub-split by ``extra_bits`` fresh hyperplane
     bits (two levels, ~4096x shrink — see
     ann.banded_bucket_frame_split), so a duplicate-heavy corpus cannot
-    put O(corpus) rows into one block and the within-block pair join
-    stays O(cap * n), never O(block^2) (previously measured: one
-    bucket held 44% of a 50k-doc corpus -> 145M candidate pairs; only
-    byte-identical vectors — genuine duplicate clusters whose pairs ARE
-    the output — can still exceed the cap, and those are salted). The
+    put O(corpus) rows of merely-correlated docs into one block
+    (measured: one bucket held 44% of a 50k-doc corpus -> 145M
+    candidate pairs, 158 s; post-split the largest block is 5.9% and
+    the run is 22 s). A block still exceeds the cap only when its
+    members agree on every extra sign bit — a mutually near-identical
+    clique whose quadratic pair set IS the output; the salt grid
+    spreads that kernel work across n_salt^2 tasks. The
     kernel's candidate mask is computed in row chunks of ``chunk`` so
     per-task temp memory is O(chunk * block) regardless. For a pair
     with per-plane collision prob p (= 1 - theta/pi), miss prob is
