@@ -663,3 +663,28 @@ def test_cluster_graph_bcast_equals_shuffle_path(spark, sf_smoke, monkeypatch):
         for r in knn_graph(emb, **kwargs).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_ivf_pq_distributed_probe_equals_broadcast(spark, sf_smoke):
+    """The collect-free cogroup probe (unbounded query tables, zero
+    driver materialization) returns exactly the broadcast probe's rows
+    — same ids, ranks, and adc_d2 bits. Covers the tie case too: the
+    per-cell partial keeps every candidate at the k-th ADC value, so
+    quantization-collided codes rank identically in both paths."""
+    from vectorsearch_with_hnsw_spark.operators.pq import (
+        ivf_pq_knn,
+        ivf_pq_knn_distributed,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=40)
+    kwargs = dict(dim=64, m=8, k=7, n_probe=3, n_cells=8, iters=2)
+    base = {
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in ivf_pq_knn(emb, q, **kwargs).collect()
+    }
+    dist = {
+        (r.query_id, r.rnk, r.neighbor_id, r.adc_d2)
+        for r in ivf_pq_knn_distributed(emb, q, lut_chunk=16, **kwargs).collect()
+    }
+    assert base == dist and len(base) == 40 * 7

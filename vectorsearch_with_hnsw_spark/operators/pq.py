@@ -494,6 +494,156 @@ def _ivf_pq_score(
     )
 
 
+def _ivf_pq_score_distributed(
+    codes: DataFrame,
+    cents: DataFrame,
+    cb_np: np.ndarray,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    n_probe: int,
+    lut_chunk: int = 4096,
+) -> DataFrame:
+    """Collect-free twin of ``_ivf_pq_score`` for UNBOUNDED query
+    tables: probes stay a DataFrame (no driver materialization of the
+    query batch at all) and meet the codes in a COGROUP on the cell
+    key — per cell, the same chunked-LUT residual-ADC kernel scores
+    (probes x members) and emits each probe's per-cell top-k; the
+    global window then merges the n_probe per-cell partials (top-k of
+    per-cell top-k's == top-k of the union, same (adc_d2, neighbor_id)
+    order, so results are bit-identical to the broadcast-probe path —
+    pinned by test).
+
+    Scale shape: ONE shuffle of the codes by cell (free when the codes
+    table is stored partitioned by cell) + one tiny shuffle of the
+    probes; driver memory is O(1) — only the codebook array rides the
+    closure (the same bounded artifact both paths need). The codes
+    side is semi-joined against the probed cells first (an
+    auto-broadcast join on <= n_cells keys), so unprobed cells never
+    shuffle."""
+    from .ivf import _l2sq
+
+    if cb_np.ndim != 3:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, rnk int, neighbor_id long, adc_d2 double"
+        )
+    n_codewords = cb_np.shape[1]
+    d = dim // m
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        F.col("query_id"),
+        F.col("query_vec"),
+        "cell",
+        "centroid",
+        _l2sq(to_vec("query_vec"), F.col("centroid")).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qcells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(to_vec("query_vec"), "centroid", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    pruned = codes.select("vec_id", "cell", "code").join(
+        F.broadcast(probes.select("cell").distinct()), "cell", "semi"
+    )
+
+    def cell_kernel(key, codes_pdf: pd.DataFrame, probes_pdf: pd.DataFrame):
+        if len(codes_pdf) == 0 or len(probes_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "adc_d2": pd.Series(dtype="float64"),
+                }
+            )
+        vids = codes_pdf["vec_id"].to_numpy(dtype=np.int64)
+        cmat = np.array(list(codes_pdf["code"]), dtype=np.int64)
+        qids = probes_pdf["query_id"].to_numpy(dtype=np.int64)
+        QR = np.array(list(probes_pdf["qr"]), dtype=np.float64)
+        parts = []
+        for c0 in range(0, len(qids), lut_chunk):
+            c1 = min(c0 + lut_chunk, len(qids))
+            sub_lut = np.zeros((c1 - c0, m, n_codewords), dtype=np.float64)
+            for s in range(m):
+                for d0 in range(d):
+                    diff = QR[c0:c1, s * d + d0][:, None] - cb_np[s][None, :, d0]
+                    sub_lut[:, s, :] += diff * diff
+            adc = np.zeros((c1 - c0, len(vids)), dtype=np.float64)
+            for s in range(m):
+                adc += sub_lut[:, s, :][:, cmat[:, s]]
+            # per-cell per-probe partial: every candidate at or below
+            # the k-th smallest ADC (ties INCLUDED — quantized codes
+            # collide, so equal ADC sums are common, and dropping one
+            # side of a tie here would diverge from the global
+            # (adc_d2, neighbor_id) ranking). The global window does
+            # the exact trim; the merge shuffle carries ~k + ties rows
+            # per (probe, cell), not the cell population.
+            kw = min(k, len(vids))
+            kth = np.partition(adc, kw - 1, axis=1)[:, kw - 1]
+            ri, ci = np.nonzero(adc <= kth[:, None])
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[c0:c1][ri],
+                        "neighbor_id": vids[ci],
+                        "adc_d2": adc[ri, ci],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    pairs = (
+        pruned.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(cell_kernel, "query_id long, neighbor_id long, adc_d2 double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "adc_d2")
+    )
+
+
+def ivf_pq_knn_distributed(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 16,
+    k: int = 10,
+    n_probe: int = 4,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_anchors: int = NUM_ANCHORS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lut_chunk: int = 4096,
+) -> DataFrame:
+    """``ivf_pq_knn`` with the collect-free cogroup probe
+    (_ivf_pq_score_distributed) — for query tables too large to
+    materialize on the driver. Bit-identical results to the broadcast
+    probe (pinned by test); the extra cost is one shuffle of the
+    probed-cell codes instead of a broadcast-side map-only scan."""
+    from ..cache import release
+
+    codes, cents, _, cb_np, cached = _ivf_pq_build(
+        emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
+    )
+    out = _ivf_pq_score_distributed(
+        codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
+        lut_chunk=lut_chunk,
+    )
+    for df in cached:
+        release(df)
+    return out
+
+
 def ivf_pq_refine_knn(
     emb: DataFrame,
     queries: DataFrame,
