@@ -46,6 +46,9 @@ def __getattr__(name):
         "connected_components": ("operators.clusters", "connected_components"),
         "connected_components_star": ("operators.clusters", "connected_components_star"),
         "knn_graph": ("operators.retrieval", "knn_graph"),
+        "ivf_pq_knn": ("operators.pq", "ivf_pq_knn"),
+        "ivf_pq_knn_distributed": ("operators.pq", "ivf_pq_knn_distributed"),
+        "approx_top_tokens_verified": ("operators.textpipe", "approx_top_tokens_verified"),
         "pretrain_sequences": ("operators.pipeline", "pretrain_sequences"),
         "mix_corpus_temperature": ("operators.textpipe", "mix_corpus_temperature"),
         "load_table": ("sources", "load_table"),
