@@ -835,8 +835,8 @@ def semantic_neardup_pairs(
     bands: int = 8,
     planes_per_band: int = 4,
     chunk: int = 4096,
-    n_salt: int = 4,
-    block_cap: int = 256,
+    n_salt: int = 2,
+    block_cap: int = 1024,
     extra_bits: int = 6,
 ) -> DataFrame:
     """Model-free semantic near-dup: cosine pairs over the feature-hashed
