@@ -106,6 +106,30 @@ def test_levels_deterministic_and_distributed():
     assert 0.92 < frac0 < 0.95
 
 
+def test_level_sql_parity():
+    """The hnsw_stats oracle re-derives level_for_id in DuckDB SQL
+    (wrap-around splitmix64 via HUGEINT split + floor(-ln(U)*mL)).
+    Pin bit-parity over ids 0..700k — a superset of every SF's vec_id
+    range — so the ln() inside the SQL can never flip a floor() on the
+    datasets the driver hashes."""
+    import duckdb
+
+    from vectorsearch_with_hnsw_spark.registry import _sql_hnsw_stats
+
+    n = 700_000
+    mL = 1.0 / np.log(16)
+    # Reuse the production oracle's splitmix64+level CTEs verbatim by
+    # swapping the embeddings source for a synthetic id range.
+    sql = _sql_hnsw_stats().replace(
+        "SELECT vec_id AS id FROM embeddings",
+        f"SELECT unnest(range(0, {n})) AS id",
+    )
+    got = duckdb.sql(sql).df().sort_values("layer", ignore_index=True)
+    levels = np.array([level_for_id(i, mL) for i in range(n)])
+    want = [(lay, int((levels >= lay).sum())) for lay in range(levels.max() + 1)]
+    assert list(zip(got["layer"], got["n_nodes"])) == want
+
+
 def test_ef_clamped_to_k(data):
     idx = LocalHNSW(HnswParams(dim=32, ef_search=2))
     idx.add_batch(np.arange(len(data)), data)
