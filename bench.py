@@ -690,8 +690,22 @@ HEADLINE_ROWS = [
 
 
 def _compact_line(result: dict, timings: dict) -> dict:
+    from vectorsearch_with_hnsw_spark.operators.search import DEPLOYED_RECALL_ROWS
+
     ex = result["extra"]
-    deployed = {k: v for k, v in ex.items() if k.startswith("recall_")}
+    # deployed floor = min over the rows similarity_search actually
+    # routes to (refine forms for the sketch families — see
+    # DEPLOYED_RECALL_ROWS); raw shortlist stages (binary_sign,
+    # ivf_pq ADC, pq ADC, raw ivf_sq8) are measured but reported
+    # separately as recall_min_raw_shortlist
+    deployed_rows = {f"recall_{r}" for r in DEPLOYED_RECALL_ROWS.values()}
+    deployed = {k: v for k, v in ex.items() if k in deployed_rows}
+    raw = {
+        k: v
+        for k, v in ex.items()
+        if k.startswith("recall_") and k not in deployed_rows
+        and not k.startswith("recall_hnsw_ef")
+    }
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -704,6 +718,7 @@ def _compact_line(result: dict, timings: dict) -> dict:
             "build512_vecs_per_sec_per_core": ex["build512_vecs_per_sec_per_core"],
             "hnsw_recall_at_10": ex["hnsw_recall_at_10"],
             "recall_min_deployed": min(deployed.values()) if deployed else None,
+            "recall_min_raw_shortlist": min(raw.values()) if raw else None,
             "spread2_median": ex["spread2_median"],
             "spread2_p90": ex["spread2_p90"],
             "row_state_clean": ex["row_state_clean"],

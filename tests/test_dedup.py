@@ -304,3 +304,104 @@ def test_banded_split_bounds_hot_blocks(spark, sf_smoke):
     ).select((F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"), "text")
     pairs = D.semantic_neardup_pairs(ident, dim=64, threshold=0.99, block_cap=4)
     assert pairs.count() >= 5  # each of the 5 identical twins pairs
+
+
+def _components(pairs: set[tuple[int, int]]) -> set[frozenset[int]]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, set[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    return {frozenset(c) for c in comps.values()}
+
+
+def test_semantic_neardup_star_linear_cliques(spark):
+    """identical='star' (default) must emit O(n) rep->member edges for a
+    bit-identical-vector clique — the 100 TB mass-duplication case —
+    while identical='pairs' keeps the quadratic set; connected
+    components must be IDENTICAL between the modes (transitivity)."""
+    k = 12
+    rows = [(i, "the same exact boilerplate sentence repeated verbatim") for i in range(k)]
+    rows += [(100, "the same exact boilerplate sentence repeated verbatim almost")]
+    rows += [(200, "entirely different prose about volcanoes and tide pools")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    star = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in D.semantic_neardup_pairs(docs, dim=32, threshold=0.5, identical="pairs").collect()
+    }
+    clique_star = {p for p in star if p[0] < 100 and p[1] < 100}
+    clique_full = {p for p in full if p[0] < 100 and p[1] < 100}
+    assert clique_star == {(0, i) for i in range(1, k)}, clique_star
+    assert len(clique_full) == k * (k - 1) // 2
+    # star edges carry the same self-fold score the kernel gives the pair
+    assert all(star[p] == full[p] for p in clique_star)
+    # graph contraction, not graph change
+    assert _components(set(star)) == _components(set(full))
+    # doc 200 pairs with nothing in either mode
+    assert not any(200 in p for p in star) and not any(200 in p for p in full)
+
+
+def test_semantic_neardup_star_zero_vector_clique_unpaired(spark):
+    """Token-less documents hash to the zero vector — a bit-identical
+    'clique' whose self-dot is 0.0: star mode must NOT invent edges for
+    it (the kernel never paired zero vectors either)."""
+    rows = [(i, "") for i in range(5)] + [(10, "real words here")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", max(len(t), 1)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = D.semantic_neardup_pairs(docs, dim=32, threshold=0.5).collect()
+    assert out == []
+
+
+def test_embedding_neardup_star_linear_cliques(spark, sf_smoke):
+    """Same star contraction for embedding_neardup_pairs, driven through
+    the ``emb`` override: an identical-vector clique emits rep->member
+    edges only, zero vectors stay unpaired, components match pairs mode."""
+    base = load_table(spark, sf_smoke, "embeddings").limit(6)
+    clique = base.filter(F.col("vec_id") == 0).crossJoin(
+        spark.range(1, 5).select(F.col("id").alias("_c"))
+    ).select((F.lit(1000) + F.col("_c")).alias("vec_id"), "embedding")
+    zeros = spark.range(2000, 2003).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), x -> 0.0D)").alias("embedding"),
+    )
+    emb = base.select("vec_id", "embedding").unionByName(clique).unionByName(zeros)
+    star = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            spark, sf_smoke, threshold=0.9, dim=64, emb=emb
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            spark, sf_smoke, threshold=0.9, dim=64, emb=emb, identical="pairs"
+        ).collect()
+    }
+    # vec 0 + its 4 copies: star = 4 edges from rep 0, pairs = C(5,2)=10
+    clique_ids = {0, 1001, 1002, 1003, 1004}
+    cs = {p for p in star if set(p) <= clique_ids}
+    cf = {p for p in full if set(p) <= clique_ids}
+    assert cs == {(0, i) for i in (1001, 1002, 1003, 1004)}, cs
+    assert len(cf) == 10
+    assert not any(v >= 2000 for p in star for v in p), "zero vectors paired"
+    assert _components(star) == _components(full)

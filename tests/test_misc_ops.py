@@ -402,3 +402,71 @@ def test_mix_corpus_temperature_pow_path_runs(spark, sf_smoke):
     assert mild[biggest] >= half[biggest], "alpha→1 keeps more of the big source"
     binding = min(s for s, n in n_src.items() if n == nb)
     assert mild[binding] == nb
+
+
+def test_deployed_recall_rows_match_dispatch(spark, sf_smoke):
+    """DEPLOYED_RECALL_ROWS (the rows bench.py's recall_min_deployed
+    minimizes over) cannot drift from similarity_search's routing:
+    for every mapped method, the kernel the dispatch calls must be the
+    SAME function the named registry row measures — verified by
+    patching the kernel and observing both call sites hit it."""
+    from unittest import mock
+
+    from vectorsearch_with_hnsw_spark.operators.search import (
+        DEPLOYED_RECALL_ROWS,
+        METHODS,
+        similarity_search,
+    )
+    from vectorsearch_with_hnsw_spark.registry import REGISTRY
+
+    # coverage: every non-exact, non-hnsw method has a deployed row
+    # (the hnsw families report their own hnsw_recall_at_10 keys)
+    uncovered = set(METHODS) - set(DEPLOYED_RECALL_ROWS) - {
+        "exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed"
+    }
+    assert not uncovered, f"methods without a deployed recall row: {uncovered}"
+
+    kernels = {
+        "lsh": ("vectorsearch_with_hnsw_spark.operators.ann", "lsh_knn_cosine"),
+        "ivf": ("vectorsearch_with_hnsw_spark.operators.ivf", "ivf_knn_cosine"),
+        "ivf_kmeans": ("vectorsearch_with_hnsw_spark.operators.ivf", "ivf_kmeans_knn"),
+        "sq8": ("vectorsearch_with_hnsw_spark.operators.quantize", "sq8_knn"),
+        "ivf_sq8": ("vectorsearch_with_hnsw_spark.operators.quantize", "ivf_sq8_refine_knn"),
+        "ivf_sq8_refine": ("vectorsearch_with_hnsw_spark.operators.quantize", "ivf_sq8_refine_knn"),
+        "pq": ("vectorsearch_with_hnsw_spark.operators.pq", "pq_refine_knn"),
+        "pq_refine": ("vectorsearch_with_hnsw_spark.operators.pq", "pq_refine_knn"),
+        "ivf_pq": ("vectorsearch_with_hnsw_spark.operators.pq", "ivf_pq_refine_knn"),
+        "ivf_pq_refine": ("vectorsearch_with_hnsw_spark.operators.pq", "ivf_pq_refine_knn"),
+        "binary": ("vectorsearch_with_hnsw_spark.operators.ann", "binary_refine_knn"),
+        "binary_refine": ("vectorsearch_with_hnsw_spark.operators.ann", "binary_refine_knn"),
+        "matryoshka": ("vectorsearch_with_hnsw_spark.operators.ann", "matryoshka_knn"),
+    }
+    assert set(kernels) == set(DEPLOYED_RECALL_ROWS)
+
+    base = load_table(spark, sf_smoke, "embeddings")
+    queries = base.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for method, (module, fn) in kernels.items():
+        row = DEPLOYED_RECALL_ROWS[method]
+        with mock.patch(f"{module}.{fn}") as m:
+            # dispatch side: similarity_search(method) must call the kernel
+            out = similarity_search(base, queries, method=method, dim=64)
+            assert m.called, f"{method}: dispatch did not reach {module}.{fn}"
+            assert out is m.return_value
+        # measurement side: the registry row must measure the SAME kernel.
+        # Rows that bind the kernel at registry import time are patched
+        # at the registry binding, with an identity check tying that
+        # binding back to the dispatch's kernel.
+        import importlib
+
+        import vectorsearch_with_hnsw_spark.registry as reg_mod
+
+        if hasattr(reg_mod, fn):
+            assert getattr(reg_mod, fn) is getattr(importlib.import_module(module), fn)
+            target = f"vectorsearch_with_hnsw_spark.registry.{fn}"
+        else:
+            target = f"{module}.{fn}"
+        with mock.patch(target) as m2:
+            REGISTRY[row][0](spark, sf_smoke)
+            assert m2.called, f"row {row} does not measure {module}.{fn}"

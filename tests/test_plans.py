@@ -432,11 +432,21 @@ def test_semantic_neardup_has_no_dedup_aggregate(spark, sf_smoke):
     from vectorsearch_with_hnsw_spark.operators.dedup import semantic_neardup_pairs
 
     docs = load_table(spark, sf_smoke, "documents")
-    plan = formatted_plan(semantic_neardup_pairs(docs))
+    # kernel-shape assertions on the pure-kernel mode: star mode unions
+    # a (groupBy + join) star branch into the same plan, which is
+    # checked separately below
+    plan = formatted_plan(semantic_neardup_pairs(docs, identical="pairs"))
     assert plan.count("FlatMapGroupsInPandas") <= 2  # tree + detail of ONE
     # the kernel's groupBy is the LAST shuffle: nothing aggregates above it
     above_kernel = plan.split("FlatMapGroupsInPandas")[0]
     assert "HashAggregate" not in above_kernel
+
+    # star mode: still exactly one grouped-pandas kernel, plus the
+    # identical-clique contraction branch (one aggregate + one join);
+    # nothing consumes the kernel's output but the final union
+    star_plan = formatted_plan(semantic_neardup_pairs(docs))
+    assert star_plan.count("FlatMapGroupsInPandas") <= 2
+    assert "Union" in star_plan
 
 
 def test_ivf_pq_adc_is_map_side(spark, sf_smoke):

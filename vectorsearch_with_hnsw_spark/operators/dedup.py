@@ -357,6 +357,8 @@ def embedding_neardup_pairs(
     bands: int = 4,
     planes_per_band: int = 4,
     dim: int | None = None,
+    identical: str = "star",
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by banded
     random-hyperplane LSH buckets over the embeddings themselves.
@@ -390,10 +392,25 @@ def embedding_neardup_pairs(
     pairs are rescored with the exact fold shapes — per-dimension
     ascending dot and norms, ``dot / (na * nb)`` with the zero-norm ->
     0.0 guard — bit-identical to the declarative Column form and the
-    SQL oracle."""
+    SQL oracle.
+
+    ``identical="star"`` (default) applies the same identical-clique
+    star-edge contraction as semantic_neardup_pairs: bit-identical
+    embedding vectors collapse to a representative before the LSH
+    kernel and emit rep->member edges (cos scored by the same
+    fold/guard shapes), so a mass-duplicated embedding produces O(n)
+    output instead of O(n^2) while connected components are unchanged
+    by transitivity; ``identical="pairs"`` keeps the full quadratic
+    clique output. ``emb`` overrides the table load (tests / callers
+    with an in-memory embedding frame)."""
+    from ..cache import persist_tracked
+    from ..functions.vector import dot as vec_dot, l2_norm
     from .ann import banded_bucket_frame_fast
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if identical not in ("star", "pairs"):
+        raise ValueError(f"identical must be 'star' or 'pairs', got {identical!r}")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     if dim is None:
         first = emb.select("embedding").first()
         if first is None:
@@ -401,6 +418,27 @@ def embedding_neardup_pairs(
         else:
             dim = len(first[0])
     withv = emb.select(F.col("vec_id"), to_vec("embedding").alias("v"))
+    star = None
+    if identical == "star":
+        reps = withv.groupBy("v").agg(F.min("vec_id").alias("_rep"))
+        tagged = persist_tracked(withv.join(reps, "v"))
+        norm = l2_norm(F.col("v"))
+        # the exact expression shapes the kernel applies to a kept pair
+        # with x == y: fold dot, product of fold norms, one division,
+        # zero-norm -> 0.0 (so all-zero embedding cliques never pair)
+        selfcos = F.when(norm == F.lit(0.0), F.lit(0.0)).otherwise(
+            vec_dot(F.col("v"), F.col("v")) / (norm * norm)
+        )
+        star = (
+            tagged.filter(F.col("vec_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("vec_id").alias("id_b"),
+                selfcos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= F.lit(threshold))
+        )
+        withv = tagged.filter(F.col("vec_id") == F.col("_rep")).select("vec_id", "v")
     banded = banded_bucket_frame_fast(withv, "v", int(dim), bands, planes_per_band)
     n_salt = 4
     banded = banded.withColumn(
@@ -492,9 +530,12 @@ def embedding_neardup_pairs(
             return empty
         return pd.concat(parts, ignore_index=True)
 
-    return banded.groupBy("band", "bucket", "_a", "_b").applyInPandas(
+    out = banded.groupBy("band", "bucket", "_a", "_b").applyInPandas(
         block_pairs, "id_a long, id_b long, cos_sim double"
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def dup_span_pairs(
@@ -838,6 +879,7 @@ def semantic_neardup_pairs(
     n_salt: int = 2,
     block_cap: int = 1024,
     extra_bits: int = 6,
+    identical: str = "star",
 ) -> DataFrame:
     """Model-free semantic near-dup: cosine pairs over the feature-hashed
     document vectors (textpipe.hashed_doc_vectors), blocked by banded
@@ -858,8 +900,31 @@ def semantic_neardup_pairs(
     candidate pairs, 158 s; post-split the largest block is 5.9% and
     the run is 22 s). A block still exceeds the cap only when its
     members agree on every extra sign bit — a mutually near-identical
-    clique whose quadratic pair set IS the output; the salt grid
-    spreads that kernel work across n_salt^2 tasks. The
+    clique; the salt grid spreads that kernel work across n_salt^2
+    tasks.
+
+    ``identical`` controls the OUTPUT SHAPE for bit-identical-vector
+    cliques — the one case where even bounded blocks emit quadratic
+    rows (a document copied 10M times would otherwise produce ~5e13
+    "correct" pairs and the job never finishes):
+
+    - ``"star"`` (default): exact-identical vectors are grouped up
+      front (one map-side-combining groupBy on the vector — mass
+      duplication SHRINKS this shuffle), each group emits
+      representative->member edges only (O(group), cos_sim = the same
+      sequential self-dot fold, which also keeps zero-vector docs
+      unpaired), and only the representative enters the LSH kernel.
+      Connected components are unchanged by transitivity: any outside
+      doc within threshold of a member is within threshold of the
+      bit-identical representative, and identical vectors share every
+      LSH bucket, so the (rep, outside) edge survives whenever the
+      (member, outside) edge would have. Downstream cluster/keeper
+      verdicts are therefore identical, at O(n) output.
+    - ``"pairs"``: the full quadratic pair set inside identical
+      cliques (the pre-round-10 behavior) for callers that need every
+      pairwise score materialized.
+
+    The
     kernel's candidate mask is computed in row chunks of ``chunk`` so
     per-task temp memory is O(chunk * block) regardless. For a pair
     with per-plane collision prob p (= 1 - theta/pi), miss prob is
@@ -894,13 +959,41 @@ def semantic_neardup_pairs(
     sf0.1 (1.45M pairs from 5k near-identical docs): 8.9s -> ~3.5s
     min-of-3."""
     from ..cache import persist_tracked
+    from ..functions.vector import dot as vec_dot
     from .ann import banded_bucket_frame_split
     from .textpipe import hashed_doc_vectors
+
+    if identical not in ("star", "pairs"):
+        raise ValueError(f"identical must be 'star' or 'pairs', got {identical!r}")
 
     # persisted: the splitter's hotness census and the final bucket pass
     # both scan the vectors; without the persist the corpus tokenizes
     # twice (Spark does not CSE across jobs)
     vecs = persist_tracked(hashed_doc_vectors(docs, dim))
+    star = None
+    if identical == "star":
+        # group bit-identical vectors: the groupBy partial-aggregates
+        # map-side, so a 10M-copy document collapses to one row per
+        # input partition before the shuffle; the tag-back join is on
+        # the same key and AQE skew-splits it if a clique dominates
+        reps = vecs.groupBy("vec").agg(F.min("doc_id").alias("_rep"))
+        tagged = persist_tracked(vecs.join(reps, "vec"))
+        star = (
+            tagged.filter(F.col("doc_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                # self-dot in the canonical sequential fold order — the
+                # exact value the kernel would have scored this pair at
+                # (identical vectors), and 0.0 < threshold for the
+                # zero-vector (token-less) clique, which must not pair
+                vec_dot(F.col("vec"), F.col("vec")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= F.lit(threshold))
+        )
+        vecs = tagged.filter(F.col("doc_id") == F.col("_rep")).select(
+            "doc_id", "vec"
+        )
     banded = banded_bucket_frame_split(
         vecs, "vec", dim, bands, planes_per_band, extra_bits=extra_bits, cap=block_cap
     )
@@ -989,6 +1082,11 @@ def semantic_neardup_pairs(
 
     # every unique pair is emitted by exactly one (its first) band and
     # exactly one salt task — no duplicates, so no dropDuplicates
-    return banded.groupBy("band", "bucket", "_a", "_b").applyInPandas(
+    out = banded.groupBy("band", "bucket", "_a", "_b").applyInPandas(
         block_pairs, "doc_a long, doc_b long, cos_sim double"
     )
+    if star is not None:
+        # star edges have rep = group-min doc_id, so doc_a < doc_b holds
+        # on both branches; the union is plan-level only (no shuffle)
+        out = out.unionByName(star)
+    return out

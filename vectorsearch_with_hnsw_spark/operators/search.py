@@ -47,6 +47,31 @@ from pyspark.sql import functions as F
 
 METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "ivf_sq8_refine", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
 
+# method -> the bench/registry row that measures the EXACT kernel this
+# dispatch deploys. The sketch families route to their refine forms
+# (ADC/Hamming/SQ8 rankings are shortlist stages, never served raw), so
+# the bench's "recall_min_deployed" headline must take its min over
+# THESE rows — the raw shortlist recalls (binary_sign_ann 0.21,
+# ivf_pq_ann 0.49, pq_adc_ann 0.52) are cost-profile exhibits, not
+# deployed floors. tests/test_misc_ops.py pins every entry to the
+# kernel similarity_search actually calls, so this table cannot drift
+# from the dispatch above it.
+DEPLOYED_RECALL_ROWS = {
+    "lsh": "lsh_ann_cosine",
+    "ivf": "ivf_ann_cosine",
+    "ivf_kmeans": "ivf_kmeans_ann",
+    "sq8": "sq8_ann",
+    "ivf_sq8": "ivf_sq8_refine_ann",
+    "ivf_sq8_refine": "ivf_sq8_refine_ann",
+    "pq": "pq_refine_ann",
+    "pq_refine": "pq_refine_ann",
+    "ivf_pq": "ivf_pq_refine_ann",
+    "ivf_pq_refine": "ivf_pq_refine_ann",
+    "binary": "binary_refine_ann",
+    "binary_refine": "binary_refine_ann",
+    "matryoshka": "matryoshka_ann",
+}
+
 # per-method probe widths when the caller leaves n_probe unset: the
 # label-routed families need 7 of the ~10 label cells to clear
 # recall@10 >= 0.8 at defaults on the worst-case gaussian testdata
