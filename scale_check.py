@@ -112,7 +112,7 @@ def main() -> None:
         knn_hnsw_routed,
     )
 
-    for p_parts in (64, 128):
+    for p_parts in (64, 128, 256):
         t0 = time.perf_counter()
         ridx = hnsw_build_routed(
             vecs, HnswParams(dim=64, metric="l2"), num_partitions=p_parts
@@ -235,8 +235,22 @@ def main() -> None:
     # groups can exceed the cap
     from vectorsearch_with_hnsw_spark.operators.ann import banded_bucket_frame_split
 
+    # measure the PRODUCTION configuration: read the splitter knobs off
+    # semantic_neardup_pairs' own defaults so the two cannot drift
+    # (r9 measured the ann-module defaults instead — cap 256 vs the
+    # operator's shipped 1024)
+    import inspect
+
+    _snd_defaults = {
+        k: v.default
+        for k, v in inspect.signature(D.semantic_neardup_pairs).parameters.items()
+    }
     split_max = (
-        banded_bucket_frame_split(hv, "vec", 64, 8, 4)
+        banded_bucket_frame_split(
+            hv, "vec", 64, 8, 4,
+            extra_bits=_snd_defaults["extra_bits"],
+            cap=_snd_defaults["block_cap"],
+        )
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("max_n"))
@@ -245,6 +259,34 @@ def main() -> None:
     out["semantic_neardup_max_final_block"] = int(split_max["max_n"])
     out["semantic_neardup_max_final_block_frac"] = round(split_max["max_n"] / n_docs, 4)
     hv.unpersist()
+
+    # mass-duplication stress (VERDICT r9 #1): ONE document copied 20k
+    # times — the identical-vector clique that defeats block bounding
+    # (its members agree on every extra sign bit, so the block legally
+    # exceeds any cap). identical='star' (default) must emit O(n)
+    # rep->member edges for the clique instead of C(20k,2) ≈ 2.0e8
+    # pairs, at a runtime comparable to the no-clique corpus above.
+    n_copies = 20_000
+    one = docs.orderBy("doc_id").limit(1)
+    clique = one.crossJoin(
+        F.broadcast(spark.range(n_copies).select(F.col("id").alias("_c")))
+    ).select(
+        (F.lit(900_000_000) + F.col("_c")).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    dup_corpus = big_docs.unionByName(clique).persist()
+    dup_corpus.count()
+    t0 = time.perf_counter()
+    star_pairs = D.semantic_neardup_pairs(dup_corpus).count()
+    out["star20k_sec"] = round(time.perf_counter() - t0, 2)
+    out["star20k_pairs"] = star_pairs
+    out["star20k_clique_docs"] = n_copies
+    # what the pre-round-10 all-pairs output would have contained for
+    # the clique alone (analytic — running it IS the explosion): every
+    # copy also collides with the 10 big_docs copies of the same doc
+    m = n_copies + DOC_COPIES
+    out["star20k_pairs_if_quadratic"] = m * (m - 1) // 2
+    dup_corpus.unpersist()
 
     # curation chain end-to-end at 10x docs (VERDICT r8 #6): the whole
     # score -> gate -> dedup -> sample -> chunk -> pack plan, with its

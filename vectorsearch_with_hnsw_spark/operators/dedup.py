@@ -135,6 +135,37 @@ def ngram_jaccard_pairs(
             kept = sh
     else:
         kept = sh
+        # Uncapped = exact Jaccard over EVERY shingle, including the
+        # O(df^2) self-join rows a corpus-wide boilerplate shingle
+        # contributes. Guard the foot-gun: above 10k docs (where df^2
+        # starts to matter) spend one agg scan of the persisted shingle
+        # cache on a df census and warn when a shingle covers most of
+        # the corpus — the caller should either set max_df_frac or
+        # expect the quadratic join. Small corpora skip the census
+        # entirely (df^2 <= 1e8 is harmless), so the common benchmark
+        # path pays nothing.
+        n_docs = docs.count()
+        if n_docs > 10_000:
+            df_max_row = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.max("df").alias("m"))
+                .collect()[0]
+            )
+            df_max = int(df_max_row["m"] or 0)
+            if df_max > max(5_000, n_docs // 2):
+                import warnings
+
+                warnings.warn(
+                    f"ngram_jaccard_pairs: uncapped run with a shingle in "
+                    f"{df_max} of {n_docs} documents — the inverted-index "
+                    f"self-join will produce ~{df_max * (df_max - 1) // 2:,} "
+                    "rows for that shingle alone. Set max_df_frac (e.g. "
+                    "0.5) to drop corpus-wide boilerplate shingles before "
+                    "the join (note: a document duplicated across more "
+                    "than that fraction of the corpus then cannot pair).",
+                    stacklevel=2,
+                )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")

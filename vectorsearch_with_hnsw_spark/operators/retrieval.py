@@ -405,7 +405,7 @@ def _knn_graph_cluster(
     import numpy as np
     import pandas as pd
 
-    from ..index.routed import _nearest_cells, _train_centroids, default_n_probe
+    from ..index.routed import _nearest_cells, _train_centroids
 
     if metric not in ("l2", "cosine"):
         raise ValueError(f"Unknown metric '{metric}'")
@@ -418,7 +418,16 @@ def _knn_graph_cluster(
             raise ValueError("knn_graph: empty input")
         dim = len(first[0])
     if probe_n is None:
-        probe_n = default_n_probe(num_partitions)
+        # graph-build probe budget stays at 3*sqrt(P) — DECOUPLED from
+        # index.routed.default_n_probe (4.5*sqrt(P) since round 10):
+        # the query-side kNN needs the wider budget to hold recall@10
+        # >= 0.95 at P>=128, but the graph path already measures edge
+        # recall 0.993 at 3*sqrt(P) (SCALECHECK) because the NN-descent
+        # stitch repairs routing misses; 1.5x more GEMM here would buy
+        # recall the stitch already provides
+        import math
+
+        probe_n = min(num_partitions, max(8, math.ceil(3.0 * math.sqrt(num_partitions))))
     C = _train_centroids(src, num_partitions, "id", "vec", dim=dim)
     spark = base.sparkSession
 
@@ -431,7 +440,12 @@ def _knn_graph_cluster(
     # SCALECHECK. Above the budget the general path below shuffles the
     # corpus by cell — the 100 TB shape, where members cannot broadcast.
     n_rows = src.count()
-    if 0 < n_rows * assign_n * dim * 8 <= _CLUSTER_BCAST_BYTES and len(C):
+    # budget at 12 bytes/element, not 8: near the boundary every cell
+    # exceeds _FP32_SELECT_MIN_M, so the broadcast holds BOTH the fp64
+    # rescore matrix and its fp32 selection copy (plus ids/norms, and
+    # the driver transiently holds X_all during construction) — the
+    # 8-byte estimate understated the real footprint by ~1.5x
+    if 0 < n_rows * assign_n * dim * 12 <= _CLUSTER_BCAST_BYTES and len(C):
         g = _cluster_graph_bcast(
             src, C, k=k, metric=metric, dim=dim,
             assign_n=assign_n, probe_n=min(probe_n, num_partitions),

@@ -179,7 +179,7 @@ def similarity_search(
         return matryoshka_knn(base, queries, dim=_dim(dim, method), k=k)
     if method == "hnsw_routed":
         # bounded-probe deployment layout: centroid-routed build (SPANN
-        # multi-assignment), ~3*sqrt(P) cells probed per query — the
+        # multi-assignment), ~4.5*sqrt(P) cells probed per query — the
         # sublinear-in-P alternative to probe-all hnsw; pass a routed
         # ``index`` to probe an existing artifact (hash-placed indexes
         # are refused rather than silently misrouted)
