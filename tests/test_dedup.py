@@ -405,3 +405,33 @@ def test_embedding_neardup_star_linear_cliques(spark, sf_smoke):
     assert len(cf) == 10
     assert not any(v >= 2000 for p in star for v in p), "zero vectors paired"
     assert _components(star) == _components(full)
+
+
+def test_uncapped_jaccard_warns_on_projected_pair_budget(spark, monkeypatch):
+    """The uncapped foot-gun guard fires on the PROJECTED self-join row
+    count sum(df*(df-1)/2) against an absolute budget — not a corpus
+    fraction (a df=5M shingle in 5% of a 100M-doc corpus explodes with
+    no fraction test ever firing). Probed with a shrunken budget: a
+    corpus sharing one hot shingle warns; a disjoint corpus under the
+    same budget stays silent."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [(i, "common shared boilerplate line here", "en", "s", 30) for i in range(12)]
+        + [(100 + i, f"unique text {i} alpha beta gamma {i}", "en", "s", 30)
+           for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    monkeypatch.setattr(D, "_PAIR_ROW_BUDGET", 20)
+    with pytest.warns(UserWarning, match="projects"):
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.9)
+    # same budget, no hot shingle above it -> worst-case gate may pass
+    # but the exact census stays under budget: no warning
+    disjoint = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i}", "en", "s", 30)
+         for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        D.ngram_jaccard_pairs(disjoint, n=3, threshold=0.9)

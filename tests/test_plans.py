@@ -506,3 +506,33 @@ def test_ivf_pq_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
     assert any(
         "in(cell" in line.lower() or "cell#" in line for line in pf_lines
     ), f"no cell partition filter pushed; PartitionFilters lines: {pf_lines}"
+
+
+def test_approx_top_tokens_verified_tokenizes_once(spark, sf_smoke):
+    """The MG-verified heavy-hitter plan fans the token stream into
+    three consumers (sketch, exact semi-joined count, total); the
+    persisted toks relation means the corpus is tokenized ONCE — every
+    consumer reads InMemoryTableScan and no consumer re-runs the
+    explode. Guards the persist_tracked policy the verdict flagged."""
+    from vectorsearch_with_hnsw_spark.cache import release_caches
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        approx_top_tokens_verified,
+    )
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    try:
+        df = approx_top_tokens_verified(docs, k=5, capacity=32)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # all three consumers hit the cache (a removed persist drops
+        # this to zero and re-tokenizes per branch)
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        # every explode in the tree belongs to an inlined InMemoryRelation
+        # reprint — never a live re-tokenize branch: each line above a
+        # Generate must trace through an InMemoryTableScan ancestor, which
+        # in the toString tree means at least as many cache scans as
+        # Generate-bearing cached-plan reprints
+        assert plan.count("InMemoryTableScan") >= plan.count("InMemoryRelation"), plan
+        assert df.count() > 0
+    finally:
+        release_caches()

@@ -688,3 +688,26 @@ def test_ivf_pq_distributed_probe_equals_broadcast(spark, sf_smoke):
         for r in ivf_pq_knn_distributed(emb, q, lut_chunk=16, **kwargs).collect()
     }
     assert base == dist and len(base) == 40 * 7
+
+
+def test_ivf_pq_auto_routes_large_query_table(spark, sf_smoke):
+    """ivf_pq_knn's default API must never land an unbounded query
+    table on the driver: above probe_bcast_bytes the call dispatches to
+    the cogroup scorer. Probed with a tiny budget: the returned plan
+    contains the cogroup kernel (FlatMapCoGroupsInPandas) instead of
+    the broadcast mapInPandas scan, and rows stay bit-identical; the
+    default budget keeps the broadcast plan (no cogroup node)."""
+    from vectorsearch_with_hnsw_spark.operators.pq import ivf_pq_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=25)
+    kwargs = dict(dim=64, m=8, k=5, n_probe=3, n_cells=8, iters=2)
+    routed = ivf_pq_knn(emb, q, probe_bcast_bytes=1, **kwargs)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    default = ivf_pq_knn(emb, q, **kwargs)
+    plan_d = default._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan_d
+    a = {(r.query_id, r.rnk, r.neighbor_id, r.adc_d2) for r in routed.collect()}
+    b = {(r.query_id, r.rnk, r.neighbor_id, r.adc_d2) for r in default.collect()}
+    assert a == b and len(a) == 25 * 5

@@ -44,6 +44,12 @@ MINHASH_BANDS = 4  # 4 bands x 2 rows
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 
+# uncapped ngram_jaccard_pairs warns when the projected inverted-index
+# self-join row count sum(df*(df-1)/2) exceeds this — an absolute row
+# budget (~8 GB of join payload), because the explosion scales with
+# df^2, not with the hot shingle's corpus FRACTION
+_PAIR_ROW_BUDGET = 1_000_000_000
+
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on a normalized-text fingerprint: keeper = min doc_id
@@ -101,7 +107,10 @@ def ngram_jaccard_pairs(
         .distinct()
         .transform(persist_tracked)
     )
-    sh.count()  # eager: consumers below — avoid concurrent cache-population races
+    # eager: consumers below — avoid concurrent cache-population races.
+    # The materialized row count also gates the uncapped-path census for
+    # free (worst-case pair bound needs no extra job).
+    n_sh_rows = sh.count()
     if max_df_frac is not None:
         import math
 
@@ -137,33 +146,46 @@ def ngram_jaccard_pairs(
         kept = sh
         # Uncapped = exact Jaccard over EVERY shingle, including the
         # O(df^2) self-join rows a corpus-wide boilerplate shingle
-        # contributes. Guard the foot-gun: above 10k docs (where df^2
-        # starts to matter) spend one agg scan of the persisted shingle
-        # cache on a df census and warn when a shingle covers most of
-        # the corpus — the caller should either set max_df_frac or
-        # expect the quadratic join. Small corpora skip the census
-        # entirely (df^2 <= 1e8 is harmless), so the common benchmark
-        # path pays nothing.
-        n_docs = docs.count()
-        if n_docs > 10_000:
-            df_max_row = (
+        # contributes. Guard the foot-gun on the quantity that actually
+        # explodes — the PROJECTED JOIN ROW COUNT sum(df*(df-1)/2), not
+        # a corpus fraction (a shingle in just 5% of a 100M-doc corpus
+        # is df=5M -> ~1.2e13 join rows; a fraction test never fires).
+        # Gate for free off the already-materialized shingle row count:
+        # even if every row shared ONE shingle key, the join yields
+        # n_sh_rows*(n_sh_rows-1)/2 rows, so below the budget the
+        # census is provably unnecessary and small corpora pay no extra
+        # job. Above the gate, one agg over the persisted shingle cache
+        # (no re-read of docs) computes the exact projection and warns
+        # when it clears the budget — the caller should set max_df_frac
+        # or expect the quadratic join.
+        worst_case = n_sh_rows * (n_sh_rows - 1) // 2
+        if worst_case > _PAIR_ROW_BUDGET:
+            census = (
                 sh.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("df"))
-                .agg(F.max("df").alias("m"))
+                .agg(
+                    F.sum(
+                        F.col("df").cast("double")
+                        * (F.col("df") - F.lit(1)).cast("double")
+                        / F.lit(2.0)
+                    ).alias("pairs"),
+                    F.max("df").alias("df_max"),
+                )
                 .collect()[0]
             )
-            df_max = int(df_max_row["m"] or 0)
-            if df_max > max(5_000, n_docs // 2):
+            projected = float(census["pairs"] or 0.0)
+            if projected > _PAIR_ROW_BUDGET:
                 import warnings
 
                 warnings.warn(
-                    f"ngram_jaccard_pairs: uncapped run with a shingle in "
-                    f"{df_max} of {n_docs} documents — the inverted-index "
-                    f"self-join will produce ~{df_max * (df_max - 1) // 2:,} "
-                    "rows for that shingle alone. Set max_df_frac (e.g. "
-                    "0.5) to drop corpus-wide boilerplate shingles before "
-                    "the join (note: a document duplicated across more "
-                    "than that fraction of the corpus then cannot pair).",
+                    f"ngram_jaccard_pairs: uncapped run projects "
+                    f"~{projected:.3g} inverted-index self-join rows "
+                    f"(budget {_PAIR_ROW_BUDGET:.0e}; hottest shingle "
+                    f"df={int(census['df_max'] or 0)}). Set max_df_frac "
+                    "(e.g. 0.5) to drop corpus-wide boilerplate shingles "
+                    "before the join (note: a document duplicated across "
+                    "more than that fraction of the corpus then cannot "
+                    "pair).",
                     stacklevel=2,
                 )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -451,25 +473,50 @@ def embedding_neardup_pairs(
     withv = emb.select(F.col("vec_id"), to_vec("embedding").alias("v"))
     star = None
     if identical == "star":
-        reps = withv.groupBy("v").agg(F.min("vec_id").alias("_rep"))
-        tagged = persist_tracked(withv.join(reps, "v"))
-        norm = l2_norm(F.col("v"))
-        # the exact expression shapes the kernel applies to a kept pair
-        # with x == y: fold dot, product of fold norms, one division,
-        # zero-norm -> 0.0 (so all-zero embedding cliques never pair)
-        selfcos = F.when(norm == F.lit(0.0), F.lit(0.0)).otherwise(
-            vec_dot(F.col("v"), F.col("v")) / (norm * norm)
+        # duplicate census on an 8-byte vector hash first (narrow
+        # map-side-combined shuffle): no repeated vectors — the common
+        # corpus — skips contraction entirely; otherwise only the
+        # duplicated-hash rows enter the wide array-keyed groupBy.
+        # Distinct-vector hash collisions merely widen the candidate
+        # set; grouping inside it is on the actual vector (exact).
+        withv = persist_tracked(withv)
+        hashed = withv.withColumn("_h", F.xxhash64("v"))
+        dup_h = (
+            hashed.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .select("_h")
         )
-        star = (
-            tagged.filter(F.col("vec_id") != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),
-                F.col("vec_id").alias("id_b"),
-                selfcos.alias("cos_sim"),
+        if not dup_h.isEmpty():
+            dupes = hashed.join(dup_h, "_h", "semi")
+            reps = dupes.groupBy("v").agg(F.min("vec_id").alias("_rep"))
+            tagged = persist_tracked(dupes.join(reps, "v"))
+            norm = l2_norm(F.col("v"))
+            # the exact expression shapes the kernel applies to a kept
+            # pair with x == y: fold dot, product of fold norms, one
+            # division, zero-norm -> 0.0 (so all-zero embedding cliques
+            # never pair)
+            selfcos = F.when(norm == F.lit(0.0), F.lit(0.0)).otherwise(
+                vec_dot(F.col("v"), F.col("v")) / (norm * norm)
             )
-            .filter(F.col("cos_sim") >= F.lit(threshold))
-        )
-        withv = tagged.filter(F.col("vec_id") == F.col("_rep")).select("vec_id", "v")
+            star = (
+                tagged.filter(F.col("vec_id") != F.col("_rep"))
+                .select(
+                    F.col("_rep").alias("id_a"),
+                    F.col("vec_id").alias("id_b"),
+                    selfcos.alias("cos_sim"),
+                )
+                .filter(F.col("cos_sim") >= F.lit(threshold))
+            )
+            withv = (
+                hashed.join(dup_h, "_h", "left_anti")
+                .select("vec_id", "v")
+                .unionByName(
+                    tagged.filter(F.col("vec_id") == F.col("_rep")).select(
+                        "vec_id", "v"
+                    )
+                )
+            )
     banded = banded_bucket_frame_fast(withv, "v", int(dim), bands, planes_per_band)
     n_salt = 4
     banded = banded.withColumn(
@@ -1003,28 +1050,54 @@ def semantic_neardup_pairs(
     vecs = persist_tracked(hashed_doc_vectors(docs, dim))
     star = None
     if identical == "star":
-        # group bit-identical vectors: the groupBy partial-aggregates
-        # map-side, so a 10M-copy document collapses to one row per
-        # input partition before the shuffle; the tag-back join is on
-        # the same key and AQE skew-splits it if a clique dominates
-        reps = vecs.groupBy("vec").agg(F.min("doc_id").alias("_rep"))
-        tagged = persist_tracked(vecs.join(reps, "vec"))
-        star = (
-            tagged.filter(F.col("doc_id") != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("doc_a"),
-                F.col("doc_id").alias("doc_b"),
-                # self-dot in the canonical sequential fold order — the
-                # exact value the kernel would have scored this pair at
-                # (identical vectors), and 0.0 < threshold for the
-                # zero-vector (token-less) clique, which must not pair
-                vec_dot(F.col("vec"), F.col("vec")).alias("cos_sim"),
+        # cheap duplicate census first: one map-side-combined agg over an
+        # 8-byte xxhash64 of the vector (narrow shuffle — never the
+        # dim-wide array). A corpus with no repeated vectors (the common
+        # case) skips the contraction machinery entirely; otherwise only
+        # the clique-candidate rows (duplicated hashes) enter the wide
+        # array-keyed groupBy, so unique vectors never shuffle wide.
+        # Hash collisions between DISTINCT vectors are harmless: they
+        # only widen the candidate set — grouping inside it stays on the
+        # actual vector, so semantics are exact (no collision gamble).
+        hashed = vecs.withColumn("_h", F.xxhash64("vec"))
+        dup_h = (
+            hashed.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .select("_h")
+        )
+        if not dup_h.isEmpty():
+            dupes = hashed.join(dup_h, "_h", "semi")
+            # groupBy on the full vector, but only over clique-candidate
+            # rows; still partial-aggregates map-side, so a 10M-copy
+            # document collapses to one row per input partition before
+            # the shuffle, and the tag-back join is AQE skew-split if a
+            # clique dominates
+            reps = dupes.groupBy("vec").agg(F.min("doc_id").alias("_rep"))
+            tagged = persist_tracked(dupes.join(reps, "vec"))
+            star = (
+                tagged.filter(F.col("doc_id") != F.col("_rep"))
+                .select(
+                    F.col("_rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    # self-dot in the canonical sequential fold order —
+                    # the exact value the kernel would have scored this
+                    # pair at (identical vectors), and 0.0 < threshold
+                    # for the zero-vector (token-less) clique, which
+                    # must not pair
+                    vec_dot(F.col("vec"), F.col("vec")).alias("cos_sim"),
+                )
+                .filter(F.col("cos_sim") >= F.lit(threshold))
             )
-            .filter(F.col("cos_sim") >= F.lit(threshold))
-        )
-        vecs = tagged.filter(F.col("doc_id") == F.col("_rep")).select(
-            "doc_id", "vec"
-        )
+            vecs = (
+                hashed.join(dup_h, "_h", "left_anti")
+                .select("doc_id", "vec")
+                .unionByName(
+                    tagged.filter(F.col("doc_id") == F.col("_rep")).select(
+                        "doc_id", "vec"
+                    )
+                )
+            )
     banded = banded_bucket_frame_split(
         vecs, "vec", dim, bands, planes_per_band, extra_bits=extra_bits, cap=block_cap
     )

@@ -263,6 +263,15 @@ def pq_refine_knn(
     )
 
 
+# budget for the broadcast probe set in ivf_pq_knn (same pattern as
+# retrieval._STITCH_BCAST_BYTES): a query batch whose residual matrix
+# (|queries| * n_probe rows of dim float64) fits below it is collected
+# and broadcast — the map-only scan; above it the call auto-routes to
+# the bit-identical cogroup path, so an unbounded query table never
+# lands on the driver through the default API.
+_PROBE_BCAST_BYTES = 256 * 1024 * 1024
+
+
 def ivf_pq_knn(
     emb: DataFrame,
     queries: DataFrame,
@@ -276,6 +285,7 @@ def ivf_pq_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lut_chunk: int = 4096,
+    probe_bcast_bytes: int = _PROBE_BCAST_BYTES,
 ) -> DataFrame:
     """IVF-PQ with residual encoding — the FAISS ``IndexIVFPQ`` scheme
     and the canonical billion-scale layout: a trained coarse quantizer
@@ -294,16 +304,33 @@ def ivf_pq_knn(
 
     Everything is the canonical sequential double fold, so the DuckDB
     oracle reproduces cells, residuals, codes, LUTs, and ADC sums
-    bit-for-bit."""
+    bit-for-bit.
+
+    Dispatch: the broadcast-probe scorer collects the query batch's
+    residuals on the driver, so it is gated by ``probe_bcast_bytes``
+    (one cheap count of the query table); a batch whose projected
+    probe matrix exceeds the budget auto-routes to the bit-identical
+    cogroup scorer (``_ivf_pq_score_distributed``), which never
+    materializes the queries driver-side."""
     from ..cache import release
 
     codes, cents, _, cb_np, cached = _ivf_pq_build(
         emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
     )
-    out = _ivf_pq_score(
-        codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
-        lut_chunk=lut_chunk,
-    )
+    # projected broadcast payload: one dim-wide float64 residual per
+    # (query, probe) row. Counting the query table is one job — this
+    # operator is already eager (the codebook collect above).
+    n_q = queries.count()
+    if n_q * n_probe * dim * 8 > probe_bcast_bytes:
+        out = _ivf_pq_score_distributed(
+            codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
+            lut_chunk=lut_chunk,
+        )
+    else:
+        out = _ivf_pq_score(
+            codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
+            lut_chunk=lut_chunk,
+        )
     # one-shot contract: leak nothing into the CacheManager. The scoring
     # plan reads codes (and hence the assignment) exactly once, so the
     # consumer's action re-runs the assign kernel once instead of

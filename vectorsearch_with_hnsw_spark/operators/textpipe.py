@@ -380,7 +380,14 @@ def approx_top_tokens_guarantee(
 
     from ..functions.text import tokens as _tokens
 
-    toks = docs.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
+    # persist: three consumers of the token stream (sketch summary,
+    # exact vocabulary count, total) — tokenize once, per the package's
+    # persist_tracked policy. Eager count: the broadcast total builds
+    # concurrently with the main plan and would race the cache.
+    toks = docs.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("token")
+    ).transform(persist_tracked)
+    toks.count()
 
     def prune(counters: dict, cap: int) -> dict:
         if len(counters) <= cap:
@@ -438,9 +445,18 @@ def approx_top_tokens_verified(
 
     from ..functions.text import tokens as _tokens
 
+    # persist: the token stream fans into THREE consumers (MG candidate
+    # sketch, the semi-joined exact count, and the total) and Spark does
+    # not CSE across join sides or broadcast subqueries — without it the
+    # corpus is tokenized three times per action (the package's
+    # persist_tracked policy). Eager count for the same reason as
+    # familiarity_buckets: the broadcast subqueries (candidates, total)
+    # build concurrently with the main plan and would race to populate
+    # the cache.
     toks = spread(docs).select(
         F.explode(_tokens(F.lower(F.col(text_col)))).alias("token")
-    )
+    ).transform(persist_tracked)
+    toks.count()
 
     def prune(counters: dict, cap: int) -> dict:
         if len(counters) <= cap:
