@@ -536,3 +536,31 @@ def test_approx_top_tokens_verified_tokenizes_once(spark, sf_smoke):
         assert df.count() > 0
     finally:
         release_caches()
+
+
+def test_pretrain_sequences_exchange_ledger(spark, sf_smoke):
+    """The whole pretraining prep chain (score -> gate -> dedup ->
+    sample -> chunk -> pack) runs in exactly THREE exchanges, each one
+    accounted for:
+      1. Exchange on fp      — curate's dedup-keeper window (the one
+                               relational shuffle the chain needs)
+      2. BroadcastExchange   — the survivor doc_id set joining back for
+                               text (ids only; becomes a 2-exchange SMJ
+                               above the broadcast threshold — ledger 5)
+      3. Exchange on shard   — pack_chunks' per-shard cumulative sum
+    Scoring, gating, sampling, and chunking are all map-side and fuse
+    with the scans. Pins SCALECHECK's pretrain_sequences_exchanges row
+    (the round-10 artifact reported 7 by counting the persisted
+    synthetic corpus construction re-printed in cached-plan blocks)."""
+    from vectorsearch_with_hnsw_spark.operators.pipeline import pretrain_sequences
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = pretrain_sequences(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exch = [line.strip() for line in plan.splitlines() if "Exchange" in line]
+    assert len(exch) == 3, exch
+    assert sum("hashpartitioning(fp" in e for e in exch) == 1, exch
+    assert sum("BroadcastExchange" in e for e in exch) == 1, exch
+    assert sum("hashpartitioning(shard" in e for e in exch) == 1, exch
+    assert df.count() > 0

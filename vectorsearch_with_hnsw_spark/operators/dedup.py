@@ -992,12 +992,17 @@ def semantic_neardup_pairs(
       representative->member edges only (O(group), cos_sim = the same
       sequential self-dot fold, which also keeps zero-vector docs
       unpaired), and only the representative enters the LSH kernel.
-      Connected components are unchanged by transitivity: any outside
-      doc within threshold of a member is within threshold of the
-      bit-identical representative, and identical vectors share every
-      LSH bucket, so the (rep, outside) edge survives whenever the
-      (member, outside) edge would have. Downstream cluster/keeper
-      verdicts are therefore identical, at O(n) output.
+      Components are PRESERVED for identical-clique edges by
+      transitivity: any outside doc within threshold of a member is
+      within threshold of the bit-identical representative, and
+      identical vectors share every LSH bucket, so the (rep, outside)
+      edge survives whenever the (member, outside) edge would have.
+      Star mode may additionally RECOVER near-threshold non-identical
+      pairs that pairs mode loses to hot-block extra-bit attenuation
+      (the block-cap census sees deduplicated representatives, so hot
+      blocks split less) — recall strictly improves; the two modes'
+      components coincide except where pairs mode had already dropped
+      a true edge. Output is O(n) per clique.
     - ``"pairs"``: the full quadratic pair set inside identical
       cliques (the pre-round-10 behavior) for callers that need every
       pairwise score materialized.
