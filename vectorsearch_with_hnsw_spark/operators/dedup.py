@@ -567,21 +567,35 @@ def embedding_neardup_pairs(
         ids_l = left["vec_id"].to_numpy(dtype=np.int64)
         ids_r = right["vec_id"].to_numpy(dtype=np.int64)
         mat_l = np.array(list(left["v"]), dtype=np.float64)
-        mat_r = np.array(list(right["v"]), dtype=np.float64)
+        mat_r = mat_l if triangular else np.array(list(right["v"]), dtype=np.float64)
         allb_l = np.array(list(left["bands"]), dtype=np.int32)
         allb_r = np.array(list(right["bands"]), dtype=np.int32)
         # fold-order norms (bit-identical to l2_norm); zero norms score
         # 0.0 against everything and never pass the threshold
-        nl, nr = _fold_norms(mat_l), _fold_norms(mat_r)
-        # normalized copies for the approximate-cos candidate mask only
+        nl = _fold_norms(mat_l)
+        nr = nl if triangular else _fold_norms(mat_r)
+        # normalized fp32 copies for the approximate-cos candidate mask
+        # only (bandwidth-bound GEMM, ~1.6x fp64); the slack covers the
+        # fp32 unit-dot error bound, so the mask only over-admits —
+        # the keep decision stays on the exact fold below. Contiguous
+        # transposes feed the fold's gathers (same elements, same
+        # multiply/add order — bit-identical, ~2x the strided form).
         with np.errstate(divide="ignore", invalid="ignore"):
-            un_l = np.where(nl[:, None] == 0.0, 0.0, mat_l / nl[:, None])
-            un_r = np.where(nr[:, None] == 0.0, 0.0, mat_r / nr[:, None])
+            un_l = np.where(
+                nl[:, None] == 0.0, 0.0, mat_l / nl[:, None]
+            ).astype(np.float32)
+            un_r = un_l if triangular else np.where(
+                nr[:, None] == 0.0, 0.0, mat_r / nr[:, None]
+            ).astype(np.float32)
+        t_l = np.ascontiguousarray(mat_l.T)
+        t_r = t_l if triangular else np.ascontiguousarray(mat_r.T)
+        dim_b = mat_l.shape[1]
+        slack = 1e-4 + dim_b * 1e-6
         parts: list[pd.DataFrame] = []
         for c0 in range(0, len(ids_l), chunk):
             c1 = min(c0 + chunk, len(ids_l))
             approx = un_l[c0:c1] @ un_r.T
-            ii, jj = np.nonzero(approx >= threshold - 1e-6)
+            ii, jj = np.nonzero(approx >= threshold - slack)
             ii = ii + c0
             if triangular:
                 keep = ii < jj
@@ -594,8 +608,8 @@ def embedding_neardup_pairs(
             if len(ii) == 0:
                 continue
             dots = np.zeros(len(ii), dtype=np.float64)
-            for d in range(mat_l.shape[1]):
-                dots += mat_l[ii, d] * mat_r[jj, d]
+            for d in range(dim_b):
+                dots += t_l[d][ii] * t_r[d][jj]
             denom = nl[ii] * nr[jj]
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom == 0.0, 0.0, dots / denom)
@@ -1148,17 +1162,31 @@ def semantic_neardup_pairs(
         ids_l = left["doc_id"].to_numpy(dtype=np.int64)
         ids_r = right["doc_id"].to_numpy(dtype=np.int64)
         mat_l = np.array(list(left["vec"]), dtype=np.float64)
-        mat_r = np.array(list(right["vec"]), dtype=np.float64)
+        mat_r = mat_l if triangular else np.array(list(right["vec"]), dtype=np.float64)
         allb_l = np.array(list(left["bands"]), dtype=np.int32)
         allb_r = np.array(list(right["bands"]), dtype=np.int32)
+        # fp32 copies for the candidate-mask GEMM (memory-bandwidth
+        # bound — ~1.6x the fp64 GEMM) and contiguous transposes for
+        # the exact fold (contiguous-row gathers, ~2x the strided
+        # mat[ii, d] form; values identical — same elements, same
+        # multiply/add order). Slack widens with the fp32 error bound:
+        # unit vectors, so |approx32 - exact| <= ~dim * eps_f32.
+        f32_l = mat_l.astype(np.float32)
+        f32_r = f32_l if triangular else mat_r.astype(np.float32)
+        t_l = np.ascontiguousarray(mat_l.T)
+        t_r = t_l if triangular else np.ascontiguousarray(mat_r.T)
+        dim_b = mat_l.shape[1]
+        slack = 1e-4 + dim_b * 1e-6
         parts: list[pd.DataFrame] = []
         # chunked candidate mask: bounds temp memory at chunk*|right|
         # floats even if a bucket is hot; exactness is unaffected — the
-        # mask only prunes.
+        # mask only prunes (the keep decision below is on the exact
+        # fold), and the slack over-admits near-threshold candidates
+        # rather than ever dropping a true pair.
         for c0 in range(0, len(ids_l), chunk):
             c1 = min(c0 + chunk, len(ids_l))
-            approx = mat_l[c0:c1] @ mat_r.T
-            ii, jj = np.nonzero(approx >= threshold - 1e-9)
+            approx = f32_l[c0:c1] @ f32_r.T
+            ii, jj = np.nonzero(approx >= threshold - slack)
             ii = ii + c0
             if triangular:
                 keep = ii < jj  # upper triangle: each in-group pair once
@@ -1178,8 +1206,8 @@ def semantic_neardup_pairs(
             # dimension ascending — the sequential-fold order,
             # vectorized across pairs
             sims = np.zeros(len(ii), dtype=np.float64)
-            for d in range(mat_l.shape[1]):
-                sims += mat_l[ii, d] * mat_r[jj, d]
+            for d in range(dim_b):
+                sims += t_l[d][ii] * t_r[d][jj]
             kf = sims >= threshold
             ii, jj, sims = ii[kf], jj[kf], sims[kf]
             lo = np.minimum(ids_l[ii], ids_r[jj])
