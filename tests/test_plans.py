@@ -441,12 +441,23 @@ def test_semantic_neardup_has_no_dedup_aggregate(spark, sf_smoke):
     above_kernel = plan.split("FlatMapGroupsInPandas")[0]
     assert "HashAggregate" not in above_kernel
 
-    # star mode: still exactly one grouped-pandas kernel, plus the
-    # identical-clique contraction branch (one aggregate + one join);
-    # nothing consumes the kernel's output but the final union
+    # star mode on a corpus with NO repeated vectors: the xxhash64
+    # duplicate census proves contraction unnecessary, so the plan is
+    # the SAME pure kernel — no Union, no contraction branch
     star_plan = formatted_plan(semantic_neardup_pairs(docs))
     assert star_plan.count("FlatMapGroupsInPandas") <= 2
-    assert "Union" in star_plan
+    assert "Union" not in star_plan
+
+    # with an injected clique the contraction branch appears: one
+    # grouped-pandas kernel plus the star-edge union
+    clique = docs.limit(1).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    dup_docs = docs.unionByName(clique)
+    dup_plan = formatted_plan(semantic_neardup_pairs(dup_docs))
+    assert dup_plan.count("FlatMapGroupsInPandas") <= 2
+    assert "Union" in dup_plan
 
 
 def test_ivf_pq_adc_is_map_side(spark, sf_smoke):

@@ -1000,9 +1000,12 @@ def semantic_neardup_pairs(
     rows (a document copied 10M times would otherwise produce ~5e13
     "correct" pairs and the job never finishes):
 
-    - ``"star"`` (default): exact-identical vectors are grouped up
-      front (one map-side-combining groupBy on the vector — mass
-      duplication SHRINKS this shuffle), each group emits
+    - ``"star"`` (default): a narrow xxhash64 duplicate census runs
+      first (8-byte keys, map-side combined); corpora with no repeated
+      vectors skip contraction entirely, otherwise exact-identical
+      vectors among the duplicated-hash rows are grouped (map-side-
+      combining groupBy on the vector — mass duplication SHRINKS this
+      shuffle, and unique vectors never shuffle wide), each group emits
       representative->member edges only (O(group), cos_sim = the same
       sequential self-dot fold, which also keeps zero-vector docs
       unpaired), and only the representative enters the LSH kernel.

@@ -407,9 +407,11 @@ def _ivf_pq_score(
     (qr_i - cb_i)^2 sub-fold one dimension at a time in ascending
     order (the exact _sub_d2 fold), and the per-candidate ADC sum
     adds LUT entries in subspace-ascending order (the exact aggregate
-    fold). The probe set is a bounded query batch (same contract as
-    the broadcast join this replaced; for unbounded query streams use
-    the distributed exact/HNSW paths) — the broadcast carries only the
+    fold). The probe set is a bounded query batch (``ivf_pq_knn``
+    auto-routes to ``_ivf_pq_score_distributed`` above its
+    ``probe_bcast_bytes`` budget, so an unbounded query table never
+    reaches this scorer through the default API) — the broadcast
+    carries only the
     probes' RESIDUAL vectors (|probes| x dim doubles, m*C/dim = ~64x
     smaller than the LUT tensor a previous version built on the
     driver: at a 1M-query batch that tensor was ~80 GB of driver
