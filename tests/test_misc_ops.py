@@ -405,8 +405,9 @@ def test_mix_corpus_temperature_pow_path_runs(spark, sf_smoke):
 
 
 def test_deployed_recall_rows_match_dispatch(spark, sf_smoke):
-    """DEPLOYED_RECALL_ROWS (the rows bench.py's recall_min_deployed
-    minimizes over) cannot drift from similarity_search's routing:
+    """DEPLOYED_RECALL_ROWS (the method -> registry-exhibit map; bench's
+    recall_min_deployed additionally measures each method directly at
+    its dispatch defaults) cannot drift from similarity_search's routing:
     for every mapped method, the kernel the dispatch calls must be the
     SAME function the named registry row measures — verified by
     patching the kernel and observing both call sites hit it."""

@@ -49,13 +49,16 @@ METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh",
 
 # method -> the bench/registry row that measures the EXACT kernel this
 # dispatch deploys. The sketch families route to their refine forms
-# (ADC/Hamming/SQ8 rankings are shortlist stages, never served raw), so
-# the bench's "recall_min_deployed" headline must take its min over
-# THESE rows — the raw shortlist recalls (binary_sign_ann 0.21,
-# ivf_pq_ann 0.49, pq_adc_ann 0.52) are cost-profile exhibits, not
-# deployed floors. tests/test_misc_ops.py pins every entry to the
-# kernel similarity_search actually calls, so this table cannot drift
-# from the dispatch above it.
+# (ADC/Hamming/SQ8 rankings are shortlist stages, never served raw);
+# the raw shortlist recalls (binary_sign_ann 0.21, ivf_pq_ann 0.49,
+# pq_adc_ann 0.52) are cost-profile exhibits, not deployed floors.
+# bench.py's "recall_min_deployed" headline goes one step further and
+# measures every method here DIRECTLY at its dispatch defaults
+# (recall_deploy_*), because the registry exhibits keep their own
+# explicit settings (e.g. the 8-band lsh row vs the deployed 16-band
+# multiprobe). tests/test_misc_ops.py pins every entry to the kernel
+# similarity_search actually calls, so this table cannot drift from
+# the dispatch above it.
 DEPLOYED_RECALL_ROWS = {
     "lsh": "lsh_ann_cosine",
     "ivf": "ivf_ann_cosine",
