@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "knn_exact_cosine",
     "knn_label_lookup",
     "knn_filtered",
+    "knn_filtered_semijoin",
     "lsh_ann_cosine",
     "ivf_ann_cosine",
     "dedup_exact",

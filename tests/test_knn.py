@@ -118,3 +118,60 @@ def test_similarity_search_recall_floor(spark, sf_smoke):
             failures.append((method, round(recall, 3)))
     emb.unpersist()
     assert not failures, f"methods below the 0.75 recall@10 floor at defaults: {failures}"
+
+
+def test_filtered_knn_prefilter_semantics(spark, sf_smoke):
+    """filtered_knn = exact top-k over EXACTLY the surviving rows:
+    every neighbor satisfies the filter, results match knn_exact over
+    the manually filtered base bit-for-bit, and a subset smaller than k
+    under-fills honestly (the post-filter failure mode this operator
+    avoids by construction)."""
+    from vectorsearch_with_hnsw_spark.operators.knn import filtered_knn, knn_exact
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = filtered_knn(emb, q, k=10, metric="l2", predicate="label % 2 = 0")
+    want = knn_exact(emb.filter("label % 2 = 0"), q, k=10, metric="l2")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    labels = {r["label"] for r in got.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    ).collect()}
+    assert labels <= {0, 2, 4, 6, 8}
+
+    # under-fill: only 3 rows survive -> 3 results per query, not k
+    tiny = filtered_knn(emb, q, k=10, metric="l2", predicate="vec_id IN (7, 8, 9)")
+    per_q = {r["query_id"]: r["n"] for r in
+             tiny.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_q and all(n == 3 for n in per_q.values())
+
+
+def test_filtered_knn_allowed_ids_and_method_composition(spark, sf_smoke):
+    """The cross-table filter (allowed_ids semi-join) and the method
+    pass-through: an ANN family searched over the filtered base returns
+    only allowed ids, and the allowed set defines the candidate space
+    exactly (exact path equals knn_exact over the semi-joined base)."""
+    from vectorsearch_with_hnsw_spark.operators.knn import filtered_knn, knn_exact
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    docs = load_table(spark, sf_smoke, "documents")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    allowed_set = {r["doc_id"] for r in allowed.collect()}
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = filtered_knn(emb, q, k=5, metric="l2", allowed_ids=allowed)
+    want = knn_exact(
+        emb.join(allowed.withColumnRenamed("doc_id", "vec_id"), "vec_id", "semi"),
+        q, k=5, metric="l2",
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    ann = filtered_knn(
+        emb, q, k=5, metric="l2", allowed_ids=allowed, method="ivf_pq", dim=64
+    )
+    rows = ann.collect()
+    assert rows and {r["neighbor_id"] for r in rows} <= allowed_set

@@ -575,3 +575,21 @@ def test_pretrain_sequences_exchange_ledger(spark, sf_smoke):
     assert sum("BroadcastExchange" in e for e in exch) == 1, exch
     assert sum("hashpartitioning(shard" in e for e in exch) == 1, exch
     assert df.count() > 0
+
+
+def test_filtered_knn_pushes_predicate_to_scan(spark, sf_smoke):
+    """The pre-filter strategy's whole point at 100 TB: the metadata
+    predicate must reach the parquet scan as a pushed filter (row-group
+    pruning at rest), never run as a post-scan Filter over the full
+    corpus — and the distance kernel sees only survivors."""
+    from vectorsearch_with_hnsw_spark.operators.knn import filtered_knn
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = filtered_knn(emb, q, k=3, metric="l2", predicate=F.col("label") < 5)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "LessThan(label,5)" in plan, plan
+    assert df.count() > 0

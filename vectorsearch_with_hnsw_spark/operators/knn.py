@@ -211,6 +211,78 @@ def knn_exact_fast(
     )
 
 
+def filtered_knn(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+    method: str = "exact_fast",
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attribute-filtered vector search — the vector-DB "metadata WHERE
+    + top-k" pattern (Qdrant/Milvus/pgvector filtered search), absent
+    from the reference (hsnw_trial.py's search takes only a vector,
+    hsnw_trial.py:267-294) but the first thing a production corpus
+    needs ("nearest English documents", "nearest rows in this tenant").
+
+    Strategy = PRE-FILTER, then search the survivors:
+
+    - ``predicate``: a Column or SQL string over the vector table's own
+      columns. Applied before any distance math, so Catalyst pushes it
+      into the parquet scan (PushedFilters — row-group/partition
+      pruning at rest; pinned by plan test).
+    - ``allowed_ids``: a one-column relation of ids whose metadata
+      lives in ANOTHER table (e.g. documents.lang): semi-joined on
+      ``id_col`` — broadcast when small, AQE-planned otherwise.
+
+    Pre-filtering is correct at ANY selectivity: cost scales with the
+    selected subset and exactly k results come back whenever the subset
+    has k rows. (Post-filtering a fixed-size ANN result — search first,
+    filter after — silently under-fills k on selective predicates, the
+    classic filtered-HNSW failure mode; a graph index also cannot skip
+    filtered-out nodes without breaking its routing.) For repeated
+    probes over one hot predicate at 100 TB, build a dedicated index
+    over the filtered subset instead (HnswIndex/IvfPqIndex over
+    ``base.filter(...)``) — this operator is the one-shot form.
+
+    ``method`` picks the search family over the filtered base: the
+    default exact BLAS top-k, or any ``similarity_search`` method name
+    (the sketch/IVF families train on the SURVIVORS, so their cells and
+    codebooks reflect the filtered distribution, not the full corpus)."""
+    filtered = index_df
+    if predicate is not None:
+        filtered = filtered.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    if allowed_ids is not None:
+        key = allowed_ids.columns[0]
+        filtered = filtered.join(
+            allowed_ids.select(F.col(key).alias(id_col)).distinct(), id_col, "semi"
+        )
+    if method == "exact_fast":
+        return knn_exact_fast(
+            filtered, queries_df, k=k, metric=metric, id_col=id_col, vec_col=vec_col
+        )
+    if method == "exact":
+        return knn_exact(
+            filtered, queries_df, k=k, metric=metric, id_col=id_col, vec_col=vec_col
+        )
+    from .search import similarity_search
+
+    return similarity_search(
+        filtered.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        queries_df,
+        method=method,
+        k=k,
+        metric=metric,
+        dim=dim,
+    )
+
+
 def format_results(knn_df: DataFrame, decimals: int = 4) -> DataFrame:
     """Presentation projection: distance formatted to fixed decimals —
     the reference's report formatting (4-decimal prints, FashionMNIST
