@@ -121,6 +121,19 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--metric", default="cosine")
     s.add_argument("--max-queries", type=int, default=5)
     s.add_argument("--terms", default="spark,hash,window", help="keyword terms (bm25/hybrid)")
+    s.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate over the embeddings table's columns "
+        "(pre-filter: pushed into the scan before any distance math), "
+        "e.g. \"label < 5\"",
+    )
+    s.add_argument(
+        "--lang",
+        default=None,
+        help="restrict to vectors whose document has this lang "
+        "(documents-table semi-join pre-filter)",
+    )
 
     qa = sub.add_parser(
         "quality",
@@ -367,13 +380,31 @@ def main(argv: list[str] | None = None) -> None:
                     "query_id", "rnk"
                 ).show(args.max_queries * args.k, truncate=False)
             else:
-                from .operators.search import similarity_search
-
                 dim = len(emb.select("embedding").first()[0])
-                similarity_search(
-                    emb, queries, method=args.method, k=args.k,
-                    metric=args.metric, dim=dim,
-                ).orderBy("query_id", "rnk").show(
+                where = getattr(args, "where", None)
+                lang = getattr(args, "lang", None)
+                if where is not None or lang is not None:
+                    from .operators.knn import filtered_knn
+
+                    allowed = (
+                        docs.filter(F.col("lang") == lang).select("doc_id")
+                        if lang is not None
+                        else None
+                    )
+                    out = filtered_knn(
+                        emb, queries, k=args.k, metric=args.metric,
+                        predicate=where, allowed_ids=allowed,
+                        method=args.method if args.method != "exact" else "exact",
+                        dim=dim,
+                    )
+                else:
+                    from .operators.search import similarity_search
+
+                    out = similarity_search(
+                        emb, queries, method=args.method, k=args.k,
+                        metric=args.metric, dim=dim,
+                    )
+                out.orderBy("query_id", "rnk").show(
                     args.max_queries * args.k, truncate=False
                 )
     finally:
