@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "doc_len_outliers",
     "sq8_ann",
+    "sq8_refine_ann",
     "ivf_sq8_ann",
     "ivf_sq8_refine_ann",
     "purchase_view_window",

@@ -431,7 +431,8 @@ def test_deployed_recall_rows_match_dispatch(spark, sf_smoke):
         "lsh": ("vectorsearch_with_hnsw_spark.operators.ann", "lsh_knn_cosine"),
         "ivf": ("vectorsearch_with_hnsw_spark.operators.ivf", "ivf_knn_cosine"),
         "ivf_kmeans": ("vectorsearch_with_hnsw_spark.operators.ivf", "ivf_kmeans_knn"),
-        "sq8": ("vectorsearch_with_hnsw_spark.operators.quantize", "sq8_knn"),
+        "sq8": ("vectorsearch_with_hnsw_spark.operators.quantize", "sq8_refine_knn"),
+        "sq8_refine": ("vectorsearch_with_hnsw_spark.operators.quantize", "sq8_refine_knn"),
         "ivf_sq8": ("vectorsearch_with_hnsw_spark.operators.quantize", "ivf_sq8_refine_knn"),
         "ivf_sq8_refine": ("vectorsearch_with_hnsw_spark.operators.quantize", "ivf_sq8_refine_knn"),
         "pq": ("vectorsearch_with_hnsw_spark.operators.pq", "pq_refine_knn"),

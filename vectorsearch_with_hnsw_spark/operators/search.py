@@ -11,7 +11,7 @@ operator signatures:
 | hnsw         | ~1.0 at defaults      | O(ef·Q) probes after build     |
 | hnsw_rescored| = exact when shortlist covers top-k | probes + 4k·Q exact re-scores |
 | hnsw_routed  | ~0.93 at P=128 (worst case) | ~3·sqrt(P) cells probed — sublinear in P |
-| sq8          | high                  | full scan, 4x smaller codes    |
+| sq8          | ~1.0 (exact re-rank)  | full 4x-smaller-code scan + expand·k reads |
 | ivf_sq8      | high (exact re-rank)  | cell-pruned quantized scan + expand·k reads |
 | ivf_sq8_refine| alias of above       | cell-pruned quantized scan + expand·k reads |
 | ivf          | high (probe-tuned)    | cell-pruned full vectors       |
@@ -36,8 +36,8 @@ on top), and tests/test_knn.py gates the sweep at a 0.75 floor so the
 margin is mechanical. The raw shortlist stages (Hamming sketch 0.21,
 ADC ~0.5, SQ8-ranked probe — candidate generators, not final rankings)
 stay reachable directly as ``operators.ann.binary_sign_knn``,
-``operators.pq.pq_adc_knn``, ``operators.pq.ivf_pq_knn`` and
-``operators.quantize.ivf_sq8_knn``.
+``operators.pq.pq_adc_knn``, ``operators.pq.ivf_pq_knn``,
+``operators.quantize.sq8_knn`` and ``operators.quantize.ivf_sq8_knn``.
 """
 
 from __future__ import annotations
@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh", "ivf", "ivf_kmeans", "sq8", "ivf_sq8", "ivf_sq8_refine", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
+METHODS = ("exact", "exact_fast", "hnsw", "hnsw_rescored", "hnsw_routed", "lsh", "ivf", "ivf_kmeans", "sq8", "sq8_refine", "ivf_sq8", "ivf_sq8_refine", "pq", "pq_refine", "ivf_pq", "ivf_pq_refine", "binary", "binary_refine", "matryoshka")
 
 # method -> the bench/registry row that measures the EXACT kernel this
 # dispatch deploys. The sketch families route to their refine forms
@@ -63,7 +63,8 @@ DEPLOYED_RECALL_ROWS = {
     "lsh": "lsh_ann_cosine",
     "ivf": "ivf_ann_cosine",
     "ivf_kmeans": "ivf_kmeans_ann",
-    "sq8": "sq8_ann",
+    "sq8": "sq8_refine_ann",
+    "sq8_refine": "sq8_refine_ann",
     "ivf_sq8": "ivf_sq8_refine_ann",
     "ivf_sq8_refine": "ivf_sq8_refine_ann",
     "pq": "pq_refine_ann",
@@ -126,10 +127,12 @@ def similarity_search(
         from .ivf import ivf_knn_cosine
 
         return ivf_knn_cosine(base, queries, dim=_dim(dim, method), k=k, n_probe=n_probe)
-    if method == "sq8":
-        from .quantize import sq8_knn
+    if method in ("sq8", "sq8_refine"):
+        # deployed form: SQ8 full-scan shortlist + exact re-rank (raw
+        # integer ranking: operators.quantize.sq8_knn)
+        from .quantize import sq8_refine_knn
 
-        return sq8_knn(base, queries, k=k)
+        return sq8_refine_knn(base, queries, k=k, metric=metric)
     if method in ("ivf_sq8", "ivf_sq8_refine"):
         # deployed form: quantized shortlist within the probed cells +
         # exact re-rank (same contract as pq/binary — the raw
