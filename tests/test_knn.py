@@ -175,3 +175,25 @@ def test_filtered_knn_allowed_ids_and_method_composition(spark, sf_smoke):
     )
     rows = ann.collect()
     assert rows and {r["neighbor_id"] for r in rows} <= allowed_set
+
+
+def test_filtered_knn_combines_predicate_and_allowed_ids(spark, sf_smoke):
+    """Both filter forms compose (AND semantics): the candidate space is
+    rows passing the predicate AND present in the allowed-id set."""
+    from vectorsearch_with_hnsw_spark.operators.knn import filtered_knn, knn_exact
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    docs = load_table(spark, sf_smoke, "documents")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = filtered_knn(
+        emb, q, k=5, metric="l2", predicate="label < 3", allowed_ids=allowed
+    )
+    manual = emb.filter("label < 3").join(
+        allowed.withColumnRenamed("doc_id", "vec_id"), "vec_id", "semi"
+    )
+    want = knn_exact(manual, q, k=5, metric="l2")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
