@@ -70,8 +70,10 @@ def test_ivf_pq_index_unpersist_releases_build_cache(spark, emb, queries):
 
     _scrub(spark)
     idx = IvfPqIndex.build(emb, dim=64, m=16)
-    assert _n_persistent(spark) >= 1  # assignment kept for repeated searches
     before = idx.search(queries, k=3).collect()
+    # codes relation kept (pinned) for repeated searches — materialized
+    # by the first search action above
+    assert _n_persistent(spark) >= 1
     idx.unpersist()
     assert _n_persistent(spark) == 0
     # the handle stays usable: searches recompute from lineage, same rows

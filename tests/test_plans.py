@@ -475,19 +475,19 @@ def test_ivf_pq_adc_is_map_side(spark, sf_smoke):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     plan = formatted_plan(ivf_pq_knn(emb, q, dim=64, m=16, k=3))
-    # the codes build side keeps its broadcast joins (cents/codebooks
-    # are tiny); what must NOT appear is a shuffle join or an exchange
-    # of the codes table for scoring. The one-shot operator releases its
-    # build caches before returning (leak-free contract: a long-lived
-    # session accumulates nothing), so the plan must show NO
-    # InMemoryRelation — the encode kernel carries the coarse cell
-    # through instead of re-joining the assignment, so the scoring pass
-    # still reads the corpus exactly once. Exchanges: the assign/encode
-    # kernel spreads (no-ops at real scan widths) + the final ranking
+    # since the round-12 fused build, the corpus side is JOIN-FREE: the
+    # assign+encode kernel carries cell/code out of one mapInPandas pass
+    # (centroids + codebooks ride a broadcast variable, not a join), and
+    # LUTs are driver-built from the bounded probe set. What must NOT
+    # appear is a shuffle join or an exchange of the codes table for
+    # scoring; any join that does appear must be a broadcast one. The
+    # one-shot operator leaves no caches (leak-free contract), so the
+    # plan must show NO InMemoryRelation. Exchanges: the assign/encode
+    # kernel spread (a no-op at real scan widths) + the final ranking
     # window.
     assert "SortMergeJoin" not in plan
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
-    assert joins and all(j.startswith("Broadcast") for j in joins)
+    assert all(j.startswith("Broadcast") for j in joins)
     assert "InMemoryRelation" not in plan
     assert len(set(re.findall(r"\((\d+)\) Exchange\n", plan))) <= 4
 

@@ -68,6 +68,21 @@ def _l2sq(a, b):
     )
 
 
+def _d2_matrix(X, Cv):
+    """(N, k) squared distances accumulated one dimension at a time in
+    ascending order — the sequential fold (:func:`_l2sq`), elementwise.
+    Shared by the kmeans assign/step kernels and the fused IVF-PQ
+    assign+encode kernel (pq.py), so every consumer of a trained
+    centroid table assigns cells BIT-IDENTICALLY."""
+    import numpy as np
+
+    acc = np.zeros((len(X), len(Cv)), dtype=np.float64)
+    for d0 in range(Cv.shape[1]):
+        diff = X[:, d0][:, None] - Cv[:, d0][None, :]
+        acc += diff * diff
+    return acc
+
+
 def _kmeans_impl(
     emb: DataFrame,
     dim: int,
@@ -104,15 +119,6 @@ def _kmeans_impl(
         cells_np = np.array([r["cell"] for r in rows], dtype=np.int32)
         C = np.array([r["centroid"] for r in rows], dtype=np.float64)
         return pts.sparkSession.sparkContext.broadcast((cells_np, C))
-
-    def _d2_matrix(X, Cv):
-        """(N, k) squared distances accumulated one dimension at a time
-        in ascending order — the sequential fold, elementwise."""
-        acc = np.zeros((len(X), len(Cv)), dtype=np.float64)
-        for d0 in range(Cv.shape[1]):
-            diff = X[:, d0][:, None] - Cv[:, d0][None, :]
-            acc += diff * diff
-        return acc
 
     def assign(cent_df: DataFrame) -> DataFrame:
         """Nearest-cell assignment as an Arrow kernel, BIT-IDENTICAL to

@@ -308,36 +308,36 @@ def ivf_pq_knn(
 
     Dispatch: the broadcast-probe scorer collects the query batch's
     residuals on the driver, so it is gated by ``probe_bcast_bytes``
-    (one cheap count of the query table); a batch whose projected
-    probe matrix exceeds the budget auto-routes to the bit-identical
-    cogroup scorer (``_ivf_pq_score_distributed``), which never
-    materializes the queries driver-side."""
-    from ..cache import release
+    via a CAPPED count — ``queries.limit(max_rows + 1).count()`` stops
+    scanning once the budget row count is exceeded, so an expensive
+    query-side plan is never fully re-executed just to pick a scorer; a
+    batch whose projected probe matrix exceeds the budget auto-routes
+    to the bit-identical cogroup scorer (``_ivf_pq_score_distributed``),
+    which never materializes the queries driver-side. (Queries should be
+    deterministic — a nondeterministic source could change cardinality
+    between the dispatch probe and scoring, as with any multi-read
+    plan.)
 
-    codes, cents, _, cb_np, cached = _ivf_pq_build(
+    One-shot contract: nothing is left in Spark's CacheManager, and
+    since round 12 that cleanliness is free — the build fuses assign +
+    encode into one map-only kernel (``_ivf_pq_assign_encode``), so the
+    consumer's action makes exactly one pass over the corpus with no
+    cache to miss."""
+    codes, cents, _, cb_np, _ = _ivf_pq_build(
         emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
     )
     # projected broadcast payload: one dim-wide float64 residual per
-    # (query, probe) row. Counting the query table is one job — this
-    # operator is already eager (the codebook collect above).
-    n_q = queries.count()
-    if n_q * n_probe * dim * 8 > probe_bcast_bytes:
-        out = _ivf_pq_score_distributed(
+    # (query, probe) row → the row budget below; the limit caps the scan
+    max_rows = probe_bcast_bytes // (n_probe * dim * 8)
+    if queries.limit(max_rows + 1).count() > max_rows:
+        return _ivf_pq_score_distributed(
             codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
             lut_chunk=lut_chunk,
         )
-    else:
-        out = _ivf_pq_score(
-            codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
-            lut_chunk=lut_chunk,
-        )
-    # one-shot contract: leak nothing into the CacheManager. The scoring
-    # plan reads codes (and hence the assignment) exactly once, so the
-    # consumer's action re-runs the assign kernel once instead of
-    # hitting cache — bounded, and a long-lived session stays clean.
-    for df in cached:
-        release(df)
-    return out
+    return _ivf_pq_score(
+        codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
+        lut_chunk=lut_chunk,
+    )
 
 
 def _ivf_pq_build(
@@ -354,36 +354,100 @@ def _ivf_pq_build(
     cached) where codes is the (vec_id, code, cell) relation, cents the
     trained (cell, centroid) table, cb the single-row codebook frame,
     cb_np its driver copy, and cached the persisted intermediates the
-    caller owns (one-shot operators release them before returning;
-    ``IvfPqIndex`` keeps them for repeated searches and exposes
-    ``unpersist()``). Shared by ``ivf_pq_knn`` and ``IvfPqIndex.build``."""
-    from .ivf import _kmeans_impl
+    caller owns (empty since round 12 — see below; ``IvfPqIndex.build``
+    persists the codes relation itself for repeated searches). Shared
+    by ``ivf_pq_knn`` and ``IvfPqIndex.build``.
 
-    pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
-    # materialize the coarse assignment ONCE: it feeds the codebook
-    # plan and the encode pass — without the persist each consumer
-    # re-runs the train/assign chain (values unchanged). At scale this
-    # is the standard "materialize the cell assignment" step —
-    # (id, cell) is ~12 bytes/row regardless of dim.
-    assigned = assign(cents).select("vec_id", "cell").transform(persist_tracked)
-    resid = (
-        assigned.join(pts, "vec_id")
-        .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with("v", "centroid", lambda x, y: x - y).alias("r"),
-        )
+    Cost model (the round-11 one-shot regression, fixed): the codebook
+    is the residuals of the ``n_anchors`` LOWEST-ID vectors
+    (``pq_codebooks`` is ``orderBy(id).limit(n_anchors)``), so training
+    it never needed the corpus-wide assignment the old build persisted —
+    a bounded TakeOrdered collect of those anchor rows reproduces it
+    bit-for-bit on the driver (same ``_d2_matrix`` assign fold, same
+    float64 ``v - centroid`` residual, same sub-slicing). The corpus
+    assignment + encode then FUSE into one Arrow kernel
+    (``_ivf_pq_assign_encode``), so the consumer's action makes exactly
+    ONE pass over the corpus with nothing cached: the one-shot contract
+    (zero CacheManager entries on return) no longer trades a second
+    full-corpus assign pass for cleanliness."""
+    from .ivf import _d2_matrix, _kmeans_impl
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    pts, cents, _ = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
+    # trained centroids are already a bounded driver artifact
+    crows = cents.orderBy("cell").collect()
+    cells_np = np.array([r["cell"] for r in crows], dtype=np.int32)
+    C = (
+        np.array([r["centroid"] for r in crows], dtype=np.float64)
+        if crows
+        else np.zeros((0, dim), dtype=np.float64)
     )
-    cb = pq_codebooks(resid, dim, m, n_anchors, id_col="vec_id", vec_col="r")
-    # one driver collect serves both the encode kernel and the LUTs
-    cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)  # (m, C, d)
-    # the encode kernel carries cell through, so the codes relation
-    # needs no second read of the assignment (one shuffle-free pass)
-    codes = pq_encode(
-        resid, cb, dim, m, id_col="vec_id", vec_col="r", cb_np=cb_np, carry="cell"
+    # codebook anchors: residuals of the n_anchors lowest-id vectors —
+    # a TakeOrderedAndProject collect bounded by n_anchors, never a
+    # corpus pass
+    arows = sorted(
+        pts.orderBy("vec_id").limit(n_anchors).collect(), key=lambda r: r["vec_id"]
     )
-    return codes, cents, cb, cb_np, [assigned]
+    if arows and len(C):
+        A = np.array([r["v"] for r in arows], dtype=np.float64)
+        j = _d2_matrix(A, C).argmin(axis=1)
+        R = A - C[j]
+        cb_np = np.stack([R[:, s * d : (s + 1) * d] for s in range(m)])  # (m, C, d)
+    else:
+        cb_np = np.zeros((m, 0, d), dtype=np.float64)
+    cb = emb.sparkSession.createDataFrame(
+        [(cb_np.tolist(),)], "cb array<array<array<double>>>"
+    )
+    codes = _ivf_pq_assign_encode(pts, cells_np, C, cb_np, m, d)
+    return codes, cents, cb, cb_np, []
+
+
+def _ivf_pq_assign_encode(
+    pts: DataFrame,
+    cells_np: np.ndarray,
+    C: np.ndarray,
+    cb_np: np.ndarray,
+    m: int,
+    d: int,
+) -> DataFrame:
+    """Fused coarse-assign + residual-PQ-encode: one Arrow pass over the
+    (vec_id, v) relation yielding (vec_id, code, cell), with centroids
+    and codebooks broadcast. BIT-IDENTICAL to the old assign-join-encode
+    chain it replaces: cell = first-minimum argmin over the
+    ``_d2_matrix`` sequential fold (exactly the kmeans assign kernel),
+    residual = elementwise float64 ``v - centroid[cell]`` (exactly the
+    old ``zip_with`` subtraction), and the per-subspace code argmin is
+    the ``pq_encode`` kernel verbatim. Map-only: no join, no shuffle,
+    no cache — the 100 TB encode pass reads the corpus exactly once."""
+    spark = pts.sparkSession
+    bc = spark.sparkContext.broadcast((cells_np, C, cb_np))
+    from .ivf import _d2_matrix
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cells_v, Cv, cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            j = _d2_matrix(X, Cv).argmin(axis=1)
+            R = X - Cv[j]
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for s in range(m):
+                diff = R[:, s * d : (s + 1) * d][:, None, :] - cb[s][None, :, :]
+                codes[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "code": list(codes),
+                    "cell": cells_v[j],
+                }
+            )
+
+    from ..sources.tables import spread
+
+    return spread(pts).mapInPandas(kern, "vec_id long, code array<long>, cell int")
 
 
 def _ivf_pq_score(
@@ -659,18 +723,13 @@ def ivf_pq_knn_distributed(
     materialize on the driver. Bit-identical results to the broadcast
     probe (pinned by test); the extra cost is one shuffle of the
     probed-cell codes instead of a broadcast-side map-only scan."""
-    from ..cache import release
-
-    codes, cents, _, cb_np, cached = _ivf_pq_build(
+    codes, cents, _, cb_np, _ = _ivf_pq_build(
         emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
     )
-    out = _ivf_pq_score_distributed(
+    return _ivf_pq_score_distributed(
         codes, cents, cb_np, queries, dim=dim, m=m, k=k, n_probe=n_probe,
         lut_chunk=lut_chunk,
     )
-    for df in cached:
-        release(df)
-    return out
 
 
 def ivf_pq_refine_knn(
@@ -843,15 +902,15 @@ class IvfPqIndex:
         self.cb_np = cb_np
         self.dim = dim
         self.m = m
-        # persisted build intermediates (the coarse assignment): kept
+        # persisted build intermediates (the codes relation): kept
         # alive so repeated search()/save() calls on a freshly-built
-        # index don't re-run the assign kernel; the owner releases them
-        # via unpersist() (or package-wide cache.release_caches())
+        # index don't re-run the fused assign+encode kernel; the owner
+        # releases them via unpersist() (or cache.release_caches())
         self._cached = list(cached or [])
 
     def unpersist(self) -> None:
         """Release the build-time caches this index pinned. The index
-        stays usable — searches recompute the assignment from lineage;
+        stays usable — searches recompute the codes from lineage;
         a saved-then-loaded index holds no caches at all."""
         from ..cache import release
 
@@ -871,10 +930,15 @@ class IvfPqIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IvfPqIndex":
-        codes, cents, cb, cb_np, cached = _ivf_pq_build(
+        codes, cents, cb, cb_np, _ = _ivf_pq_build(
             emb, dim, m, n_cells, iters, n_anchors, id_col, vec_col
         )
-        return cls(codes, cents, cb, cb_np, dim, m, cached=cached)
+        # pin the CODES relation (not just the assignment, as before the
+        # fused build): repeated searches then skip the whole
+        # assign+encode pass — (vec_id, code, cell) is ~m+12 bytes/row
+        # regardless of dim, the standard at-rest IVF-PQ footprint
+        codes = persist_tracked(codes)
+        return cls(codes, cents, cb, cb_np, dim, m, cached=[codes])
 
     def save(self, path: str) -> None:
         # cell is the partition column: the at-rest layout that makes a
