@@ -51,9 +51,14 @@ def test_rotation_is_deterministic():
 
 
 def test_rotation_covers_entire_pool():
+    # debut rows (never driver-checked yet) occupy slots every round
+    # until their first correctness row lands, so the cyclic slice over
+    # the already-checked remainder has (slots - debut) slots per round
     pool = set(_pool())
     slots = registry.WINDOW_SIZE - len(registry.WINDOW_PINS)
-    n_rounds = math.ceil(len(pool) / slots)
+    n_debut = len(pool - registry._ever_driver_checked())
+    assert n_debut < slots, "debut rows would starve the rotation"
+    n_rounds = math.ceil(len(pool) / max(1, slots - n_debut))
     start_round = registry._driver_round()
     covered = set()
     for r in range(start_round, start_round + n_rounds):
