@@ -593,3 +593,34 @@ def test_filtered_knn_pushes_predicate_to_scan(spark, sf_smoke):
     plan = formatted_plan(df)
     assert "PushedFilters" in plan and "LessThan(label,5)" in plan, plan
     assert df.count() > 0
+
+
+def test_ivf_pq_index_filtered_probe_prunes_before_decode(spark, sf_smoke, tmp_path):
+    """A filtered probe of a LOADED IvfPqIndex must prune at the scan,
+    not after decoding: the vec_id predicate shows up in the codes
+    parquet scan's PushedFilters (row-group pruning at rest) alongside
+    the cell PartitionFilters — no full-index probe followed by a
+    post-filter."""
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = IvfPqIndex.build(emb, dim=64, m=8, n_cells=8, iters=2)
+    idx.unpersist()
+    path = str(tmp_path / "ivfpq_filtered")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    plan = formatted_plan(
+        loaded.search(q, k=3, n_probe=2, predicate=F.col("vec_id") < 100)
+    )
+    pushed = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "vec_id" in line and "100" in line
+    ]
+    assert pushed, f"vec_id predicate not pushed into the codes scan:\n{plan}"
+    assert any(
+        "PartitionFilters" in line and "cell" in line for line in plan.splitlines()
+    ), "cell partition pruning lost under the filtered probe"

@@ -711,3 +711,108 @@ def test_ivf_pq_auto_routes_large_query_table(spark, sf_smoke):
     a = {(r.query_id, r.rnk, r.neighbor_id, r.adc_d2) for r in routed.collect()}
     b = {(r.query_id, r.rnk, r.neighbor_id, r.adc_d2) for r in default.collect()}
     assert a == b and len(a) == 25 * 5
+
+
+def test_sq8_index_save_load_matches_one_shot(spark, sf_smoke, tmp_path):
+    """SQ8 artifact: build -> save (per-dim ranges + codes) -> load ->
+    search/refine_search give results BIT-IDENTICAL to the one-shot
+    sq8_knn / sq8_refine_knn at the same params — the loaded index
+    skips the float-corpus range scan and encode entirely (search
+    shares _sq8_score with the operator)."""
+    from vectorsearch_with_hnsw_spark.operators.quantize import (
+        Sq8Index,
+        sq8_knn,
+        sq8_refine_knn,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=5)
+    idx = Sq8Index.build(emb, dim=64)
+    path = str(tmp_path / "sq8")
+    idx.save(path)
+    loaded = Sq8Index.load(spark, path)
+    assert loaded.dim == 64
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.qdist2)
+        for r in loaded.search(q, k=10).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.qdist2)
+        for r in sq8_knn(emb, q, k=10).collect()
+    )
+    assert got and got == want
+    got_r = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.dist)
+        for r in loaded.refine_search(emb, q, k=5, expand=4).collect()
+    )
+    want_r = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.dist)
+        for r in sq8_refine_knn(emb, q, k=5, expand=4).collect()
+    )
+    assert got_r and got_r == want_r
+
+
+def test_sq8_refine_cosine_recall(spark, sf_smoke):
+    """The ADVICE-flagged caveat, measured: sq8_refine_knn's shortlist
+    ranks by integer L2 even when the re-rank metric is cosine, so on
+    the (unnormalized) testdata the cosine-metric recall@10 must still
+    clear 0.9 at the expand=10 default — the number the docstring now
+    promises."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact
+    from vectorsearch_with_hnsw_spark.operators.quantize import sq8_refine_knn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=10)
+    exact = {}
+    for r in knn_exact(emb, q, k=10, metric="cosine").collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in sq8_refine_knn(emb, q, k=10, metric="cosine").collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_index_filtered_probe_contract(spark, sf_smoke, tmp_path):
+    """filtered_knn's pre-filter contract on the PERSISTED artifacts
+    (IvfPqIndex / PqIndex / Sq8Index / IvfIndex): results contain only
+    permitted ids; the predicate form and the allowed_ids form select
+    identically; and a selectivity below k UNDER-FILLS rather than
+    padding with filtered-out rows."""
+    from vectorsearch_with_hnsw_spark.operators.ivf import IvfIndex
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex, PqIndex
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=3)
+    even_ids = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    tiny_ids = emb.filter(F.col("vec_id").isin(11, 13, 17)).select("vec_id")
+
+    ivfpq = IvfPqIndex.build(emb, dim=64, m=8, n_cells=8, iters=2)
+    ivfpq.unpersist()
+    pq = PqIndex.build(emb, dim=64, m=8)
+    sq8 = Sq8Index.build(emb, dim=64)
+    ivf = IvfIndex.build(emb, dim=64, n_cells=8, iters=2)
+
+    probes = {
+        "ivfpq": lambda **kw: ivfpq.search(q, k=10, n_probe=8, **kw),
+        "pq": lambda **kw: pq.search(q, k=10, **kw),
+        "sq8": lambda **kw: sq8.search(q, k=10, **kw),
+        "ivf": lambda **kw: ivf.search(emb, q, k=10, n_probe=8, **kw),
+    }
+    for name, probe in probes.items():
+        by_pred = sorted(map(tuple, probe(predicate=F.col("vec_id") % 2 == 0).collect()))
+        by_ids = sorted(map(tuple, probe(allowed_ids=even_ids).collect()))
+        assert by_pred and by_pred == by_ids, name
+        returned = {t[2] if name in ("ivfpq", "pq", "sq8") else t[1] for t in by_pred}
+        assert all(n % 2 == 0 for n in returned), (name, returned)
+        # selectivity (3 ids) < k (10): under-fill, never pad
+        few = probe(allowed_ids=tiny_ids).collect()
+        per_q = {}
+        for r in few:
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert per_q and all(c <= 3 for c in per_q.values()), (name, per_q)
+        ret_few = {r.neighbor_id for r in few}
+        assert ret_few <= {11, 13, 17}, (name, ret_few)

@@ -149,11 +149,11 @@ def main(argv: list[str] | None = None) -> None:
 
     pb = sub.add_parser(
         "pq-build",
-        help="build + save a quantized index (ivfpq | pq) over the embeddings table",
+        help="build + save a quantized index (ivfpq | pq | sq8) over the embeddings table",
     )
     pb.add_argument("--sf-dir", required=True)
     pb.add_argument("--out", required=True)
-    pb.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq"))
+    pb.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq", "sq8"))
     pb.add_argument("--m", type=int, default=16)
     pb.add_argument("--cells", type=int, default=8)
     pb.add_argument("--iters", type=int, default=2)
@@ -163,11 +163,23 @@ def main(argv: list[str] | None = None) -> None:
         help="probe a saved quantized index (ivfpq probes are partition-pruned reads)",
     )
     pqq.add_argument("--index", required=True)
-    pqq.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq"))
+    pqq.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq", "sq8"))
     pqq.add_argument("--sf-dir", required=True)
     pqq.add_argument("--k", type=int, default=10)
     pqq.add_argument("--n-probe", type=int, default=4)
     pqq.add_argument("--max-queries", type=int, default=5)
+    pqq.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate over the codes relation (e.g. 'vec_id < 1000') — "
+        "the at-rest pre-filter, applied before cell pruning and decode",
+    )
+    pqq.add_argument(
+        "--lang",
+        default=None,
+        help="restrict the probe to documents with this lang "
+        "(cross-table allowed-ids semi-join on documents.doc_id)",
+    )
 
     ex = sub.add_parser(
         "explain",
@@ -249,6 +261,7 @@ def main(argv: list[str] | None = None) -> None:
             print(f"quality[{args.gate}]: {n} rows -> {args.out}")
         elif args.cmd == "pq-build":
             from .operators.pq import IvfPqIndex, PqIndex
+            from .operators.quantize import Sq8Index
 
             emb = load_table(spark, args.sf_dir, "embeddings")
             first = emb.select("embedding").first()
@@ -261,12 +274,15 @@ def main(argv: list[str] | None = None) -> None:
                 idx = IvfPqIndex.build(
                     emb, dim=dim, m=args.m, n_cells=args.cells, iters=args.iters
                 )
+            elif args.kind == "sq8":
+                idx = Sq8Index.build(emb, dim=dim)
             else:
                 idx = PqIndex.build(emb, dim=dim, m=args.m)
             idx.save(args.out)
             print(f"{args.kind} index over {emb.count()} x {dim} -> {args.out}")
         elif args.cmd == "pq-query":
             from .operators.pq import IvfPqIndex, PqIndex
+            from .operators.quantize import Sq8Index
 
             queries = (
                 load_table(spark, args.sf_dir, "embeddings")
@@ -276,12 +292,26 @@ def main(argv: list[str] | None = None) -> None:
                     F.col("embedding").alias("query_vec"),
                 )
             )
+            allowed = None
+            if getattr(args, "lang", None) is not None:
+                allowed = (
+                    load_table(spark, args.sf_dir, "documents")
+                    .filter(F.col("lang") == args.lang)
+                    .select("doc_id")
+                )
+            fkw = dict(predicate=args.where, allowed_ids=allowed)
             if args.kind == "ivfpq":
                 res = IvfPqIndex.load(spark, args.index).search(
-                    queries, k=args.k, n_probe=args.n_probe
+                    queries, k=args.k, n_probe=args.n_probe, **fkw
+                )
+            elif args.kind == "sq8":
+                res = Sq8Index.load(spark, args.index).search(
+                    queries, k=args.k, **fkw
                 )
             else:
-                res = PqIndex.load(spark, args.index).search(queries, k=args.k)
+                res = PqIndex.load(spark, args.index).search(
+                    queries, k=args.k, **fkw
+                )
             res.orderBy("query_id", "rnk").show(
                 args.max_queries * args.k, truncate=False
             )
@@ -394,7 +424,7 @@ def main(argv: list[str] | None = None) -> None:
                     out = filtered_knn(
                         emb, queries, k=args.k, metric=args.metric,
                         predicate=where, allowed_ids=allowed,
-                        method=args.method if args.method != "exact" else "exact",
+                        method=args.method,
                         dim=dim,
                     )
                 else:

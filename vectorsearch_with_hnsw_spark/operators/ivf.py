@@ -410,15 +410,26 @@ class IvfIndex:
         queries_df: DataFrame,
         k: int = 10,
         n_probe: int = 5,
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Bucket-pruned exact-L2 probe over the stored assignment —
         identical plan to ivf_kmeans_knn's probe half (queries rank the
         stored centroids, candidates come from the n_probe nearest
         cells, exact rescore, per-query top-k). ``emb`` supplies the
         raw vectors (the index stores routing state, not the data —
-        at rest they form one bucketed table)."""
-        from ..functions.vector import l2_distance
+        at rest they form one bucketed table).
 
+        ``predicate`` / ``allowed_ids``: ``filtered_knn``'s pre-filter
+        contract over the stored (vec_id, cell) assignment — applied
+        before the probe join, so a filtered probe of the at-rest index
+        touches only permitted rows (see ``IvfPqIndex.search``).
+        Exact-k whenever the permitted rows inside the probed cells
+        have >= k members."""
+        from ..functions.vector import l2_distance
+        from .knn import prefilter_rows
+
+        assigned = prefilter_rows(self.assigned, "vec_id", predicate, allowed_ids)
         pts = emb.select("vec_id", to_vec("embedding").alias("v"))
         qcells = queries_df.crossJoin(F.broadcast(self.centroids)).select(
             "query_id",
@@ -433,7 +444,7 @@ class IvfIndex:
             .select("query_id", "query_vec", "cell")
         )
         cand = (
-            self.assigned.join(pts, "vec_id")
+            assigned.join(pts, "vec_id")
             .join(F.broadcast(probes), "cell")
             .select(
                 "query_id",

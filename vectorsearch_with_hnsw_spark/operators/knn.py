@@ -211,6 +211,35 @@ def knn_exact_fast(
     )
 
 
+def prefilter_rows(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """The shared pre-filter contract of attribute-filtered vector
+    search — used by the one-shot :func:`filtered_knn` AND by the
+    persisted index artifacts' probes (``IvfPqIndex.search``,
+    ``PqIndex.search``, ``IvfIndex.search``, ``Sq8Index.search``), so
+    "filter a 100 TB at-rest index" is the same API as "filter a
+    one-shot scan" (the reference's tombstone skip, hsnw_trial.py:
+    178-179, is this mechanism with deleted-ness as the predicate).
+
+    - ``predicate``: Column or SQL string over the relation's own
+      columns, applied before any distance math — Catalyst pushes it
+      into the parquet scan of a saved codes table (PushedFilters).
+    - ``allowed_ids``: one-column relation of permitted ids, semi-joined
+      on ``id_col`` (broadcast when small, AQE-planned otherwise)."""
+    if predicate is not None:
+        df = df.filter(F.expr(predicate) if isinstance(predicate, str) else predicate)
+    if allowed_ids is not None:
+        key = allowed_ids.columns[0]
+        df = df.join(
+            allowed_ids.select(F.col(key).alias(id_col)).distinct(), id_col, "semi"
+        )
+    return df
+
+
 def filtered_knn(
     index_df: DataFrame,
     queries_df: DataFrame,
@@ -253,16 +282,7 @@ def filtered_knn(
     default exact BLAS top-k, or any ``similarity_search`` method name
     (the sketch/IVF families train on the SURVIVORS, so their cells and
     codebooks reflect the filtered distribution, not the full corpus)."""
-    filtered = index_df
-    if predicate is not None:
-        filtered = filtered.filter(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
-    if allowed_ids is not None:
-        key = allowed_ids.columns[0]
-        filtered = filtered.join(
-            allowed_ids.select(F.col(key).alias(id_col)).distinct(), id_col, "semi"
-        )
+    filtered = prefilter_rows(index_df, id_col, predicate, allowed_ids)
     if method == "exact_fast":
         return knn_exact_fast(
             filtered, queries_df, k=k, metric=metric, id_col=id_col, vec_col=vec_col

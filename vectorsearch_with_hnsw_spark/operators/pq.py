@@ -828,8 +828,21 @@ class PqIndex:
         meta = cb_raw.select("dim", "m").first()
         return cls(codes, cb_raw.select("cb"), int(meta["dim"]), int(meta["m"]))
 
-    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
-        """ADC top-k over the stored codes (no encode pass)."""
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """ADC top-k over the stored codes (no encode pass).
+        ``predicate`` / ``allowed_ids``: ``filtered_knn``'s pre-filter
+        contract over the codes relation — applied before ADC, so a
+        filtered probe decodes only the permitted codes (see
+        ``IvfPqIndex.search``)."""
+        from .knn import prefilter_rows
+
+        codes = prefilter_rows(self.codes, "vec_id", predicate, allowed_ids)
         d = self.dim // self.m
         qv = to_vec("query_vec")
         lut = F.transform(
@@ -853,7 +866,7 @@ class PqIndex:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        pairs = self.codes.select(
+        pairs = codes.select(
             F.col("vec_id").alias("neighbor_id"), "code"
         ).crossJoin(F.broadcast(qlut)).select(
             "query_id", "neighbor_id", adc.alias("adc_d2")
@@ -962,12 +975,31 @@ class IvfPqIndex:
         return cls(codes, cents, cb, cb_np, int(meta["dim"]), int(meta["m"]))
 
     def search(
-        self, queries: DataFrame, k: int = 10, n_probe: int = 4, lut_chunk: int = 4096
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        lut_chunk: int = 4096,
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Residual-ADC top-k over the stored codes (no training, no
-        encode pass; the codes scan prunes to the probed cells)."""
+        encode pass; the codes scan prunes to the probed cells).
+
+        ``predicate`` / ``allowed_ids`` take ``filtered_knn``'s
+        pre-filter contract to the AT-REST index: the filter applies to
+        the codes relation BEFORE cell pruning and ADC decoding, so a
+        metadata-restricted probe of a loaded 100 TB index reads (and
+        decodes) only the permitted codes — no re-encode of the
+        filtered subset, exactly the reference's tombstone-skip
+        mechanism (hsnw_trial.py:178-179) with an arbitrary predicate
+        in place of deleted-ness. Exact-k whenever the permitted rows
+        inside the probed cells have >= k members; fewer rows come back
+        below that selectivity (pre-filtering never silently pads)."""
+        from .knn import prefilter_rows
+
         return _ivf_pq_score(
-            self.codes,
+            prefilter_rows(self.codes, "vec_id", predicate, allowed_ids),
             self.cents,
             self.cb_np,
             queries,

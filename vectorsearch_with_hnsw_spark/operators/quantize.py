@@ -85,22 +85,21 @@ def quantize(
     )
 
 
-def sq8_knn(
-    emb: DataFrame,
+def _sq8_score(
+    base: DataFrame,
+    ranges: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Top-k by squared L2 over SQ8 codes (integer-exact). Ties broken by
-    neighbor id for a total order. Queries are quantized against the SAME
-    ranges as the index — the standard symmetric-distance SQ scheme."""
-    ranges = dim_ranges(emb, vec_col)
-    base = quantize(emb, ranges, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("code").alias("bcode")
-    )
+    """Integer-L2 top-k over an existing (neighbor_id, bcode) relation —
+    the probe half of SQ8, shared verbatim by the one-shot ``sq8_knn``
+    and the persisted ``Sq8Index.search`` so a loaded index answers
+    bit-identically to the inline operator. Queries are quantized
+    against the SAME ranges as the codes (the symmetric-distance SQ
+    scheme); the scan is map-only against the broadcast query codes and
+    the only shuffle is the final per-query top-k window."""
     qcode = quantize(queries, ranges, query_id_col, query_vec_col).select(
         F.col(query_id_col).alias("query_id"), F.col("code").alias("qcode")
     )
@@ -120,6 +119,25 @@ def sq8_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "qdist2")
     )
+
+
+def sq8_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k by squared L2 over SQ8 codes (integer-exact). Ties broken by
+    neighbor id for a total order. Queries are quantized against the SAME
+    ranges as the index — the standard symmetric-distance SQ scheme."""
+    ranges = dim_ranges(emb, vec_col)
+    base = quantize(emb, ranges, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("bcode")
+    )
+    return _sq8_score(base, ranges, queries, k, query_id_col, query_vec_col)
 
 
 def sq8_refine_knn(
@@ -142,7 +160,18 @@ def sq8_refine_knn(
     never-serve-a-shortlist principle); the refine lifts it to ~1.0 at
     a per-query-constant full-precision read cost. Deterministic
     ((qdist2, neighbor_id)) shortlist selection keeps the hybrid
-    DuckDB-oracle-checkable."""
+    DuckDB-oracle-checkable.
+
+    ``metric`` picks the RE-RANK distance (cosine or l2); the coarse
+    SQ8 shortlist ranks by integer L2 EITHER WAY — it is the pruning
+    stage, and the kept rows are rescored exactly in the caller's
+    metric (same contract as ivf_sq8_refine_knn). On an UNNORMALIZED
+    corpus an L2 shortlist can exclude true cosine top-k (a far-but-
+    aligned vector); normalize the vectors first
+    (functions.vector.l2_normalize) when cosine fidelity matters, or
+    raise ``expand``. Measured on the testdata (unnormalized):
+    cosine-metric recall@10 >= 0.9 at the expand=10 default (pinned by
+    tests/test_retrieval.py)."""
     from ..functions.vector import cosine_distance, l2_distance, to_vec
     from .knn import topk_per_group
 
@@ -281,3 +310,110 @@ def ivf_sq8_refine_knn(
     return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+class Sq8Index:
+    """Persisted SQ8 artifact: per-dimension [min, max] ranges + 8-bit
+    codes as parquet tables — completing the save/load family next to
+    HnswIndex, PqIndex, IvfIndex, and IvfPqIndex (all mirroring the
+    reference's save/load contract, hsnw_trial.py:310-376). The ranges
+    are the trained state (one broadcastable row); the codes table is
+    the 4x-compressed corpus at rest. A loaded index probes without
+    re-scanning the float corpus: queries only need the ranges row to
+    quantize themselves, so search shares ``_sq8_score`` with the
+    one-shot ``sq8_knn`` and answers BIT-IDENTICALLY to it at equal
+    build input (pinned by tests/test_retrieval.py)."""
+
+    def __init__(self, codes: DataFrame, ranges: DataFrame, dim: int):
+        self.codes = codes    # (vec_id, bcode array<long>)
+        self.ranges = ranges  # single row (qmin, qmax)
+        self.dim = dim
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "Sq8Index":
+        ranges = dim_ranges(emb, vec_col)
+        codes = quantize(emb, ranges, id_col, vec_col).select(
+            F.col(id_col).alias("vec_id"), F.col("code").alias("bcode")
+        )
+        return cls(codes, ranges, dim)
+
+    def save(self, path: str) -> None:
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        self.ranges.withColumn("dim", F.lit(self.dim)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/ranges")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Sq8Index":
+        codes = spark.read.parquet(f"{path}/codes")
+        ranges_raw = spark.read.parquet(f"{path}/ranges")
+        dim = int(ranges_raw.select("dim").first()["dim"])
+        return cls(codes, ranges_raw.select("qmin", "qmax"), dim)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Integer-L2 top-k over the stored codes (no float-corpus
+        scan). ``predicate`` / ``allowed_ids``: ``filtered_knn``'s
+        pre-filter contract over the codes relation — applied before
+        any distance math, so a filtered probe of the at-rest index
+        reads only permitted codes (see ``IvfPqIndex.search``)."""
+        from .knn import prefilter_rows
+
+        base = prefilter_rows(self.codes, "vec_id", predicate, allowed_ids).select(
+            F.col("vec_id").alias("neighbor_id"), "bcode"
+        )
+        return _sq8_score(base, self.ranges, queries, k)
+
+    def refine_search(
+        self,
+        emb: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        expand: int = 10,
+        metric: str = "l2",
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Quantized shortlist + exact re-rank over the stored codes —
+        the deployed probe (same never-serve-a-shortlist contract and
+        L2-shortlist/metric-rerank caveat as ``sq8_refine_knn``, whose
+        results it matches bit-for-bit at equal build input). ``emb``
+        supplies the raw vectors for the expand*k full-precision reads;
+        the pre-filter applies to the shortlist stage, so the rescore
+        touches only permitted rows."""
+        from ..functions.vector import cosine_distance, l2_distance, to_vec
+        from .knn import topk_per_group
+
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unsupported metric {metric!r}; expected cosine or l2")
+        dist_fn = cosine_distance if metric == "cosine" else l2_distance
+        shortlist = self.search(
+            queries, k=expand * k, predicate=predicate, allowed_ids=allowed_ids
+        ).select("query_id", "neighbor_id")
+        base = emb.select(F.col("vec_id").alias("neighbor_id"), to_vec("embedding").alias("_v"))
+        q = F.broadcast(
+            queries.select(F.col("query_id"), to_vec("query_vec").alias("_q"))
+        )
+        rescored = (
+            shortlist.join(base, "neighbor_id")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                dist_fn(F.col("_v"), F.col("_q")).alias("dist"),
+            )
+        )
+        return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
+            "query_id", "neighbor_id", "dist", F.col("rnk").cast("int").alias("rnk")
+        )
