@@ -302,15 +302,18 @@ def test_weighted_sample_single_shuffle(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_maxsim_is_broadcast_only_before_topk(spark, sf_smoke):
+def test_maxsim_is_map_only_before_topk(spark, sf_smoke):
     """Late-interaction scoring must stay map-side against the broadcast
-    query set: exactly one hash-partitioning exchange (the per-query
-    top-k window), everything else broadcast."""
+    query batch: since the round-12 Arrow kernel there is NO join at all
+    (queries ride a broadcast variable into mapInPandas), and exactly
+    one hash-partitioning exchange remains — the per-query top-k
+    window."""
     from vectorsearch_with_hnsw_spark.registry import q_maxsim_search
 
     df = q_maxsim_search(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
 
