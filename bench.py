@@ -738,6 +738,11 @@ def _compact_line(result: dict, timings: dict) -> dict:
     deployed = {k: v for k, v in ex.items() if k.startswith("recall_deploy_")}
     if not deployed:  # older extras without the deploy sweep
         deployed = {k: v for k, v in ex.items() if k in exhibit_rows}
+    # the registry refine exhibits (explicit cost-profile settings, e.g.
+    # recall_pq_refine_ann) are neither deploy-sweep nor raw-shortlist
+    # rows — fold their floor in too so the measured rows don't vanish
+    # from the committed summary line
+    exhibits = {k: v for k, v in ex.items() if k in exhibit_rows}
     raw = {
         k: v
         for k, v in ex.items()
@@ -757,6 +762,7 @@ def _compact_line(result: dict, timings: dict) -> dict:
             "build512_vecs_per_sec_per_core": ex["build512_vecs_per_sec_per_core"],
             "hnsw_recall_at_10": ex["hnsw_recall_at_10"],
             "recall_min_deployed": min(deployed.values()) if deployed else None,
+            "recall_min_exhibits": min(exhibits.values()) if exhibits else None,
             "recall_min_raw_shortlist": min(raw.values()) if raw else None,
             "spread2_median": ex["spread2_median"],
             "spread2_p90": ex["spread2_p90"],

@@ -108,13 +108,23 @@ def ngram_jaccard_pairs(
         .transform(persist_tracked)
     )
     # eager: consumers below — avoid concurrent cache-population races.
-    # The materialized row count also gates the uncapped-path census for
-    # free (worst-case pair bound needs no extra job).
-    n_sh_rows = sh.count()
+    # ONE materializing agg yields both the row count (gates the
+    # uncapped-path census for free) and the shingled-doc count (the
+    # capped path's denominator) — the capped branch used to run a
+    # second eager docs.count() per call; deriving the denominator from
+    # the same cached relation removes that job AND the second corpus
+    # scan it implied at 100 TB. (The denominator is the SHINGLED doc
+    # count: a doc too short to form a single n-gram cannot pair, so
+    # excluding it from the cap fraction is the honest population —
+    # mirrored in the DuckDB oracle.)
+    stats = sh.agg(
+        F.count(F.lit(1)).alias("rows"), F.countDistinct("doc_id").alias("docs")
+    ).collect()[0]
+    n_sh_rows, n_docs_shingled = int(stats["rows"]), int(stats["docs"])
     if max_df_frac is not None:
         import math
 
-        cap = int(math.floor(max_df_frac * docs.count()))
+        cap = int(math.floor(max_df_frac * n_docs_shingled))
         # the hot set is bounded by construction (each hot shingle has
         # > cap rows, so there are at most total_rows/cap of them) —
         # COLLECT it so the df aggregation runs once, not once per
@@ -481,7 +491,10 @@ def embedding_neardup_pairs(
         # set; grouping inside it is on the actual vector (exact).
         withv = persist_tracked(withv)
         hashed = withv.withColumn("_h", F.xxhash64("v"))
-        dup_h = (
+        # persisted: three consumers (isEmpty gate, semi join, left_anti
+        # join) — without it the corpus-wide census agg re-executes per
+        # consumer (Spark does not CSE across join sides)
+        dup_h = persist_tracked(
             hashed.groupBy("_h")
             .agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") > 1)
@@ -1082,7 +1095,10 @@ def semantic_neardup_pairs(
         # only widen the candidate set — grouping inside it stays on the
         # actual vector, so semantics are exact (no collision gamble).
         hashed = vecs.withColumn("_h", F.xxhash64("vec"))
-        dup_h = (
+        # persisted: three consumers (isEmpty gate, semi join, left_anti
+        # join) — without it the corpus-wide census agg re-executes per
+        # consumer (Spark does not CSE across join sides)
+        dup_h = persist_tracked(
             hashed.groupBy("_h")
             .agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") > 1)
