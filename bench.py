@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_len_outliers",
     "sq8_ann",
     "sq8_refine_ann",
+    "sq8_index_ann",
     "ivf_sq8_ann",
     "ivf_sq8_refine_ann",
     "purchase_view_window",
@@ -163,6 +164,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "binary_refine_ann",
     "ivf_pq_refine_ann",
+    "ivf_pq_filtered_ann",
     "cms_token_counts",
     "boilerplate_sentences",
     "user_activity_anomalies",
@@ -718,6 +720,9 @@ HEADLINE_ROWS = [
     "hybrid_search_rrf", "hnsw_build", "hnsw_build_dim512", "hnsw_probe",
     "hnsw_probe_distributed", "knn_graph_hnsw", "hnsw_routed_build",
     "hnsw_routed_probe",
+    # round 12 additions (appended — the head stays stable for deltas;
+    # the 1900-char budget loop pops from the end when tight)
+    "maxsim_search", "sq8_refine_ann", "ivf_pq_filtered_ann", "sq8_index_ann",
 ]
 
 

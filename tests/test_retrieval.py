@@ -816,3 +816,53 @@ def test_index_filtered_probe_contract(spark, sf_smoke, tmp_path):
         assert per_q and all(c <= 3 for c in per_q.values()), (name, per_q)
         ret_few = {r.neighbor_id for r in few}
         assert ret_few <= {11, 13, 17}, (name, ret_few)
+
+
+def test_index_refine_search_matches_one_shot_refine(spark, sf_smoke, tmp_path):
+    """The deployed probe of the loaded artifacts (refine_search:
+    shortlist over stored codes + exact re-rank) must match the
+    one-shot refine operators bit-for-bit at equal build input — the
+    never-serve-a-shortlist contract extended to the at-rest index
+    paths."""
+    from vectorsearch_with_hnsw_spark.operators.pq import (
+        IvfPqIndex,
+        PqIndex,
+        ivf_pq_refine_knn,
+        pq_refine_knn,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=5)
+
+    ivfpq = IvfPqIndex.build(emb, dim=64, m=8, n_cells=8, iters=2)
+    path = str(tmp_path / "ivfpq_refine")
+    ivfpq.save(path)
+    ivfpq.unpersist()
+    loaded = IvfPqIndex.load(spark, path)
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.dist)
+        for r in loaded.refine_search(emb, q, k=5, n_probe=3, expand=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.dist)
+        for r in ivf_pq_refine_knn(
+            emb, q, dim=64, m=8, k=5, n_probe=3, n_cells=8, iters=2, expand=4
+        ).collect()
+    )
+    assert got and got == want
+
+    pq = PqIndex.build(emb, dim=64, m=8)
+    got_pq = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.dist)
+        for r in pq.refine_search(emb, q, k=5, expand=4).collect()
+    )
+    want_pq = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.dist)
+        for r in pq_refine_knn(emb, q, dim=64, m=8, k=5, expand=4).collect()
+    )
+    assert got_pq and got_pq == want_pq
+
+    # filtered refine: permitted ids only, exact-k when survivors >= k
+    even = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    filt = loaded.refine_search(emb, q, k=5, n_probe=8, expand=4, allowed_ids=even).collect()
+    assert filt and all(r.neighbor_id % 2 == 0 for r in filt)

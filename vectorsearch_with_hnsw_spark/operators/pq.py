@@ -788,6 +788,40 @@ def ivf_pq_refine_knn(
     )
 
 
+def _exact_rerank(
+    shortlist: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-L2 re-rank of a (query_id, neighbor_id) shortlist against
+    the full vectors — the shared refine tail (the exact expressions of
+    ``pq_refine_knn`` / ``ivf_pq_refine_knn``), used by the index
+    artifacts' ``refine_search`` so a loaded index's deployed probe
+    matches the one-shot refine operators bit-for-bit."""
+    from ..functions.vector import l2_distance
+    from .knn import topk_per_group
+
+    base = emb.select(F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_v"))
+    q = F.broadcast(
+        queries.select(F.col("query_id"), to_vec("query_vec").alias("_q"))
+    )
+    rescored = (
+        shortlist.join(base, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_distance(F.col("_v"), F.col("_q")).alias("dist"),
+        )
+    )
+    return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
 class PqIndex:
     """Persisted PQ artifact: codes table + codebook row, the quantized
     analog of HnswIndex's parquet layout (and of the reference's
@@ -879,6 +913,27 @@ class PqIndex:
             .filter(F.col("rnk") <= k)
             .select("query_id", "rnk", "neighbor_id", "adc_d2")
         )
+
+    def refine_search(
+        self,
+        emb: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        expand: int = 10,
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """ADC shortlist over the stored codes + exact L2 re-rank — the
+        DEPLOYED probe of a loaded PQ index (never serve a raw
+        shortlist), matching the one-shot ``pq_refine_knn`` bit-for-bit
+        at equal build input. ``emb`` supplies the raw vectors for the
+        expand*k per-query full-precision reads; the pre-filter applies
+        to the shortlist stage, so the rescore touches only permitted
+        rows."""
+        shortlist = self.search(
+            queries, k=expand * k, predicate=predicate, allowed_ids=allowed_ids
+        ).select("query_id", "neighbor_id")
+        return _exact_rerank(shortlist, emb, queries, k)
 
 
 class IvfPqIndex:
@@ -1009,3 +1064,31 @@ class IvfPqIndex:
             n_probe=n_probe,
             lut_chunk=lut_chunk,
         )
+
+    def refine_search(
+        self,
+        emb: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        expand: int = 10,
+        lut_chunk: int = 4096,
+        predicate=None,
+        allowed_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Residual-ADC shortlist over the stored codes + exact L2
+        re-rank — the DEPLOYED probe of a loaded IVF-PQ index (never
+        serve a raw shortlist), matching the one-shot
+        ``ivf_pq_refine_knn`` bit-for-bit at equal build params.
+        ``emb`` supplies the raw vectors for the expand*k per-query
+        full-precision reads; the pre-filter applies to the shortlist
+        stage, so the rescore touches only permitted rows."""
+        shortlist = self.search(
+            queries,
+            k=expand * k,
+            n_probe=n_probe,
+            lut_chunk=lut_chunk,
+            predicate=predicate,
+            allowed_ids=allowed_ids,
+        ).select("query_id", "neighbor_id")
+        return _exact_rerank(shortlist, emb, queries, k)
