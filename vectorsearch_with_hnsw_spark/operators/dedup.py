@@ -108,23 +108,22 @@ def ngram_jaccard_pairs(
         .transform(persist_tracked)
     )
     # eager: consumers below — avoid concurrent cache-population races.
-    # ONE materializing agg yields both the row count (gates the
-    # uncapped-path census for free) and the shingled-doc count (the
-    # capped path's denominator) — the capped branch used to run a
-    # second eager docs.count() per call; deriving the denominator from
-    # the same cached relation removes that job AND the second corpus
-    # scan it implied at 100 TB. (The denominator is the SHINGLED doc
-    # count: a doc too short to form a single n-gram cannot pair, so
-    # excluding it from the cap fraction is the honest population —
-    # mirrored in the DuckDB oracle.)
-    stats = sh.agg(
-        F.count(F.lit(1)).alias("rows"), F.countDistinct("doc_id").alias("docs")
-    ).collect()[0]
-    n_sh_rows, n_docs_shingled = int(stats["rows"]), int(stats["docs"])
+    # The materialized row count also gates the uncapped-path census for
+    # free (worst-case pair bound needs no extra job).
+    n_sh_rows = sh.count()
     if max_df_frac is not None:
         import math
 
-        cap = int(math.floor(max_df_frac * n_docs_shingled))
+        # cap denominator: docs.count() — ADJUDICATED round 12 against
+        # "derive it from the persisted shingle cache": a distinct-count
+        # over the cached shingle relation measured 1.3 s at sf0.1 vs
+        # 0.14 s for this count, because count() over a columnar scan
+        # projects zero columns and reads only footer row counts — it
+        # is NOT a second corpus scan at 100 TB, while the cache-side
+        # distinct is a real shuffle agg. (Callers passing a *derived*
+        # docs plan pay that plan once here; pre-count and persist if
+        # that matters.)
+        cap = int(math.floor(max_df_frac * docs.count()))
         # the hot set is bounded by construction (each hot shingle has
         # > cap rows, so there are at most total_rows/cap of them) —
         # COLLECT it so the df aggregation runs once, not once per
