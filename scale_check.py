@@ -178,6 +178,44 @@ def main() -> None:
         len(exact5 & got) / max(1, len(exact5)), 4
     )
     graph.unpersist()
+
+    # --- IVF-PQ at 64x vectors (round 12: fused single-pass build + ----
+    # --- filtered at-rest probe) ---------------------------------------
+    # one-shot: since the fused build, the consumer's action makes ONE
+    # corpus pass (train collects are bounded) with nothing cached — the
+    # number below is the honest end-to-end cost of a cold filtered-or-
+    # not ivf_pq_knn call at 128k rows
+    import tempfile
+
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex, ivf_pq_knn
+
+    t0 = time.perf_counter()
+    out["ivf_pq_oneshot_rows"] = ivf_pq_knn(
+        vecs, queries, dim=64, m=8, n_cells=16, iters=2, id_col="id", vec_col="vec"
+    ).count()
+    out["ivf_pq_oneshot_sec"] = round(time.perf_counter() - t0, 2)
+    # artifact: encode once, probe many — full vs metadata-filtered
+    # probe of the SAVED index. The allowed-ids form pays one semi-join
+    # against the id relation before decode (measured ~0.5 s over the
+    # full probe here — the join costs more than the decode it saves at
+    # 128k rows; at 100 TB the pruning wins). The predicate form prunes
+    # at the scan itself (PushedFilters, pinned by plan test).
+    with tempfile.TemporaryDirectory() as td:
+        idx = IvfPqIndex.build(
+            vecs, dim=64, m=8, n_cells=16, iters=2, id_col="id", vec_col="vec"
+        )
+        idx.save(td + "/ivfpq")
+        idx.unpersist()
+        loaded = IvfPqIndex.load(spark, td + "/ivfpq")
+        t0 = time.perf_counter()
+        loaded.search(queries, k=10, n_probe=4).count()
+        out["ivf_pq_probe_full_sec"] = round(time.perf_counter() - t0, 2)
+        allowed = vecs.filter(F.col("id") % 10 == 0).select("id")
+        t0 = time.perf_counter()
+        n_f = loaded.search(queries, k=10, n_probe=4, allowed_ids=allowed).count()
+        out["ivf_pq_probe_filtered_sec"] = round(time.perf_counter() - t0, 2)
+        out["ivf_pq_probe_filtered_rows"] = n_f
+
     vecs.unpersist()
 
     # --- documents at 10x ----------------------------------------------
@@ -359,40 +397,6 @@ def main() -> None:
     # this phase exists to measure the capped production shape
     out["ngram_boiler_pairs"] = D.ngram_jaccard_pairs(boiler, max_df_frac=0.5).count()
     out["ngram_boiler_sec"] = round(time.perf_counter() - t0, 2)
-
-    # --- IVF-PQ at 64x vectors (round 12: fused single-pass build + ---
-    # --- filtered at-rest probe) --------------------------------------
-    # one-shot: since the fused build, the consumer's action makes ONE
-    # corpus pass (train collects are bounded) with nothing cached — the
-    # number below is the honest end-to-end cost of a cold filtered-or-
-    # not ivf_pq_knn call at 128k rows
-    import tempfile
-
-    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex, ivf_pq_knn
-
-    t0 = time.perf_counter()
-    out["ivf_pq_oneshot_rows"] = ivf_pq_knn(
-        vecs, queries, dim=64, m=8, n_cells=16, iters=2, id_col="id", vec_col="vec"
-    ).count()
-    out["ivf_pq_oneshot_sec"] = round(time.perf_counter() - t0, 2)
-    # artifact: encode once, probe many — full vs metadata-filtered
-    # probe of the SAVED index (the filter prunes codes before decode,
-    # so the filtered probe must not cost more than the full one)
-    with tempfile.TemporaryDirectory() as td:
-        idx = IvfPqIndex.build(
-            vecs, dim=64, m=8, n_cells=16, iters=2, id_col="id", vec_col="vec"
-        )
-        idx.save(td + "/ivfpq")
-        idx.unpersist()
-        loaded = IvfPqIndex.load(spark, td + "/ivfpq")
-        t0 = time.perf_counter()
-        loaded.search(queries, k=10, n_probe=4).count()
-        out["ivf_pq_probe_full_sec"] = round(time.perf_counter() - t0, 2)
-        allowed = vecs.filter(F.col("id") % 10 == 0).select("id")
-        t0 = time.perf_counter()
-        n_f = loaded.search(queries, k=10, n_probe=4, allowed_ids=allowed).count()
-        out["ivf_pq_probe_filtered_sec"] = round(time.perf_counter() - t0, 2)
-        out["ivf_pq_probe_filtered_rows"] = n_f
 
     print(json.dumps(out))
     # persist as a committed artifact (VERDICT r6 #6) so the judge can diff

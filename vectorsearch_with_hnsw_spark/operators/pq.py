@@ -795,15 +795,19 @@ def _exact_rerank(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "l2",
 ) -> DataFrame:
-    """Exact-L2 re-rank of a (query_id, neighbor_id) shortlist against
-    the full vectors — the shared refine tail (the exact expressions of
-    ``pq_refine_knn`` / ``ivf_pq_refine_knn``), used by the index
-    artifacts' ``refine_search`` so a loaded index's deployed probe
-    matches the one-shot refine operators bit-for-bit."""
-    from ..functions.vector import l2_distance
+    """Exact re-rank of a (query_id, neighbor_id) shortlist against the
+    full vectors — the shared refine tail (the exact expressions of
+    ``pq_refine_knn`` / ``ivf_pq_refine_knn`` / ``sq8_refine_knn``),
+    used by the index artifacts' ``refine_search`` so a loaded index's
+    deployed probe matches the one-shot refine operators bit-for-bit."""
+    from ..functions.vector import cosine_distance, l2_distance
     from .knn import topk_per_group
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unsupported metric {metric!r}; expected cosine or l2")
+    dist_fn = cosine_distance if metric == "cosine" else l2_distance
     base = emb.select(F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_v"))
     q = F.broadcast(
         queries.select(F.col("query_id"), to_vec("query_vec").alias("_q"))
@@ -814,7 +818,7 @@ def _exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            l2_distance(F.col("_v"), F.col("_q")).alias("dist"),
+            dist_fn(F.col("_v"), F.col("_q")).alias("dist"),
         )
     )
     return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
@@ -922,18 +926,21 @@ class PqIndex:
         expand: int = 10,
         predicate=None,
         allowed_ids: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
     ) -> DataFrame:
         """ADC shortlist over the stored codes + exact L2 re-rank — the
         DEPLOYED probe of a loaded PQ index (never serve a raw
         shortlist), matching the one-shot ``pq_refine_knn`` bit-for-bit
         at equal build input. ``emb`` supplies the raw vectors for the
-        expand*k per-query full-precision reads; the pre-filter applies
-        to the shortlist stage, so the rescore touches only permitted
+        expand*k per-query full-precision reads (``id_col``/``vec_col``
+        name its columns, matching build()); the pre-filter applies to
+        the shortlist stage, so the rescore touches only permitted
         rows."""
         shortlist = self.search(
             queries, k=expand * k, predicate=predicate, allowed_ids=allowed_ids
         ).select("query_id", "neighbor_id")
-        return _exact_rerank(shortlist, emb, queries, k)
+        return _exact_rerank(shortlist, emb, queries, k, id_col, vec_col)
 
 
 class IvfPqIndex:
@@ -1075,13 +1082,16 @@ class IvfPqIndex:
         lut_chunk: int = 4096,
         predicate=None,
         allowed_ids: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
     ) -> DataFrame:
         """Residual-ADC shortlist over the stored codes + exact L2
         re-rank — the DEPLOYED probe of a loaded IVF-PQ index (never
         serve a raw shortlist), matching the one-shot
         ``ivf_pq_refine_knn`` bit-for-bit at equal build params.
         ``emb`` supplies the raw vectors for the expand*k per-query
-        full-precision reads; the pre-filter applies to the shortlist
+        full-precision reads (``id_col``/``vec_col`` name its columns,
+        matching build()); the pre-filter applies to the shortlist
         stage, so the rescore touches only permitted rows."""
         shortlist = self.search(
             queries,
@@ -1091,4 +1101,4 @@ class IvfPqIndex:
             predicate=predicate,
             allowed_ids=allowed_ids,
         ).select("query_id", "neighbor_id")
-        return _exact_rerank(shortlist, emb, queries, k)
+        return _exact_rerank(shortlist, emb, queries, k, id_col, vec_col)

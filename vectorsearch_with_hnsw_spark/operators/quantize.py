@@ -337,7 +337,17 @@ class Sq8Index:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "Sq8Index":
-        ranges = dim_ranges(emb, vec_col)
+        # collapse the trained state to a DRIVER-LOCAL single row at
+        # build time: ranges is one (qmin, qmax) row, so collecting it
+        # once means the encode plan, every search, and save() all
+        # reference a local relation instead of re-running the
+        # corpus-wide posexplode range aggregation per consumer (at
+        # 100 TB that aggregation is a full corpus pass)
+        r = dim_ranges(emb, vec_col).collect()[0]
+        ranges = emb.sparkSession.createDataFrame(
+            [(list(r["qmin"]), list(r["qmax"]))],
+            "qmin array<double>, qmax array<double>",
+        )
         codes = quantize(emb, ranges, id_col, vec_col).select(
             F.col(id_col).alias("vec_id"), F.col("code").alias("bcode")
         )
@@ -384,36 +394,22 @@ class Sq8Index:
         metric: str = "l2",
         predicate=None,
         allowed_ids: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
     ) -> DataFrame:
         """Quantized shortlist + exact re-rank over the stored codes —
         the deployed probe (same never-serve-a-shortlist contract and
         L2-shortlist/metric-rerank caveat as ``sq8_refine_knn``, whose
         results it matches bit-for-bit at equal build input). ``emb``
-        supplies the raw vectors for the expand*k full-precision reads;
+        supplies the raw vectors for the expand*k full-precision reads
+        (``id_col``/``vec_col`` name its columns, matching build());
         the pre-filter applies to the shortlist stage, so the rescore
-        touches only permitted rows."""
-        from ..functions.vector import cosine_distance, l2_distance, to_vec
-        from .knn import topk_per_group
+        touches only permitted rows. The re-rank tail is the shared
+        ``pq._exact_rerank``, so one tie-break/metric fix serves every
+        artifact path."""
+        from .pq import _exact_rerank
 
-        if metric not in ("cosine", "l2"):
-            raise ValueError(f"unsupported metric {metric!r}; expected cosine or l2")
-        dist_fn = cosine_distance if metric == "cosine" else l2_distance
         shortlist = self.search(
             queries, k=expand * k, predicate=predicate, allowed_ids=allowed_ids
         ).select("query_id", "neighbor_id")
-        base = emb.select(F.col("vec_id").alias("neighbor_id"), to_vec("embedding").alias("_v"))
-        q = F.broadcast(
-            queries.select(F.col("query_id"), to_vec("query_vec").alias("_q"))
-        )
-        rescored = (
-            shortlist.join(base, "neighbor_id")
-            .join(q, "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                dist_fn(F.col("_v"), F.col("_q")).alias("dist"),
-            )
-        )
-        return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
-            "query_id", "neighbor_id", "dist", F.col("rnk").cast("int").alias("rnk")
-        )
+        return _exact_rerank(shortlist, emb, queries, k, id_col, vec_col, metric)

@@ -944,9 +944,12 @@ def maxsim_search(
     interpreted cosine folds per (doc, query) pair — the dominant cost
     of the operator at sf0.1 (2.2-4 s; the kernel scores the same
     pairs in bulk). The scan stays map-only; the only shuffle is the
-    final per-query top-k window. Queries are a bounded batch (they
-    were already broadcast in the HOF form); executor temp memory is
-    bounded by doc- and query-chunking inside the kernel."""
+    final per-query top-k window. Queries are a bounded batch,
+    materialized at CALL time (they were already broadcast in the HOF
+    form; the collect makes that boundedness explicit); id columns
+    keep their source types, and executor temp memory is bounded by
+    doc- and query-chunking sized against n_tokens^2 inside the
+    kernel."""
     import numpy as np
     import pandas as pd
 
@@ -957,15 +960,22 @@ def maxsim_search(
         F.col(query_id_col).alias("query_id"), to_vec(query_vec_col).alias("_qv")
     ).collect()
     spark = base.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    did_type = base.schema[id_col].dataType.simpleString()
     if qrows:
-        qids_np = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        # ids as a plain list — long, string, any source type
+        qids_v = [r["query_id"] for r in qrows]
         Qm = np.array([r["_qv"] for r in qrows], dtype=np.float64).reshape(
             len(qrows), n_tokens, d
         )
     else:
-        qids_np = np.array([], dtype=np.int64)
+        qids_v = []
         Qm = np.zeros((0, n_tokens, d), dtype=np.float64)
-    bq = spark.sparkContext.broadcast((qids_np, Qm))
+    bq = spark.sparkContext.broadcast((qids_v, Qm))
+    # chunk budget: the (nb, nq, T, T) float64 accumulator is the big
+    # temp — cap it near 32 MB whatever the token count
+    qchunk = 64
+    bchunk = max(32, 4_000_000 // max(1, qchunk * n_tokens * n_tokens))
 
     def _sq_norms(M: "np.ndarray") -> "np.ndarray":
         # sqrt(sum x*x) accumulated per-dim ascending — the l2_norm fold
@@ -975,8 +985,9 @@ def maxsim_search(
         return np.sqrt(acc)
 
     def kern(batches):
-        qids_v, Q = bq.value
-        nq = len(qids_v)
+        qids, Q = bq.value
+        nq = len(qids)
+        qarr = np.array(qids, dtype=object)
         qn = _sq_norms(Q)  # (nq, T)
         for pdf in batches:
             if len(pdf) == 0 or nq == 0:
@@ -984,14 +995,16 @@ def maxsim_search(
             X = np.array(list(pdf["_v"]), dtype=np.float64).reshape(
                 len(pdf), n_tokens, d
             )
-            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            ids = pdf["_id"].to_numpy()  # source dtype preserved
             xn = _sq_norms(X)  # (nb, T)
             # chunk both axes so the (nb, nq, T, T) accumulator stays
-            # bounded regardless of batch/query-set size
-            for b0 in range(0, len(X), 1024):
-                Xc, xnc, idc = X[b0 : b0 + 1024], xn[b0 : b0 + 1024], ids[b0 : b0 + 1024]
-                for q0 in range(0, nq, 64):
-                    Qc, qnc, qidc = Q[q0 : q0 + 64], qn[q0 : q0 + 64], qids_v[q0 : q0 + 64]
+            # bounded regardless of batch/query-set/token size
+            for b0 in range(0, len(X), bchunk):
+                Xc, xnc = X[b0 : b0 + bchunk], xn[b0 : b0 + bchunk]
+                idc = ids[b0 : b0 + bchunk]
+                for q0 in range(0, nq, qchunk):
+                    Qc, qnc = Q[q0 : q0 + qchunk], qn[q0 : q0 + qchunk]
+                    qidc = qarr[q0 : q0 + qchunk]
                     # dot fold, one dimension at a time ascending
                     acc = np.zeros((len(Xc), len(Qc), n_tokens, n_tokens))
                     for d0 in range(d):
@@ -1003,8 +1016,8 @@ def maxsim_search(
                         score += best[:, :, t0]
                     yield pd.DataFrame(
                         {
-                            "query_id": np.repeat(qidc[None, :], len(Xc), 0).ravel(),
-                            "doc_id": np.repeat(idc, len(Qc)),
+                            "query_id": list(np.repeat(qidc[None, :], len(Xc), 0).ravel()),
+                            "doc_id": list(np.repeat(idc, len(Qc))),
                             "maxsim": score.ravel(),
                         }
                     )
@@ -1012,7 +1025,9 @@ def maxsim_search(
     from ..sources.tables import spread
 
     b = spread(base).select(F.col(id_col).alias("_id"), to_vec(vec_col).alias("_v"))
-    scored = b.mapInPandas(kern, "query_id long, doc_id long, maxsim double")
+    scored = b.mapInPandas(
+        kern, f"query_id {qid_type}, doc_id {did_type}, maxsim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), F.col("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
