@@ -181,3 +181,31 @@ def test_rescored_probe_is_bit_identical_to_exact(spark, emb, queries, index):
     g = sorted(tuple(r[c] for c in cols) for r in got.collect())
     w = sorted(tuple(r[c] for c in cols) for r in want.collect())
     assert g == w
+
+
+def test_knn_hnsw_allowed_ids_post_filter_api(spark, sf_smoke):
+    """The first-class allowed_ids probe on the HNSW artifact (the
+    formal API for the post-filter recipe above): results contain only
+    permitted ids, ranks are dense per query, and with ~half the corpus
+    permitted the boosted probe still returns k rows per query."""
+    import pyspark.sql.functions as F
+
+    from vectorsearch_with_hnsw_spark.index.build import HnswParams, hnsw_build
+    from vectorsearch_with_hnsw_spark.index.query import knn_hnsw
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    idx = hnsw_build(vecs, HnswParams(dim=64, metric="l2"), num_partitions=4)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = knn_hnsw(idx, q, k=5, allowed_ids=allowed).collect()
+    assert out and all(r.neighbor_id % 2 == 0 for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for qid, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (qid, rnks)
+        assert len(rnks) == 5, (qid, rnks)  # half the corpus allowed, 4x boost

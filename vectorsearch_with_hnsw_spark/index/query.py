@@ -134,12 +134,45 @@ def knn_hnsw(
     ef: int | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    allowed_ids: DataFrame | None = None,
+    filter_boost: int = 4,
 ) -> DataFrame:
     """Probe all partitions, merge per-query top-k. Queries are collected
     + broadcast (bounded artifact — right for interactive batches; use
     ``knn_hnsw_distributed`` for huge query tables).
 
+    ``allowed_ids`` is the graph-index member of the filtered-probe
+    family (IvfPqIndex/PqIndex/IvfIndex/Sq8Index.search take the same
+    contract): a POST-filter — the graph is probed with ef and k
+    boosted ``filter_boost``x, then neighbors outside the permitted set
+    are dropped and the survivors re-ranked. Post-filtering is the only
+    strategy a graph index supports without breaking its routing (the
+    reference's tombstone skip, hsnw_trial.py:178-179, is the same
+    mechanism with deleted-ness as the predicate) and it UNDER-FILLS at
+    low selectivity — below ~1/filter_boost of the corpus permitted,
+    use ``filtered_knn`` (pre-filter, exact at any selectivity) or
+    build the index over the filtered subset. Column predicates belong
+    on the source-table pre-filter path; the index stores only
+    (id, vec).
+
     Returns (query_id, neighbor_id, dist, rnk)."""
+    if allowed_ids is not None:
+        from ..operators.knn import prefilter_rows
+
+        params = index.params
+        boosted_k = k * filter_boost
+        raw = knn_hnsw(
+            index,
+            queries_df,
+            k=boosted_k,
+            ef=max(ef or params.ef_search, boosted_k),
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select("query_id", "neighbor_id", "dist")
+        kept = prefilter_rows(raw, "neighbor_id", None, allowed_ids)
+        return topk_per_group(kept, ["query_id"], ["dist", "neighbor_id"], k).select(
+            "query_id", "neighbor_id", "dist", "rnk"
+        )
     params = index.params
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
