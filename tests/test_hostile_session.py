@@ -31,6 +31,10 @@ HOSTILE_QUERIES = [
     "pq_refine_ann",          # ADC shortlist + exact L2 re-rank under ANSI
     "lsh_ann_cosine",         # banded sign-bit buckets + xor probes under ANSI
     "binary_refine_ann",      # bit-pack/popcount shortlist + cosine re-rank under ANSI
+    "ivf_pq_filtered_ann",    # NEW r12: allowed-ids semi-join + residual ADC under ANSI
+    "sq8_index_ann",          # NEW r12: artifact probe, integer codes under ANSI
+    "maxsim_search",          # NEW r12 kernel: cosine folds + division under ANSI
+    "knn_filtered_semijoin",  # cross-table semi-join + exact L2 under ANSI
 ]
 
 
