@@ -513,3 +513,34 @@ def test_streaming_routed_ingest_preserves_probe_bound(spark, sf_smoke):
     assert len(rows) == 25
     for r in rows:
         assert r["neighbor_id"] == r["query_id"]
+
+
+def test_streaming_filtered_knn_matches_batch(spark, sf_smoke, tmp_path):
+    """Filtered micro-batch kNN serving: the pluggable answer hook
+    composes with filtered_knn (the vector-DB metadata-WHERE serving
+    shape), and the streamed results match the batch filtered_knn rows
+    for the same query set — only permitted ids come back."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.knn import filtered_knn
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.ingest import read_embeddings_stream
+    from vectorsearch_with_hnsw_spark.streaming.search import StreamingKnn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    docs = load_table(spark, sf_smoke, "documents")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    to_queries = lambda df: df.filter(F.col("vec_id") < 8).select(  # noqa: E731
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sink = StreamingKnn(
+        emb,
+        str(tmp_path / "fknn_out"),
+        answer=lambda q: filtered_knn(emb, q, k=5, metric="l2", allowed_ids=allowed),
+    )
+    got = sink.run(to_queries(read_embeddings_stream(spark, sf_smoke)))
+    want = filtered_knn(emb, to_queries(emb), k=5, metric="l2", allowed_ids=allowed)
+    cols = ["query_id", "neighbor_id", "dist", "rnk"]
+    assert _rows(got, cols) == _rows(want, cols)
+    allowed_set = {r.doc_id for r in allowed.collect()}
+    assert {r.neighbor_id for r in got.collect()} <= allowed_set
