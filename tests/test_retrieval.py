@@ -866,3 +866,30 @@ def test_index_refine_search_matches_one_shot_refine(spark, sf_smoke, tmp_path):
     even = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
     filt = loaded.refine_search(emb, q, k=5, n_probe=8, expand=4, allowed_ids=even).collect()
     assert filt and all(r.neighbor_id % 2 == 0 for r in filt)
+
+
+def test_filtered_probe_edge_cases(spark, sf_smoke):
+    """Totality of the artifact pre-filter: an EMPTY allowed set returns
+    zero rows (never errors, never falls back to unfiltered), ids
+    absent from the index are ignored, and a predicate matching nothing
+    under-fills to zero."""
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=2)
+    ivfpq = IvfPqIndex.build(emb, dim=64, m=8, n_cells=8, iters=2)
+    ivfpq.unpersist()
+    sq8 = Sq8Index.build(emb, dim=64)
+
+    empty = emb.filter(F.col("vec_id") < 0).select("vec_id")
+    assert ivfpq.search(q, k=5, allowed_ids=empty).count() == 0
+    assert sq8.search(q, k=5, allowed_ids=empty).count() == 0
+    assert ivfpq.search(q, k=5, predicate=F.col("vec_id") < 0).count() == 0
+
+    # ids not present in the index: the semi-join drops them silently
+    ghost = spark.createDataFrame([(10_000_000,), (10_000_001,)], "vec_id long")
+    assert sq8.search(q, k=5, allowed_ids=ghost).count() == 0
+
+    # refine over an empty shortlist is also total
+    assert ivfpq.refine_search(emb, q, k=5, allowed_ids=empty).count() == 0
