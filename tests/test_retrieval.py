@@ -893,3 +893,48 @@ def test_filtered_probe_edge_cases(spark, sf_smoke):
 
     # refine over an empty shortlist is also total
     assert ivfpq.refine_search(emb, q, k=5, allowed_ids=empty).count() == 0
+
+
+def test_similarity_search_accepts_quantized_index(spark, sf_smoke, tmp_path):
+    """similarity_search(index=...) routes the quantized methods through
+    a prebuilt artifact — bit-identical to the one-shot method at equal
+    build params (they share scorers), and a mismatched index type is
+    refused, not silently retrained."""
+    import pytest as _pytest
+
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex, PqIndex
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+    from vectorsearch_with_hnsw_spark.operators.search import similarity_search
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke, n=4)
+
+    # defaults used by the dispatch (m=16, n_cells=8, iters=2 at dim 64)
+    ivfpq = IvfPqIndex.build(emb, dim=64, m=16, n_cells=8, iters=2)
+    ivfpq.unpersist()
+    got = sorted(
+        map(tuple, similarity_search(emb, q, method="ivf_pq", k=5, dim=64, index=ivfpq).collect())
+    )
+    want = sorted(
+        map(tuple, similarity_search(emb, q, method="ivf_pq", k=5, dim=64).collect())
+    )
+    assert got and got == want
+
+    sq8 = Sq8Index.build(emb, dim=64)
+    got_s = sorted(
+        map(tuple, similarity_search(emb, q, method="sq8", k=5, index=sq8).collect())
+    )
+    want_s = sorted(map(tuple, similarity_search(emb, q, method="sq8", k=5).collect()))
+    assert got_s and got_s == want_s
+
+    pq = PqIndex.build(emb, dim=64, m=16)
+    got_p = sorted(
+        map(tuple, similarity_search(emb, q, method="pq", k=5, dim=64, index=pq).collect())
+    )
+    want_p = sorted(
+        map(tuple, similarity_search(emb, q, method="pq", k=5, dim=64).collect())
+    )
+    assert got_p and got_p == want_p
+
+    with _pytest.raises(ValueError, match="needs a IvfPqIndex"):
+        similarity_search(emb, q, method="ivf_pq", k=5, dim=64, index=sq8)

@@ -100,17 +100,44 @@ def similarity_search(
     """Dispatch to one similarity-search family by name.
 
     ``dim`` is required for the hyperplane/centroid methods (lsh, ivf,
-    ivf_sq8, hnsw without a prebuilt index); pass ``index`` (an
-    ``HnswIndex``) to probe an existing HNSW artifact instead of
-    building one per call; ``ef`` is the hnsw search-breadth knob
-    (the reference's ef_search, hsnw_trial.py:274 — defaults to the
-    index params' ef_search, clamped to >= k). Unknown methods raise
-    ValueError, mirroring the reference's unknown-metric error
-    (hsnw_trial.py:88-89)."""
+    ivf_sq8, hnsw without a prebuilt index); pass ``index`` to probe an
+    existing artifact instead of building one per call — an
+    ``HnswIndex`` for the hnsw methods, or (since round 12) an
+    ``IvfPqIndex`` / ``PqIndex`` / ``Sq8Index`` for the matching
+    quantized methods (the "encode once, probe many" path: the corpus
+    is scanned through its at-rest codes, and only the expand*k
+    re-rank reads raw vectors from ``base``; results are bit-identical
+    to the one-shot method at equal build params, pinned by test). A
+    mismatched index type is refused rather than silently retrained.
+    ``ef`` is the hnsw search-breadth knob (the reference's ef_search,
+    hsnw_trial.py:274 — defaults to the index params' ef_search,
+    clamped to >= k). Unknown methods raise ValueError, mirroring the
+    reference's unknown-metric error (hsnw_trial.py:88-89)."""
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
     if n_probe is None:
         n_probe = _DEFAULT_PROBES.get(method, 5)
+    if index is not None and method in (
+        "pq", "pq_refine", "sq8", "sq8_refine", "ivf_pq", "ivf_pq_refine"
+    ):
+        from .pq import IvfPqIndex, PqIndex
+        from .quantize import Sq8Index
+
+        want = {
+            "pq": PqIndex, "pq_refine": PqIndex,
+            "sq8": Sq8Index, "sq8_refine": Sq8Index,
+            "ivf_pq": IvfPqIndex, "ivf_pq_refine": IvfPqIndex,
+        }[method]
+        if not isinstance(index, want):
+            raise ValueError(
+                f"method {method!r} needs a {want.__name__} index, "
+                f"got {type(index).__name__}"
+            )
+        if method in ("ivf_pq", "ivf_pq_refine"):
+            return index.refine_search(base, queries, k=k, n_probe=n_probe)
+        if method in ("sq8", "sq8_refine"):
+            return index.refine_search(base, queries, k=k, metric=metric)
+        return index.refine_search(base, queries, k=k)
     if method == "exact":
         from .knn import knn_exact
 
