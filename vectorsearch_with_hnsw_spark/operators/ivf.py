@@ -83,6 +83,47 @@ def _d2_matrix(X, Cv):
     return acc
 
 
+def assign_frozen(pts: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Nearest-cell assignment of (vec_id, v) rows under a FROZEN
+    centroid table, as an Arrow kernel — BIT-IDENTICAL to the
+    crossJoin + _l2sq + row_number form it replaced: d2 accumulates
+    (x_d - c_d)^2 one dimension at a time in ascending order (the
+    sequential fold), and argmin over cell-ascending columns returns
+    the first minimum — exactly the (d2, cell) window order. The old
+    shape evaluated an interpreted HOF fold N*k times per pass (the
+    dominant cost of every kmeans consumer at sf0.1); centroids are a
+    bounded k-row collect + broadcast. Serves both the Lloyd loop
+    (via ``_kmeans_impl``'s bound closure) and ``IvfIndex.add``
+    (incremental insert: assign new vectors without retraining)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tables import spread
+
+    rows = cent_df.orderBy("cell").collect()
+    cells_np = np.array([r["cell"] for r in rows], dtype=np.int32)
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    bc = pts.sparkSession.sparkContext.broadcast((cells_np, C))
+
+    def kern(batches):
+        cells_v, Cv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            acc = _d2_matrix(X, Cv)
+            j = acc.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells_v[j],
+                    "d2": acc[np.arange(len(X)), j],
+                }
+            )
+
+    return spread(pts).mapInPandas(kern, "vec_id long, cell int, d2 double")
+
+
 def _kmeans_impl(
     emb: DataFrame,
     dim: int,
@@ -114,40 +155,8 @@ def _kmeans_impl(
         .select("cell", F.col("v").alias("centroid"))
     )
 
-    def _collect_cents(cent_df: DataFrame):
-        rows = cent_df.orderBy("cell").collect()
-        cells_np = np.array([r["cell"] for r in rows], dtype=np.int32)
-        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
-        return pts.sparkSession.sparkContext.broadcast((cells_np, C))
-
     def assign(cent_df: DataFrame) -> DataFrame:
-        """Nearest-cell assignment as an Arrow kernel, BIT-IDENTICAL to
-        the crossJoin + _l2sq + row_number form it replaced: d2
-        accumulates (x_d - c_d)^2 one dimension at a time in ascending
-        order (the sequential fold), and argmin over cell-ascending
-        columns returns the first minimum — exactly the (d2, cell)
-        window order. The old shape evaluated an interpreted HOF fold
-        N*k times per pass (the dominant cost of every kmeans consumer
-        at sf0.1); centroids are a bounded k-row collect + broadcast."""
-        bc = _collect_cents(cent_df)
-
-        def kern(batches):
-            cells_v, Cv = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.array(list(pdf["v"]), dtype=np.float64)
-                acc = _d2_matrix(X, Cv)
-                j = acc.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                        "cell": cells_v[j],
-                        "d2": acc[np.arange(len(X)), j],
-                    }
-                )
-
-        return spread(pts).mapInPandas(kern, "vec_id long, cell int, d2 double")
+        return assign_frozen(pts, cent_df)
 
     def step(cells_np: "np.ndarray", C: "np.ndarray"):
         """One Lloyd iteration, assign + update FUSED into a single
@@ -370,10 +379,17 @@ class IvfIndex:
     assignments table can be written bucketed by cell so a probe scans
     only n_probe/n_cells of the data at rest."""
 
-    def __init__(self, centroids: DataFrame, assigned: DataFrame, dim: int):
+    def __init__(
+        self,
+        centroids: DataFrame,
+        assigned: DataFrame,
+        dim: int,
+        tombstones: DataFrame | None = None,
+    ):
         self.centroids = centroids  # (cell, centroid)
         self.assigned = assigned    # (vec_id, cell)
         self.dim = dim
+        self.tombstones = tombstones
 
     @classmethod
     def build(
@@ -388,20 +404,71 @@ class IvfIndex:
         _, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, id_col, vec_col)
         return cls(cents, assign(cents).select("vec_id", "cell"), dim)
 
+    def add(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Incremental insert: assign the new vectors to the FROZEN
+        trained centroids (the same ``assign_frozen`` kernel the build
+        uses, so added rows route bit-identically to a build over the
+        same vectors with this trained state) and union the assignment
+        — the reference's insert (hsnw_trial.py:197-265) on the
+        at-rest routing table; no retrain, existing rows untouched.
+        Ids must be fresh (re-adding a tombstoned id does not clear
+        its tombstone — ``compact`` first)."""
+        pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
+        fresh = assign_frozen(pts, self.centroids).select("vec_id", "cell")
+        return IvfIndex(
+            self.centroids, self.assigned.unionByName(fresh), self.dim,
+            tombstones=self.tombstones,
+        )
+
+    def delete(self, ids_df: DataFrame) -> "IvfIndex":
+        """Tombstone the given ids (delete-log semantics: the
+        assignment stays at rest, probes skip the log —
+        hsnw_trial.py:296-305)."""
+        from .knn import merge_tombstones
+
+        return IvfIndex(
+            self.centroids, self.assigned, self.dim,
+            tombstones=merge_tombstones(self.tombstones, ids_df),
+        )
+
+    def compact(self) -> "IvfIndex":
+        """Physically drop tombstoned assignment rows and clear the log
+        — the reference's rebuild compaction (hsnw_trial.py:381-389)
+        without retraining (centroids are frozen, so compaction is a
+        pure filter: searches are bit-identical before and after)."""
+        from .knn import live_rows
+
+        return IvfIndex(
+            self.centroids, live_rows(self.assigned, self.tombstones), self.dim
+        )
+
     def save(self, path: str) -> None:
-        self.centroids.withColumn("dim", F.lit(self.dim)).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/centroids")
+        self.centroids.withColumn("dim", F.lit(self.dim)).withColumn(
+            "tombs", F.lit(self.tombstones is not None)
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
         self.assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+        if self.tombstones is not None:
+            self.tombstones.write.mode("overwrite").parquet(f"{path}/tombstones")
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
         cents_raw = spark.read.parquet(f"{path}/centroids")
-        dim = int(cents_raw.select("dim").first()["dim"])
+        meta = cents_raw.first()
+        tombs = (
+            spark.read.parquet(f"{path}/tombstones")
+            if "tombs" in cents_raw.columns and meta["tombs"]
+            else None
+        )
         return cls(
             cents_raw.select("cell", "centroid"),
             spark.read.parquet(f"{path}/assigned"),
-            dim,
+            int(meta["dim"]),
+            tombstones=tombs,
         )
 
     def search(
@@ -425,11 +492,14 @@ class IvfIndex:
         before the probe join, so a filtered probe of the at-rest index
         touches only permitted rows (see ``IvfPqIndex.search``).
         Exact-k whenever the permitted rows inside the probed cells
-        have >= k members."""
+        have >= k members. Tombstoned ids are skipped first (the
+        reference's deleted-check, hsnw_trial.py:178-179)."""
         from ..functions.vector import l2_distance
-        from .knn import prefilter_rows
+        from .knn import live_rows, prefilter_rows
 
-        assigned = prefilter_rows(self.assigned, "vec_id", predicate, allowed_ids)
+        assigned = prefilter_rows(
+            live_rows(self.assigned, self.tombstones), "vec_id", predicate, allowed_ids
+        )
         pts = emb.select("vec_id", to_vec("embedding").alias("v"))
         qcells = queries_df.crossJoin(F.broadcast(self.centroids)).select(
             "query_id",

@@ -240,6 +240,35 @@ def prefilter_rows(
     return df
 
 
+def merge_tombstones(
+    tombstones: DataFrame | None, ids_df: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Fold a batch of deleted ids into a tombstone log — the shared
+    delete-log primitive of the persisted index artifacts' ``delete()``
+    (the reference's lazy tombstone delete, hsnw_trial.py:296-305,
+    applied to an at-rest codes table: the data stays put, only the
+    skip set grows). The log is a one-column (``id_col``) relation;
+    ``ids_df``'s first column is taken as the id whatever its name."""
+    key = ids_df.columns[0]
+    batch = ids_df.select(F.col(key).alias(id_col))
+    if tombstones is None:
+        return batch.distinct()
+    return tombstones.select(id_col).unionByName(batch).distinct()
+
+
+def live_rows(
+    df: DataFrame, tombstones: DataFrame | None, id_col: str = "vec_id"
+) -> DataFrame:
+    """Skip tombstoned rows — the probe-time half of the delete-log
+    contract (the reference's ``if not in deleted`` skip,
+    hsnw_trial.py:178-179, as an anti-join against the log). ``None``
+    (no deletes yet) is a no-op so an undeleted index keeps its exact
+    plan: no spurious join ever enters the probe."""
+    if tombstones is None:
+        return df
+    return df.join(tombstones.select(id_col), id_col, "left_anti")
+
+
 def filtered_knn(
     index_df: DataFrame,
     queries_df: DataFrame,

@@ -832,13 +832,29 @@ class PqIndex:
     save/load contract, hsnw_trial.py:310-376 — its .npy/JSON artifacts
     become two parquet tables). Probing a loaded index skips the encode
     pass entirely: queries only need the codebook to build their LUTs,
-    so a 100 TB corpus is searchable from its ~1/32-size code table."""
+    so a 100 TB corpus is searchable from its ~1/32-size code table.
 
-    def __init__(self, codes: DataFrame, codebooks: DataFrame, dim: int, m: int):
+    Lifecycle (the reference's insert / tombstone-delete / rebuild,
+    hsnw_trial.py:197-265, 296-305, 381-389, on the at-rest layout):
+    ``add`` encodes new vectors with the FROZEN codebook (train once,
+    add many — no retrain, no touch of existing codes), ``delete``
+    tombstones ids (codes stay at rest; probes skip the log), and
+    ``compact`` physically drops tombstoned codes. All three return a
+    new handle; tables are immutable."""
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        codebooks: DataFrame,
+        dim: int,
+        m: int,
+        tombstones: DataFrame | None = None,
+    ):
         self.codes = codes
         self.codebooks = codebooks
         self.dim = dim
         self.m = m
+        self.tombstones = tombstones
 
     @classmethod
     def build(
@@ -853,18 +869,72 @@ class PqIndex:
         codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
         return cls(codes, cb, dim, m)
 
+    def add(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "PqIndex":
+        """Incremental insert: encode the new vectors with the FROZEN
+        codebook and union the codes — the reference's insert
+        (hsnw_trial.py:197-265) under FAISS ``add`` semantics (train
+        once, add many). Existing codes are untouched; at 100 TB the
+        new batch is the only data scanned. Ids must be fresh —
+        re-adding a tombstoned id does NOT clear its tombstone
+        (``compact`` first to resurrect an id)."""
+        fresh = pq_encode(emb, self.codebooks, self.dim, self.m, id_col, vec_col)
+        return PqIndex(
+            self.codes.unionByName(fresh), self.codebooks, self.dim, self.m,
+            tombstones=self.tombstones,
+        )
+
+    def delete(self, ids_df: DataFrame) -> "PqIndex":
+        """Tombstone the given ids (delete-log semantics: codes stay at
+        rest, probes skip the log — hsnw_trial.py:296-305)."""
+        from .knn import merge_tombstones
+
+        return PqIndex(
+            self.codes, self.codebooks, self.dim, self.m,
+            tombstones=merge_tombstones(self.tombstones, ids_df),
+        )
+
+    def compact(self) -> "PqIndex":
+        """Physically drop tombstoned codes and clear the log — the
+        reference's rebuild compaction (hsnw_trial.py:381-389) without
+        retraining (the codebook is data-independent once frozen, so
+        compaction is a pure filter: searches are bit-identical before
+        and after)."""
+        from .knn import live_rows
+
+        return PqIndex(
+            live_rows(self.codes, self.tombstones), self.codebooks,
+            self.dim, self.m,
+        )
+
     def save(self, path: str) -> None:
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
         self.codebooks.withColumn("dim", F.lit(self.dim)).withColumn(
             "m", F.lit(self.m)
+        ).withColumn(
+            "tombs", F.lit(self.tombstones is not None)
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        if self.tombstones is not None:
+            self.tombstones.write.mode("overwrite").parquet(f"{path}/tombstones")
 
     @classmethod
     def load(cls, spark, path: str) -> "PqIndex":
         codes = spark.read.parquet(f"{path}/codes")
         cb_raw = spark.read.parquet(f"{path}/codebooks")
-        meta = cb_raw.select("dim", "m").first()
-        return cls(codes, cb_raw.select("cb"), int(meta["dim"]), int(meta["m"]))
+        meta = cb_raw.first()
+        tombs = (
+            spark.read.parquet(f"{path}/tombstones")
+            if "tombs" in cb_raw.columns and meta["tombs"]
+            else None
+        )
+        return cls(
+            codes, cb_raw.select("cb"), int(meta["dim"]), int(meta["m"]),
+            tombstones=tombs,
+        )
 
     def search(
         self,
@@ -877,10 +947,13 @@ class PqIndex:
         ``predicate`` / ``allowed_ids``: ``filtered_knn``'s pre-filter
         contract over the codes relation — applied before ADC, so a
         filtered probe decodes only the permitted codes (see
-        ``IvfPqIndex.search``)."""
-        from .knn import prefilter_rows
+        ``IvfPqIndex.search``). Tombstoned ids are skipped first (the
+        reference's deleted-check, hsnw_trial.py:178-179)."""
+        from .knn import live_rows, prefilter_rows
 
-        codes = prefilter_rows(self.codes, "vec_id", predicate, allowed_ids)
+        codes = prefilter_rows(
+            live_rows(self.codes, self.tombstones), "vec_id", predicate, allowed_ids
+        )
         d = self.dim // self.m
         qv = to_vec("query_vec")
         lut = F.transform(
@@ -970,6 +1043,7 @@ class IvfPqIndex:
         dim: int,
         m: int,
         cached: list | None = None,
+        tombstones: DataFrame | None = None,
     ):
         self.codes = codes
         self.cents = cents
@@ -977,6 +1051,7 @@ class IvfPqIndex:
         self.cb_np = cb_np
         self.dim = dim
         self.m = m
+        self.tombstones = tombstones
         # persisted build intermediates (the codes relation): kept
         # alive so repeated search()/save() calls on a freshly-built
         # index don't re-run the fused assign+encode kernel; the owner
@@ -1015,6 +1090,64 @@ class IvfPqIndex:
         codes = persist_tracked(codes)
         return cls(codes, cents, cb, cb_np, dim, m, cached=[codes])
 
+    def add(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        """Incremental insert: coarse-assign + residual-encode the new
+        vectors with the FROZEN trained state (centroids + codebook —
+        FAISS ``IndexIVFPQ.add`` semantics) and union the codes. The
+        encode is the same fused one-pass kernel the build uses
+        (``_ivf_pq_assign_encode``), so added codes are bit-identical
+        to what a build over the same rows with this trained state
+        would produce; existing codes are untouched — at 100 TB the
+        new batch is the only data scanned. This is the reference's
+        insert (hsnw_trial.py:197-265) on the at-rest layout; ids must
+        be fresh (re-adding a tombstoned id does not clear its
+        tombstone — ``compact`` first)."""
+        crows = self.cents.orderBy("cell").collect()
+        cells_np = np.array([r["cell"] for r in crows], dtype=np.int32)
+        C = (
+            np.array([r["centroid"] for r in crows], dtype=np.float64)
+            if crows
+            else np.zeros((0, self.dim), dtype=np.float64)
+        )
+        pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
+        fresh = _ivf_pq_assign_encode(
+            pts, cells_np, C, self.cb_np, self.m, self.dim // self.m
+        )
+        return IvfPqIndex(
+            self.codes.unionByName(fresh), self.cents, self.codebooks,
+            self.cb_np, self.dim, self.m,
+            cached=self._cached, tombstones=self.tombstones,
+        )
+
+    def delete(self, ids_df: DataFrame) -> "IvfPqIndex":
+        """Tombstone the given ids (delete-log semantics: codes stay at
+        rest, probes skip the log — hsnw_trial.py:296-305)."""
+        from .knn import merge_tombstones
+
+        return IvfPqIndex(
+            self.codes, self.cents, self.codebooks, self.cb_np,
+            self.dim, self.m, cached=self._cached,
+            tombstones=merge_tombstones(self.tombstones, ids_df),
+        )
+
+    def compact(self) -> "IvfPqIndex":
+        """Physically drop tombstoned codes and clear the log — the
+        reference's rebuild compaction (hsnw_trial.py:381-389) without
+        retraining (trained state is frozen, so compaction is a pure
+        filter: searches are bit-identical before and after)."""
+        from .knn import live_rows
+
+        return IvfPqIndex(
+            live_rows(self.codes, self.tombstones), self.cents,
+            self.codebooks, self.cb_np, self.dim, self.m,
+            cached=self._cached,
+        )
+
     def save(self, path: str) -> None:
         # cell is the partition column: the at-rest layout that makes a
         # probe a partition-pruned read
@@ -1024,17 +1157,29 @@ class IvfPqIndex:
         self.cents.write.mode("overwrite").parquet(f"{path}/centroids")
         self.codebooks.withColumn("dim", F.lit(self.dim)).withColumn(
             "m", F.lit(self.m)
+        ).withColumn(
+            "tombs", F.lit(self.tombstones is not None)
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        if self.tombstones is not None:
+            self.tombstones.write.mode("overwrite").parquet(f"{path}/tombstones")
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
         codes = spark.read.parquet(f"{path}/codes")
         cents = spark.read.parquet(f"{path}/centroids")
         cb_raw = spark.read.parquet(f"{path}/codebooks")
-        meta = cb_raw.select("dim", "m").first()
+        meta = cb_raw.first()
         cb = cb_raw.select("cb")
         cb_np = np.array(cb.collect()[0]["cb"], dtype=np.float64)
-        return cls(codes, cents, cb, cb_np, int(meta["dim"]), int(meta["m"]))
+        tombs = (
+            spark.read.parquet(f"{path}/tombstones")
+            if "tombs" in cb_raw.columns and meta["tombs"]
+            else None
+        )
+        return cls(
+            codes, cents, cb, cb_np, int(meta["dim"]), int(meta["m"]),
+            tombstones=tombs,
+        )
 
     def search(
         self,
@@ -1057,11 +1202,16 @@ class IvfPqIndex:
         mechanism (hsnw_trial.py:178-179) with an arbitrary predicate
         in place of deleted-ness. Exact-k whenever the permitted rows
         inside the probed cells have >= k members; fewer rows come back
-        below that selectivity (pre-filtering never silently pads)."""
-        from .knn import prefilter_rows
+        below that selectivity (pre-filtering never silently pads).
+        Tombstoned ids are skipped first (the reference's
+        deleted-check, hsnw_trial.py:178-179)."""
+        from .knn import live_rows, prefilter_rows
 
         return _ivf_pq_score(
-            prefilter_rows(self.codes, "vec_id", predicate, allowed_ids),
+            prefilter_rows(
+                live_rows(self.codes, self.tombstones),
+                "vec_id", predicate, allowed_ids,
+            ),
             self.cents,
             self.cb_np,
             queries,

@@ -324,10 +324,17 @@ class Sq8Index:
     one-shot ``sq8_knn`` and answers BIT-IDENTICALLY to it at equal
     build input (pinned by tests/test_retrieval.py)."""
 
-    def __init__(self, codes: DataFrame, ranges: DataFrame, dim: int):
+    def __init__(
+        self,
+        codes: DataFrame,
+        ranges: DataFrame,
+        dim: int,
+        tombstones: DataFrame | None = None,
+    ):
         self.codes = codes    # (vec_id, bcode array<long>)
         self.ranges = ranges  # single row (qmin, qmax)
         self.dim = dim
+        self.tombstones = tombstones
 
     @classmethod
     def build(
@@ -353,18 +360,68 @@ class Sq8Index:
         )
         return cls(codes, ranges, dim)
 
+    def add(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "Sq8Index":
+        """Incremental insert: quantize the new vectors with the FROZEN
+        per-dimension ranges (train once, add many) and union the
+        codes — the reference's insert (hsnw_trial.py:197-265) on the
+        at-rest layout. Out-of-range values clip exactly as at build
+        time (the quantizer saturates); existing codes are untouched.
+        Ids must be fresh — re-adding a tombstoned id does not clear
+        its tombstone (``compact`` first)."""
+        fresh = quantize(emb, self.ranges, id_col, vec_col).select(
+            F.col(id_col).alias("vec_id"), F.col("code").alias("bcode")
+        )
+        return Sq8Index(
+            self.codes.unionByName(fresh), self.ranges, self.dim,
+            tombstones=self.tombstones,
+        )
+
+    def delete(self, ids_df: DataFrame) -> "Sq8Index":
+        """Tombstone the given ids (delete-log semantics: codes stay at
+        rest, probes skip the log — hsnw_trial.py:296-305)."""
+        from .knn import merge_tombstones
+
+        return Sq8Index(
+            self.codes, self.ranges, self.dim,
+            tombstones=merge_tombstones(self.tombstones, ids_df),
+        )
+
+    def compact(self) -> "Sq8Index":
+        """Physically drop tombstoned codes and clear the log — the
+        reference's rebuild compaction (hsnw_trial.py:381-389) without
+        retraining (the ranges are frozen, so compaction is a pure
+        filter: searches are bit-identical before and after)."""
+        from .knn import live_rows
+
+        return Sq8Index(live_rows(self.codes, self.tombstones), self.ranges, self.dim)
+
     def save(self, path: str) -> None:
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
-        self.ranges.withColumn("dim", F.lit(self.dim)).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/ranges")
+        self.ranges.withColumn("dim", F.lit(self.dim)).withColumn(
+            "tombs", F.lit(self.tombstones is not None)
+        ).write.mode("overwrite").parquet(f"{path}/ranges")
+        if self.tombstones is not None:
+            self.tombstones.write.mode("overwrite").parquet(f"{path}/tombstones")
 
     @classmethod
     def load(cls, spark, path: str) -> "Sq8Index":
         codes = spark.read.parquet(f"{path}/codes")
         ranges_raw = spark.read.parquet(f"{path}/ranges")
-        dim = int(ranges_raw.select("dim").first()["dim"])
-        return cls(codes, ranges_raw.select("qmin", "qmax"), dim)
+        meta = ranges_raw.first()
+        tombs = (
+            spark.read.parquet(f"{path}/tombstones")
+            if "tombs" in ranges_raw.columns and meta["tombs"]
+            else None
+        )
+        return cls(
+            codes, ranges_raw.select("qmin", "qmax"), int(meta["dim"]),
+            tombstones=tombs,
+        )
 
     def search(
         self,
@@ -377,10 +434,14 @@ class Sq8Index:
         scan). ``predicate`` / ``allowed_ids``: ``filtered_knn``'s
         pre-filter contract over the codes relation — applied before
         any distance math, so a filtered probe of the at-rest index
-        reads only permitted codes (see ``IvfPqIndex.search``)."""
-        from .knn import prefilter_rows
+        reads only permitted codes (see ``IvfPqIndex.search``).
+        Tombstoned ids are skipped first (the reference's
+        deleted-check, hsnw_trial.py:178-179)."""
+        from .knn import live_rows, prefilter_rows
 
-        base = prefilter_rows(self.codes, "vec_id", predicate, allowed_ids).select(
+        base = prefilter_rows(
+            live_rows(self.codes, self.tombstones), "vec_id", predicate, allowed_ids
+        ).select(
             F.col("vec_id").alias("neighbor_id"), "bcode"
         )
         return _sq8_score(base, self.ranges, queries, k)
