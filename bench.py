@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "binary_refine_ann",
     "ivf_pq_refine_ann",
     "ivf_pq_filtered_ann",
+    "ivf_pq_lifecycle_ann",
     "cms_token_counts",
     "boilerplate_sentences",
     "user_activity_anomalies",
@@ -723,6 +724,7 @@ HEADLINE_ROWS = [
     # round 12 additions (appended — the head stays stable for deltas;
     # the 1900-char budget loop pops from the end when tight)
     "maxsim_search", "sq8_refine_ann", "ivf_pq_filtered_ann", "sq8_index_ann",
+    "ivf_pq_lifecycle_ann",
 ]
 
 

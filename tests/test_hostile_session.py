@@ -35,6 +35,7 @@ HOSTILE_QUERIES = [
     "sq8_index_ann",          # NEW r12: artifact probe, integer codes under ANSI
     "maxsim_search",          # NEW r12 kernel: cosine folds + division under ANSI
     "knn_filtered_semijoin",  # cross-table semi-join + exact L2 under ANSI
+    "ivf_pq_lifecycle_ann",   # NEW r12: frozen-state add + tombstone anti-join under ANSI
 ]
 
 

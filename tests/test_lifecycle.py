@@ -199,6 +199,25 @@ def test_lifecycle_save_load_roundtrip(spark, sf_smoke, tmp_path):
             tomb.unpersist()
 
 
+def test_no_delete_means_no_antijoin_in_plan(spark, sf_smoke):
+    """The tombstone skip must be FREE until the first delete: an
+    undeleted index's probe plan contains no anti-join (live_rows is a
+    no-op on tombstones=None), and the first delete introduces exactly
+    the LeftAnti join — never a scan of a tombstone table that doesn't
+    exist."""
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(spark, sf_smoke)
+    idx = Sq8Index.build(emb, dim=DIM)
+    clean = idx.search(q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in clean
+    dele = emb.filter(F.col("vec_id") % 17 == 3).select("vec_id")
+    tomb = idx.delete(dele).search(q, k=5)
+    plan = tomb._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
 def test_add_after_delete_keeps_tombstone(spark, sf_smoke):
     """Documented contract: the tombstone log is id-keyed, so re-adding
     a deleted id does NOT resurrect it — compact first. (Pinned so the
