@@ -515,6 +515,58 @@ def test_streaming_routed_ingest_preserves_probe_bound(spark, sf_smoke):
         assert r["neighbor_id"] == r["query_id"]
 
 
+def test_streaming_quantized_ingest_matches_batch_lifecycle(spark, sf_smoke, tmp_path):
+    """StreamingQuantizedIngest == build(first batch).add(rest):
+    a two-file stream (mtime-ordered so the even-id half is batch 1)
+    yields an Sq8Index whose ranges are trained ONLY on batch 1 and
+    whose codes are bit-identical to the batch-side
+    build-then-add over the same split — the artifact lifecycle at
+    streaming cadence."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.ingest import (
+        EMBEDDINGS_SCHEMA,
+        StreamingQuantizedIngest,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "vec_stream")
+    a.coalesce(1).write.mode("append").parquet(src)
+    first_files = set(glob.glob(f"{src}/*.parquet"))
+    for f in first_files:
+        os.utime(f, (1_000_000_000, 1_000_000_000))
+    b.coalesce(1).write.mode("append").parquet(src)
+    for f in set(glob.glob(f"{src}/*.parquet")) - first_files:
+        os.utime(f, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    ingest = StreamingQuantizedIngest(lambda batch: Sq8Index.build(batch, dim=64))
+    idx = ingest.run(stream)
+    assert ingest.batches_seen >= 2, "split did not produce multiple micro-batches"
+
+    want = Sq8Index.build(a, dim=64).add(b)
+    assert _rows(idx.ranges, ["qmin", "qmax"]) == _rows(want.ranges, ["qmin", "qmax"])
+    assert _rows(idx.codes, ["vec_id", "bcode"]) == _rows(want.codes, ["vec_id", "bcode"])
+
+    q = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cols = ["query_id", "rnk", "neighbor_id"]
+    assert _rows(idx.search(q, k=5), cols) == _rows(want.search(q, k=5), cols)
+
+
 def test_streaming_filtered_knn_matches_batch(spark, sf_smoke, tmp_path):
     """Filtered micro-batch kNN serving: the pluggable answer hook
     composes with filtered_knn (the vector-DB metadata-WHERE serving

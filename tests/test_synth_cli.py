@@ -216,3 +216,54 @@ def test_cli_pq_build_and_query(spark, tmp_path, capsys, sf_smoke):
         "--k", "3", "--max-queries", "1",
     ])
     assert "pq index over" in capsys.readouterr().out
+
+
+def test_cli_pq_update_lifecycle(spark, tmp_path, capsys, sf_smoke):
+    """pq-update drives the artifact lifecycle end-to-end from the CLI:
+    build on a subset, add the rest under the frozen trained state,
+    tombstone a slice (the probe must skip it), then compact to a
+    clean artifact; in-place writes are refused."""
+    import pytest
+
+    from vectorsearch_with_hnsw_spark import cli
+
+    base = str(tmp_path / "sq8")
+    cli.main(["pq-build", "--sf-dir", sf_smoke, "--out", base, "--kind", "sq8"])
+    capsys.readouterr()
+
+    upd = str(tmp_path / "sq8_upd")
+    cli.main([
+        "pq-update", "--index", base, "--kind", "sq8", "--out", upd,
+        "--sf-dir", sf_smoke, "--delete-where", "vec_id % 17 = 3",
+    ])
+    out = capsys.readouterr().out
+    assert "delete[vec_id % 17 = 3]" in out and "tombstones" in out
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    served = Sq8Index.load(spark, upd).search(q, k=10).collect()
+    assert served and all(r.neighbor_id % 17 != 3 for r in served)
+
+    compacted = str(tmp_path / "sq8_compact")
+    cli.main([
+        "pq-update", "--index", upd, "--kind", "sq8", "--out", compacted,
+        "--compact",
+    ])
+    assert "tombstones none" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="differ"):
+        cli.main([
+            "pq-update", "--index", base, "--kind", "sq8", "--out", base,
+            "--compact",
+        ])
+    with pytest.raises(SystemExit, match="nothing to do"):
+        cli.main([
+            "pq-update", "--index", base, "--kind", "sq8",
+            "--out", str(tmp_path / "noop"),
+        ])

@@ -181,6 +181,36 @@ def main(argv: list[str] | None = None) -> None:
         "(cross-table allowed-ids semi-join on documents.doc_id)",
     )
 
+    pu = sub.add_parser(
+        "pq-update",
+        help="add / delete / compact a saved quantized index without "
+        "retraining (frozen trained state); writes an updated copy",
+    )
+    pu.add_argument("--index", required=True)
+    pu.add_argument("--kind", default="ivfpq", choices=("ivfpq", "pq", "sq8"))
+    pu.add_argument(
+        "--out", required=True,
+        help="output path for the updated index (must differ from --index: "
+        "the update is lazy, so writing in place would overwrite its own input)",
+    )
+    pu.add_argument("--sf-dir", help="embeddings source for --add-where / --delete-where")
+    pu.add_argument(
+        "--add-where",
+        default=None,
+        help="SQL predicate over the embeddings table selecting NEW vectors "
+        "to encode under the frozen trained state (e.g. 'vec_id >= 1000')",
+    )
+    pu.add_argument(
+        "--delete-where",
+        default=None,
+        help="SQL predicate over the embeddings table selecting ids to "
+        "tombstone (probes skip them; codes stay at rest until --compact)",
+    )
+    pu.add_argument(
+        "--compact", action="store_true",
+        help="physically drop tombstoned codes and clear the log",
+    )
+
     ex = sub.add_parser(
         "explain",
         help="print the formatted physical plan of any registry query",
@@ -314,6 +344,55 @@ def main(argv: list[str] | None = None) -> None:
                 )
             res.orderBy("query_id", "rnk").show(
                 args.max_queries * args.k, truncate=False
+            )
+        elif args.cmd == "pq-update":
+            import os as _os
+
+            from .operators.pq import IvfPqIndex, PqIndex
+            from .operators.quantize import Sq8Index
+
+            if _os.path.abspath(args.out) == _os.path.abspath(args.index):
+                raise SystemExit(
+                    "pq-update: --out must differ from --index (the update "
+                    "is lazy; an in-place write would overwrite its own input)"
+                )
+            if (args.add_where or args.delete_where) and not args.sf_dir:
+                raise SystemExit(
+                    "pq-update: --sf-dir is required with --add-where/--delete-where"
+                )
+            if not (args.add_where or args.delete_where or args.compact):
+                raise SystemExit(
+                    "pq-update: nothing to do — pass --add-where, "
+                    "--delete-where, and/or --compact"
+                )
+            kind_cls = {"ivfpq": IvfPqIndex, "pq": PqIndex, "sq8": Sq8Index}
+            idx = kind_cls[args.kind].load(spark, args.index)
+            actions = []
+            if args.add_where:
+                batch = load_table(spark, args.sf_dir, "embeddings").filter(
+                    F.expr(args.add_where)
+                )
+                idx = idx.add(batch)
+                actions.append(f"add[{args.add_where}]")
+            if args.delete_where:
+                dead = (
+                    load_table(spark, args.sf_dir, "embeddings")
+                    .filter(F.expr(args.delete_where))
+                    .select("vec_id")
+                )
+                idx = idx.delete(dead)
+                actions.append(f"delete[{args.delete_where}]")
+            if args.compact:
+                idx = idx.compact()
+                actions.append("compact")
+            idx.save(args.out)
+            n = idx.codes.count()
+            tomb = (
+                "none" if idx.tombstones is None else str(idx.tombstones.count())
+            )
+            print(
+                f"{args.kind} {' + '.join(actions)}: {n} codes, "
+                f"tombstones {tomb} -> {args.out}"
             )
         elif args.cmd == "explain":
             from . import registry

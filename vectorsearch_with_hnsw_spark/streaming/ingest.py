@@ -117,3 +117,58 @@ class StreamingIndexIngest:
         if self.index is None:
             raise ValueError("stream produced no micro-batches")
         return self.index
+
+
+class StreamingQuantizedIngest:
+    """foreachBatch sink that grows a QUANTIZED index artifact
+    (Sq8Index / PqIndex / IvfPqIndex / IvfIndex) from a vector stream:
+    the FIRST micro-batch trains the quantizer (``build_fn``), every
+    later batch encodes under that frozen trained state (``add``) — so
+    per-batch ingest cost is O(batch), never O(index): the streaming
+    cadence of the artifacts' train-once/add-many lifecycle, and the
+    quantized sibling of ``StreamingIndexIngest`` (the reference's
+    real-time insert, hsnw_trial.py:197-203, compressed at rest).
+
+    Each micro-batch is eagerly ``localCheckpoint``ed before it enters
+    the index lineage: a micro-batch frame is only re-computable within
+    its own batch, and the running handle must outlive it. The
+    checkpointed blocks hold the RAW batch (O(corpus) across a long
+    run) — a long-running ingest should periodically ``save()`` the
+    handle to parquet and ``load()`` it back (the at-rest re-root,
+    analogous to ``rebuild_every`` above); deletes compose by calling
+    ``index.delete(ids)`` between batches (a metadata-only log append).
+
+    ``build_fn``: DataFrame -> index handle, e.g.
+    ``lambda b: Sq8Index.build(b, dim=64)``. The trained state is
+    whatever the first batch yields — the standard streaming-quantizer
+    pattern (train on an initial sample); pass a closure over a
+    preloaded artifact's ``add`` to warm-start instead."""
+
+    def __init__(self, build_fn):
+        self.build_fn = build_fn
+        self.index = None
+        self.batches_seen = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen += 1
+        if batch_df.isEmpty():
+            return
+        b = batch_df.localCheckpoint(eager=True)
+        if self.index is None:
+            self.index = self.build_fn(b)
+        else:
+            self.index = self.index.add(b)
+
+    def run(self, stream_df: DataFrame, await_sec: int = 120):
+        """Drain a bounded stream (availableNow) and return the grown
+        index handle."""
+        q = (
+            stream_df.writeStream.foreachBatch(self)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(await_sec)
+        if self.index is None:
+            raise ValueError("stream produced no micro-batches")
+        return self.index
