@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "normalize_embeddings",
     "table_profile",
     "dataset_split",
+    "leakage_safe_split",
+    "hard_negatives",
     "training_shuffle",
     "range_search",
     "knn_graph",

@@ -472,3 +472,60 @@ def test_deployed_recall_rows_match_dispatch(spark, sf_smoke):
         with mock.patch(target) as m2:
             REGISTRY[row][0](spark, sf_smoke)
             assert m2.called, f"row {row} does not measure {module}.{fn}"
+
+
+def test_leakage_safe_split_contract(spark, sf_oracle):
+    """Every near-dup cluster lands in exactly one split; docs outside
+    any dup pair keep their plain dataset_split assignment (the two ops
+    agree on singletons by construction)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators import dedup as D
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        dataset_split,
+        leakage_safe_split,
+    )
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    out = leakage_safe_split(docs, pairs)
+
+    # total: one row per document
+    assert out.count() == docs.count()
+
+    # every cluster maps to exactly one split — the leakage guarantee
+    multi = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+
+    # paired docs share their representative's split
+    joined = (
+        pairs.join(
+            out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+    )
+    assert joined.count() > 0, "expected near-dup pairs in the oracle corpus"
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+
+    # singletons agree with the plain per-doc split
+    clustered = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    plain = dataset_split(docs).select("doc_id", F.col("split").alias("plain_split"))
+    disagree = (
+        out.join(clustered, "doc_id", "left_anti")
+        .join(plain, "doc_id")
+        .filter(F.col("split") != F.col("plain_split"))
+        .count()
+    )
+    assert disagree == 0

@@ -522,6 +522,37 @@ def test_ivf_pq_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
     ), f"no cell partition filter pushed; PartitionFilters lines: {pf_lines}"
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
+    """A loaded IvfIndex probe must read only the probed cells: the
+    assignment is saved partitionBy('cell') and the probe join on the
+    partition column against the broadcast probe set triggers dynamic
+    partition pruning, so the parquet scan carries a pruning filter on
+    cell — and the candidate set is cell-pruned BEFORE the raw-vector
+    join (the probe join precedes the vec_id join in the plan), so a
+    probe of a 100 TB at-rest assignment never streams unprobed rows
+    into the join."""
+    from vectorsearch_with_hnsw_spark.operators.ivf import IvfIndex
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = IvfIndex.build(emb, dim=64, n_cells=8, iters=2)
+    path = str(tmp_path / "ivf_prune")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    plan = formatted_plan(loaded.search(emb, q, k=3, n_probe=2))
+    pf_lines = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "cell" in line
+    ]
+    assert any(
+        "dynamicpruning" in line.lower() or "in(cell" in line.lower()
+        for line in pf_lines
+    ), f"no cell pruning on the assignment scan; lines: {pf_lines}"
+
+
 def test_approx_top_tokens_verified_tokenizes_once(spark, sf_smoke):
     """The MG-verified heavy-hitter plan fans the token stream into
     three consumers (sketch, exact semi-joined count, total); the

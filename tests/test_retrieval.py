@@ -938,3 +938,93 @@ def test_similarity_search_accepts_quantized_index(spark, sf_smoke, tmp_path):
 
     with _pytest.raises(ValueError, match="needs a IvfPqIndex"):
         similarity_search(emb, q, method="ivf_pq", k=5, dim=64, index=sq8)
+
+
+def test_hard_negatives_semantics_vs_numpy(spark, sf_smoke):
+    """hard_negatives must agree with a brute-force numpy mine: per
+    anchor the positive is the nearest same-label row (self excluded),
+    negatives are different-label rows within pos_dist + margin, ranked
+    ascending with id tiebreak, tier split at pos_dist."""
+    import numpy as np
+
+    from vectorsearch_with_hnsw_spark.operators.retrieval import hard_negatives
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 6)
+    k, margin = 4, 0.2
+    got = {
+        (r["query_id"], r["rnk"]): (
+            r["pos_id"], r["neighbor_id"], r["tier"], r["dist"], r["pos_dist"]
+        )
+        for r in hard_negatives(emb, anchors, k=k, margin=margin).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    labs = np.array([r["label"] for r in rows])
+    norms = np.sqrt((V * V).sum(axis=1))
+
+    def cos(qi, j):
+        na, nb = norms[qi], norms[j]
+        if na == 0 or nb == 0:
+            return 1.0
+        return 1.0 - float(V[qi] @ V[j]) / (na * nb)
+
+    want = {}
+    for qi in np.argsort(ids):
+        if ids[qi] >= 6:
+            continue
+        same = [
+            (cos(qi, j), ids[j])
+            for j in range(len(ids))
+            if labs[j] == labs[qi] and ids[j] != ids[qi]
+        ]
+        if not same:
+            continue
+        pos_dist, pos_id = min(same)
+        negs = sorted(
+            (cos(qi, j), ids[j])
+            for j in range(len(ids))
+            if labs[j] != labs[qi]
+        )
+        band = [(d, nid) for d, nid in negs if d <= pos_dist + margin]
+        for rnk, (d, nid) in enumerate(band[:k], start=1):
+            tier = "hard" if d <= pos_dist else "semi_hard"
+            want[(int(ids[qi]), rnk)] = (int(pos_id), int(nid), tier)
+
+    assert set(got) == set(want)
+    for key, (pos_id, nid, tier, d, pd_) in got.items():
+        wpos, wnid, wtier = want[key]
+        assert (pos_id, nid, tier) == (wpos, wnid, wtier), (key, got[key], want[key])
+        assert d <= pd_ + margin + 1e-12
+
+
+def test_hard_negatives_invariants(spark, sf_smoke):
+    """Labels must differ anchor-vs-neighbor, ranks are contiguous from
+    1, and a singleton-label anchor yields no rows."""
+    from vectorsearch_with_hnsw_spark.operators.retrieval import hard_negatives
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # add a singleton-label anchor: no positive exists -> no triplet
+    lone = spark.createDataFrame(
+        [(99999, [float(i) for i in range(64)], 777)],
+        "vec_id bigint, embedding array<double>, label bigint",
+    )
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    base = emb_d.unionByName(lone)
+    out = hard_negatives(base, base.filter(F.col("vec_id").isin(0, 1, 99999)), k=5)
+    rows = out.collect()
+    assert rows, "expected some mined negatives"
+    assert all(r["query_id"] != 99999 for r in rows)
+    lab = {r["vec_id"]: r["label"] for r in base.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in rows:
+        assert lab[r["neighbor_id"]] != lab[r["query_id"]]
+        assert lab[r["pos_id"]] == lab[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))

@@ -448,10 +448,18 @@ class IvfIndex:
         )
 
     def save(self, path: str) -> None:
+        """Assignment is written PARTITIONED BY CELL (the same at-rest
+        layout as ``IvfPqIndex.save``), so a probe of a loaded index is
+        a partition-pruned read: the probe join on ``cell`` against the
+        broadcast probe set triggers dynamic partition pruning and the
+        scan touches only n_probe/n_cells of the files
+        (tests/test_plans.py pins the pruning subquery on the scan)."""
         self.centroids.withColumn("dim", F.lit(self.dim)).withColumn(
             "tombs", F.lit(self.tombstones is not None)
         ).write.mode("overwrite").parquet(f"{path}/centroids")
-        self.assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+        self.assigned.select("vec_id", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/assigned")
         if self.tombstones is not None:
             self.tombstones.write.mode("overwrite").parquet(f"{path}/tombstones")
 
@@ -513,9 +521,14 @@ class IvfIndex:
             .filter(F.col("_rn") <= n_probe)
             .select("query_id", "query_vec", "cell")
         )
+        # probe join FIRST: the broadcast join on the partition column
+        # prunes the at-rest assignment scan to the probed cells
+        # (dynamic partition pruning on a saved index — the scan reads
+        # n_probe/n_cells of the files), and only the surviving
+        # candidate rows flow into the raw-vector join.
         cand = (
-            assigned.join(pts, "vec_id")
-            .join(F.broadcast(probes), "cell")
+            assigned.join(F.broadcast(probes), "cell")
+            .join(pts, "vec_id")
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),

@@ -1118,3 +1118,96 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    margin: float = 0.15,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard/semi-hard negative mining for contrastive training — the
+    data-side half of triplet / InfoNCE pipelines (FaceNet's online
+    semi-hard selection, Schroff et al. 2015, re-expressed as a batch
+    relation over the corpus).
+
+    For each anchor row in ``anchors`` (same schema as ``emb``:
+    id/vector/label):
+
+    - its POSITIVE is the nearest same-label row (self excluded,
+      distance then id tiebreak) at distance ``pos_dist``;
+    - candidate NEGATIVES are different-label rows with
+      ``dist <= pos_dist + margin`` — the ones close enough to produce
+      a training signal (anything farther already satisfies the margin
+      and contributes zero triplet loss);
+    - the top-``k`` by ascending distance are returned, tagged
+      ``tier = 'hard'`` (closer than the positive — the violations) or
+      ``'semi_hard'`` (inside the margin band beyond it).
+
+    Anchors whose label has no second member drop out (no positive →
+    no triplet), and an anchor whose band is under-populated yields
+    fewer than k rows — both deterministic, both reproduced by the SQL
+    oracle. Returns (query_id, pos_id, pos_dist, neighbor_id, dist,
+    tier, rnk).
+
+    Plan shape at 100 TB: the anchor batch is broadcast once; the
+    corpus makes ONE map-side pass producing the |corpus| x |anchors|
+    distance stream, which splits into the positive argmin (one
+    window) and the banded negative top-k (one window) — two bounded
+    shuffles of O(|anchors| * rows-in-band), never a corpus self-join.
+    For anchor sets that rival the corpus, mine from an ANN shortlist
+    instead (similarity_search -> band filter): the banded top-k is a
+    pure post-filter over any shortlist relation."""
+    dist_expr = metric_expr(metric)
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            to_vec(vec_col).alias("_qv"),
+            F.col(label_col).alias("_qlabel"),
+        )
+    )
+    pairs = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_vec(vec_col).alias("_v"),
+            F.col(label_col).alias("_nlabel"),
+        )
+        .crossJoin(a)
+        .select(
+            "query_id",
+            "_qlabel",
+            "neighbor_id",
+            "_nlabel",
+            dist_expr(F.col("_v"), F.col("_qv")).alias("dist"),
+        )
+    )
+    pos = topk_per_group(
+        pairs.filter(
+            (F.col("_nlabel") == F.col("_qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        ),
+        ["query_id"],
+        ["dist", "neighbor_id"],
+        1,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("dist").alias("pos_dist"),
+    )
+    neg = pairs.filter(F.col("_nlabel") != F.col("_qlabel")).select(
+        "query_id", "neighbor_id", "dist"
+    )
+    banded = neg.join(F.broadcast(pos), "query_id").filter(
+        F.col("dist") <= F.col("pos_dist") + F.lit(float(margin))
+    )
+    tier = F.when(F.col("dist") <= F.col("pos_dist"), F.lit("hard")).otherwise(
+        F.lit("semi_hard")
+    )
+    return topk_per_group(banded, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "pos_id", "pos_dist", "neighbor_id", "dist", tier.alias("tier"),
+        "rnk",
+    )

@@ -674,6 +674,52 @@ def dataset_split(docs: DataFrame, val_pct: int = 5, test_pct: int = 5,
     return docs.select("doc_id", "lang", split.alias("split"))
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    salt: int = 9176,
+) -> DataFrame:
+    """Group-aware train/val/test split: every near-duplicate CLUSTER
+    lands in exactly one split, so a held-out document can never have a
+    near-copy in the training set — the leakage mode a plain per-doc
+    hash split (``dataset_split``) cannot prevent, and the reason eval
+    numbers inflate on undeduplicated corpora (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §6).
+
+    ``dup_pairs`` is any (doc_a, doc_b) near-dup pair relation
+    (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs,
+    semantic_neardup_pairs — the op is agnostic). Docs are labeled with
+    their connected-component representative (``dedup_clusters``);
+    singletons represent themselves. The split is then the SAME salted
+    multiplicative hash ``dataset_split`` uses, applied to the CLUSTER
+    id instead of the doc id — so the two ops agree exactly on every
+    singleton, and a clustered doc inherits its representative's
+    assignment.
+
+    Plan shape at 100 TB: the cluster labeling touches only docs that
+    appear in a dup pair (sublinear in the corpus — duplicates are the
+    minority after exact dedup); the label relation left-joins back to
+    the corpus on doc_id and the split itself stays a map-only
+    expression. Returns (doc_id, lang, cluster_id, split)."""
+    from .clusters import dedup_clusters
+
+    labels = dedup_clusters(dup_pairs).select("doc_id", "cluster_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    mix = ((cid + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD) % 100
+    split = (
+        F.when(mix < val_pct, F.lit("val"))
+        .when(mix < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", "lang", cid.alias("cluster_id"), split.alias("split"))
+    )
+
+
 def training_shuffle(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     """Reproducible global permutation for training order: shard by one
     doc_id hash, order within the shard by a second (salted) hash. One
