@@ -216,6 +216,38 @@ def main() -> None:
         out["ivf_pq_probe_filtered_sec"] = round(time.perf_counter() - t0, 2)
         out["ivf_pq_probe_filtered_rows"] = n_f
 
+    # IvfIndex at-rest probe: the assignment is saved partitionBy(cell)
+    # and the probe join triggers dynamic partition pruning, so the
+    # loaded-index scan touches n_probe/n_cells of the files (plan test
+    # pins the pruning filter; this times it at 128k rows).
+    from vectorsearch_with_hnsw_spark.operators.ivf import IvfIndex
+
+    emb_named = vecs.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ivf = IvfIndex.build(emb_named, dim=64, n_cells=16, iters=2)
+        ivf.save(td + "/ivf")
+        loaded_ivf = IvfIndex.load(spark, td + "/ivf")
+        t0 = time.perf_counter()
+        out["ivf_probe_pruned_rows"] = loaded_ivf.search(
+            emb_named, queries, k=10, n_probe=4
+        ).count()
+        out["ivf_probe_pruned_sec"] = round(time.perf_counter() - t0, 2)
+
+    # hard-negative mining at 64x: one broadcast pass over the corpus,
+    # two bounded windows — cost tracks |corpus| x |anchors|, never a
+    # corpus self-join. Labels synthesized as id % 20.
+    from vectorsearch_with_hnsw_spark.operators.retrieval import hard_negatives
+
+    labeled = emb_named.withColumn("label", (F.col("vec_id") % 20).cast("int"))
+    anchors = labeled.filter(F.col("vec_id") < N_QUERIES)
+    t0 = time.perf_counter()
+    out["hard_negatives_rows"] = hard_negatives(
+        labeled, anchors, k=5, margin=0.15
+    ).count()
+    out["hard_negatives_sec"] = round(time.perf_counter() - t0, 2)
+
     vecs.unpersist()
 
     # --- documents at 10x ----------------------------------------------

@@ -596,3 +596,31 @@ def test_streaming_filtered_knn_matches_batch(spark, sf_smoke, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
     allowed_set = {r.doc_id for r in allowed.collect()}
     assert {r.neighbor_id for r in got.collect()} <= allowed_set
+
+
+def test_streaming_hard_negatives_matches_batch(spark, sf_smoke, tmp_path):
+    """Continuous contrastive mining: the pluggable answer hook composes
+    with hard_negatives, so an anchor stream is mined against the static
+    labeled corpus micro-batch by micro-batch — and the accumulated
+    results match the one-shot batch mine for the same anchor set (the
+    banded top-k is a pure per-anchor relation, so batch boundaries
+    cannot change it)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.retrieval import hard_negatives
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.ingest import read_embeddings_stream
+    from vectorsearch_with_hnsw_spark.streaming.search import StreamingKnn
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    to_anchors = lambda df: df.filter(F.col("vec_id") < 6)  # noqa: E731
+    sink = StreamingKnn(
+        emb,
+        str(tmp_path / "hneg_out"),
+        answer=lambda anchors: hard_negatives(emb, anchors, k=4, margin=0.2),
+    )
+    got = sink.run(to_anchors(read_embeddings_stream(spark, sf_smoke)))
+    want = hard_negatives(emb, to_anchors(emb), k=4, margin=0.2)
+    cols = ["query_id", "pos_id", "pos_dist", "neighbor_id", "dist", "tier", "rnk"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0

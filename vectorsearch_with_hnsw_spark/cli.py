@@ -83,6 +83,30 @@ def main(argv: list[str] | None = None) -> None:
         help="incremental only: doc_id below this is the existing corpus",
     )
 
+    sp = sub.add_parser(
+        "split",
+        help="train/val/test assignment -> parquet (leakage-safe by default: "
+        "near-dup clusters never straddle splits)",
+    )
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--val-pct", type=int, default=5)
+    sp.add_argument("--test-pct", type=int, default=5)
+    sp.add_argument(
+        "--per-doc", action="store_true",
+        help="plain per-doc hash split (skip the near-dup grouping)",
+    )
+
+    ng = sub.add_parser(
+        "negatives",
+        help="hard/semi-hard negative mining over the labeled embeddings -> parquet",
+    )
+    ng.add_argument("--sf-dir", required=True)
+    ng.add_argument("--out", required=True)
+    ng.add_argument("--k", type=int, default=5)
+    ng.add_argument("--margin", type=float, default=0.15)
+    ng.add_argument("--max-anchors", type=int, default=10)
+
     ck = sub.add_parser(
         "chunk",
         help="context-window chunking + token-budget packing -> parquet",
@@ -270,6 +294,31 @@ def main(argv: list[str] | None = None) -> None:
             cc = dedup_clusters(D.minhash_lsh_pairs(docs), algorithm=args.algorithm)
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
+        elif args.cmd == "split":
+            from .operators.textpipe import dataset_split, leakage_safe_split
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            if args.per_doc:
+                out = dataset_split(docs, args.val_pct, args.test_pct)
+            else:
+                from .operators import dedup as D
+
+                out = leakage_safe_split(
+                    docs, D.minhash_lsh_pairs(docs), args.val_pct, args.test_pct
+                )
+            out.write.mode("overwrite").parquet(args.out)
+            kind = "per-doc" if args.per_doc else "leakage-safe"
+            print(f"split[{kind}]: {out.count()} docs -> {args.out}")
+        elif args.cmd == "negatives":
+            from pyspark.sql import functions as F
+
+            from .operators.retrieval import hard_negatives
+
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            anchors = emb.filter(F.col("vec_id") < args.max_anchors)
+            out = hard_negatives(emb, anchors, k=args.k, margin=args.margin)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"negatives: {out.count()} triplet rows -> {args.out}")
         elif args.cmd == "quality":
             from .operators.textpipe import c4_clean, gopher_rules
 
