@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "promo_revenue_ratio",
     "redact_pii",
     "decontaminate",
+    "decontaminate_fuzzy",
     "special_revenue",
     "length_token_correlation",
     "doc_length_histogram",

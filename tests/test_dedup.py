@@ -435,3 +435,33 @@ def test_uncapped_jaccard_warns_on_projected_pair_budget(spark, monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
         D.ngram_jaccard_pairs(disjoint, n=3, threshold=0.9)
+
+
+def test_decontaminate_fuzzy_catches_edited_leak(spark, sf_smoke):
+    """A lightly-edited copy of a benchmark doc (one word changed) is
+    flagged by the band-bucket pass, and an unrelated novel doc is not;
+    benchmark members trivially flag themselves with the maximum band
+    count."""
+    from vectorsearch_with_hnsw_spark.operators.dedup import (
+        MINHASH_BANDS,
+        decontaminate_fuzzy,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    b0_text = bench.filter(F.col("doc_id") == 0).select("text").first()[0]
+    toks = b0_text.split()
+    toks[len(toks) // 2] = "EDITEDTOKEN"
+    edited = " ".join(toks)
+    injected = spark.createDataFrame(
+        [(9001, edited, "en", "srcX", len(edited)),
+         (9002, "zzz qqq xxw yyv totally novel content never in any benchmark", "en", "srcX", 60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: r.n_shared_buckets
+        for r in decontaminate_fuzzy(docs.unionByName(injected), bench).collect()
+    }
+    assert out.get(9001, 0) > 0, "edited near-copy of a bench doc must flag"
+    assert 9002 not in out, "novel doc must not flag"
+    assert out.get(0) == MINHASH_BANDS, "bench member self-flags on every band"

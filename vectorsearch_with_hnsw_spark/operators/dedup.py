@@ -893,6 +893,86 @@ def decontaminate(
     )
 
 
+def _band_bucket_keys(
+    docs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, bucket, bucket2) MinHash band keys, one row per band.
+
+    Fixed-width 16-byte band keys: two independently-salted xxhash64
+    columns (vs a variable-width string concat the bucket artifact is
+    ~10x smaller and the join shuffles longs). Two hashes because a
+    bucket match DROPS or FLAGS a doc outright with no signature
+    rescore available — a single 64-bit key has ~2^-64-per-pair
+    collisions, measurable at the trillion-doc design target; the
+    128-bit pair does not. All bands ride ONE explode over a single
+    signature scan: a one-union-branch-per-band form would recompute
+    minhash_signatures (tokenize + hash the whole corpus) once per
+    band — Spark does not CSE across union branches."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    entries = F.array(
+        *[
+            F.struct(
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"mh{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+                F.xxhash64(
+                    F.lit(b + 7919),
+                    *[
+                        F.col(f"mh{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket2"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(entries).alias("_bb")).select(
+        "doc_id",
+        F.col("_bb.bucket").alias("bucket"),
+        F.col("_bb.bucket2").alias("bucket2"),
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """NEAR-DUP benchmark decontamination: flag training documents
+    sharing any MinHash band bucket with the held-out evaluation set —
+    the paraphrased / lightly-edited leaks the exact n-gram pass
+    (``decontaminate``) cannot see. The two are complementary gates:
+    exact 8-grams catch verbatim inclusion at any length, band buckets
+    catch whole-document near-identity under edits.
+
+    Returns (doc_id, n_shared_buckets): how many of the doc's band
+    keys appear anywhere in the benchmark's bucket set (each band
+    emits exactly one key per doc, so the count is bounded by
+    ``bands`` and a higher count means closer to some eval example).
+
+    Shape at scale: identical to ``dedup_incremental``'s fuzzy half —
+    the benchmark's distinct bucket table is a tiny precomputable
+    broadcast artifact, the corpus side is one signature scan + one
+    explode + one semi-join; no pairwise comparison, shuffle tracks
+    corpus band keys, not corpus text."""
+    doc_b = _band_bucket_keys(docs, num_hashes, bands)
+    bench_b = _band_bucket_keys(benchmark, num_hashes, bands).select(
+        "bucket", "bucket2"
+    ).distinct()
+    return (
+        doc_b.join(F.broadcast(bench_b), ["bucket", "bucket2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_buckets"))
+        .orderBy("doc_id")
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -917,51 +997,10 @@ def dedup_incremental(
     fp_corpus = spread(corpus_docs).select(fingerprint(F.col("text")).alias("_fp")).distinct()
     exact_surv = fp_new.join(fp_corpus, "_fp", "left_anti")
 
-    rows_per_band = num_hashes // bands
-
-    def banded_buckets(docs: DataFrame) -> DataFrame:
-        # fixed-width 16-byte band keys: two independently-salted
-        # xxhash64 columns (vs the previous variable-width string
-        # concat the corpus bucket artifact is still ~10x smaller
-        # and the join shuffles longs). Two hashes because a bucket
-        # match DROPS a new doc outright with no signature rescore
-        # available — a single 64-bit key has ~2^-64-per-pair
-        # collisions, measurable at the trillion-doc design target;
-        # the 128-bit pair does not. All bands ride ONE explode over a
-        # single signature scan: the previous one-union-branch-per-band
-        # form recomputed minhash_signatures (tokenize + hash the whole
-        # corpus) once per band — Spark does not CSE across union
-        # branches.
-        sig = minhash_signatures(docs, num_hashes)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col(f"mh{i}")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    ).alias("bucket"),
-                    F.xxhash64(
-                        F.lit(b + 7919),
-                        *[
-                            F.col(f"mh{i}")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    ).alias("bucket2"),
-                )
-                for b in range(bands)
-            ]
-        )
-        return sig.select("doc_id", F.explode(entries).alias("_bb")).select(
-            "doc_id",
-            F.col("_bb.bucket").alias("bucket"),
-            F.col("_bb.bucket2").alias("bucket2"),
-        )
-
-    new_buckets = banded_buckets(new_docs)
-    corpus_buckets = banded_buckets(corpus_docs).select("bucket", "bucket2").distinct()
+    new_buckets = _band_bucket_keys(new_docs, num_hashes, bands)
+    corpus_buckets = _band_bucket_keys(corpus_docs, num_hashes, bands).select(
+        "bucket", "bucket2"
+    ).distinct()
     flagged = (
         new_buckets.join(corpus_buckets, ["bucket", "bucket2"])
         .select("doc_id")
