@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dsir_scores",
     "dedup_clusters",
     "vocab_top_tokens",
+    "bpe_train",
     "tfidf_top_terms",
     "sample_stratified",
     "doc_len_outliers",

@@ -1,0 +1,116 @@
+"""BPE tokenizer-training semantics (operators/bpe.py). Cross-engine
+parity is covered by test_oracle_parity.py; these tests pin the
+algorithm against a pure-Python Sennrich-style reference and the greedy
+non-overlap rule on adversarial runs."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from vectorsearch_with_hnsw_spark.functions.text import bpe_tokens
+from vectorsearch_with_hnsw_spark.operators.bpe import bpe_segment, bpe_train
+from vectorsearch_with_hnsw_spark.sources import load_table
+
+
+def _reference_bpe(vocab: dict[str, int], n_merges: int):
+    """Sennrich alg. 1 with greedy left-to-right merge application and
+    (count desc, left asc, right asc) tie-break — the contract
+    bpe_train implements."""
+    sv = collections.Counter()
+    for w, c in vocab.items():
+        sv[tuple(list(w) + ["</w>"])] += c
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for syms, c in sv.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, cnt))
+        nsv = collections.Counter()
+        for syms, c in sv.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nsv[tuple(out)] += c
+        sv = nsv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_smoke):
+    """The distributed loop reproduces the reference trainer exactly,
+    with the vocabulary built from the engine's own pretokens (so the
+    test isolates the training loop, not the regex)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    vocab = {
+        r["word"]: r["freq"]
+        for r in docs.select(F.explode(bpe_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    want = _reference_bpe(vocab, 6)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_merge_greedy_nonoverlap(spark):
+    """Adversarial same-symbol runs: 'aaaa' under merge (a,a) becomes
+    [aa, aa, </w>] (greedy left-to-right, no overlap), and 'aaa'
+    becomes [aa, a, </w>] — pinned through a crafted corpus where
+    (a, a) is the most frequent pair."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaa"), (1, "aaaa bb")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=1).collect()
+    assert (merges[0]["left_sym"], merges[0]["right_sym"]) == ("a", "a")
+    # aaaa: pairs (a,a)x3 -> greedy merges at pos 1-2 and 3-4
+    seg = {
+        r["doc_id"]: r["n_subwords"]
+        for r in bpe_segment(docs, [("a", "a")]).collect()
+    }
+    # doc 0: 'aaaa'(2+</w>=3) + ' aaaa'(space sym + 2 + </w> = 4) + ' aaa'(space + aa + a + </w> = 4) = 11
+    assert seg[0] == 11
+    # doc 1: 'aaaa'(3) + ' bb'(space + b + b + </w> = 4) = 7
+    assert seg[1] == 7
+
+
+def test_bpe_segment_monotone(spark, sf_smoke):
+    """Each applied merge can only shrink (or keep) the subword count,
+    and zero merges means n_subwords = total chars + one end marker per
+    pretoken."""
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    base = bpe_segment(docs, [])
+    stepped = [bpe_segment(docs, merges[:i]) for i in (1, 2, 4)]
+    rows0 = {r["doc_id"]: r["n_subwords"] for r in base.collect()}
+    prev = rows0
+    for df in stepped:
+        cur = {r["doc_id"]: r["n_subwords"] for r in df.collect()}
+        assert all(cur[d] <= prev[d] for d in cur)
+        prev = cur
+    # zero-merge identity: subwords = sum over pretokens of len + 1
+    chk = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(bpe_tokens(F.col("text")), lambda w: F.length(w) + F.lit(1)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("want"),
+    )
+    want = {r["doc_id"]: r["want"] for r in chk.collect()}
+    assert rows0 == want
