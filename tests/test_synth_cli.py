@@ -305,3 +305,15 @@ def test_cli_split_and_negatives(spark, tmp_path, capsys):
     assert set(negs.columns) == {
         "query_id", "pos_id", "pos_dist", "neighbor_id", "dist", "tier", "rnk",
     }
+
+
+def test_cli_bpe_train(spark, tmp_path, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    out = str(tmp_path / "merges")
+    cli.main(["bpe-train", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+              "--merges", "4"])
+    assert "bpe: 4 merges ->" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert set(back.columns) == {"merge_rank", "left_sym", "right_sym", "pair_count"}

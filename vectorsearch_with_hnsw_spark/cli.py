@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> None:
     ng.add_argument("--margin", type=float, default=0.15)
     ng.add_argument("--max-anchors", type=int, default=10)
 
+    bp = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table from the documents table -> parquet",
+    )
+    bp.add_argument("--sf-dir", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--merges", type=int, default=8)
+
     ck = sub.add_parser(
         "chunk",
         help="context-window chunking + token-budget packing -> parquet",
@@ -319,6 +327,13 @@ def main(argv: list[str] | None = None) -> None:
             out = hard_negatives(emb, anchors, k=args.k, margin=args.margin)
             out.write.mode("overwrite").parquet(args.out)
             print(f"negatives: {out.count()} triplet rows -> {args.out}")
+        elif args.cmd == "bpe-train":
+            from .operators.bpe import bpe_train
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            merges = bpe_train(docs, n_merges=args.merges)
+            merges.write.mode("overwrite").parquet(args.out)
+            print(f"bpe: {merges.count()} merges -> {args.out}")
         elif args.cmd == "quality":
             from .operators.textpipe import c4_clean, gopher_rules
 
