@@ -318,8 +318,6 @@ def main(argv: list[str] | None = None) -> None:
             kind = "per-doc" if args.per_doc else "leakage-safe"
             print(f"split[{kind}]: {out.count()} docs -> {args.out}")
         elif args.cmd == "negatives":
-            from pyspark.sql import functions as F
-
             from .operators.retrieval import hard_negatives
 
             emb = load_table(spark, args.sf_dir, "embeddings")
