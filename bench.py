@@ -728,7 +728,8 @@ HEADLINE_ROWS = [
     # round 12 additions (appended — the head stays stable for deltas;
     # the 1900-char budget loop pops from the end when tight)
     "maxsim_search", "sq8_refine_ann", "ivf_pq_filtered_ann", "sq8_index_ann",
-    "ivf_pq_lifecycle_ann",
+    "ivf_pq_lifecycle_ann", "bpe_train", "hard_negatives",
+    "leakage_safe_split", "decontaminate_fuzzy",
 ]
 
 

@@ -266,6 +266,15 @@ def main() -> None:
     n_docs = big_docs.count()
     out["n_docs"] = n_docs
 
+    # BPE training at 10x docs: the corpus is touched once (pretokenize
+    # + word count); every merge round after that is vocab-sized, so
+    # the cost is one corpus pass + n_merges small shuffles.
+    from vectorsearch_with_hnsw_spark.operators.bpe import bpe_train
+
+    t0 = time.perf_counter()
+    out["bpe_train_merges"] = bpe_train(big_docs, n_merges=8).count()
+    out["bpe_train_sec"] = round(time.perf_counter() - t0, 2)
+
     t0 = time.perf_counter()
     out["minhash_pairs"] = D.minhash_lsh_pairs(big_docs).count()
     out["minhash_pairs_sec"] = round(time.perf_counter() - t0, 2)
