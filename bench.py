@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "vocab_top_tokens",
     "bpe_train",
+    "bpe_segment",
     "tfidf_top_terms",
     "sample_stratified",
     "doc_len_outliers",

@@ -114,3 +114,41 @@ def test_bpe_segment_monotone(spark, sf_smoke):
     )
     want = {r["doc_id"]: r["want"] for r in chk.collect()}
     assert rows0 == want
+
+
+def test_apply_merge_fold_fuzz(spark):
+    """The native aggregate fold matches the Python greedy scan on 60
+    seeded random symbol arrays over a 3-symbol alphabet — including
+    same-symbol runs, pair-at-boundary, and empty arrays."""
+    import random
+
+    from vectorsearch_with_hnsw_spark.operators.bpe import _apply_merge
+
+    rng = random.Random(1234)
+    cases = [
+        [rng.choice(["a", "b", "ab"]) for _ in range(rng.randrange(0, 12))]
+        for _ in range(60)
+    ]
+    pairs = [("a", "a"), ("a", "b"), ("ab", "a"), ("b", "b")]
+
+    def py_merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+    )
+    for a, b in pairs:
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", _apply_merge(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == py_merge(c, a, b), (a, b, c, got[i])
