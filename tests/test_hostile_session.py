@@ -36,6 +36,10 @@ HOSTILE_QUERIES = [
     "maxsim_search",          # NEW r12 kernel: cosine folds + division under ANSI
     "knn_filtered_semijoin",  # cross-table semi-join + exact L2 under ANSI
     "ivf_pq_lifecycle_ann",   # NEW r12: frozen-state add + tombstone anti-join under ANSI
+    "bpe_train",              # NEW r12: iterative merge loop, string folds under ANSI
+    "hard_negatives",         # NEW r12: cosine band + margin float compare under ANSI
+    "leakage_safe_split",     # NEW r12: components + salted modular hash under ANSI
+    "decontaminate_fuzzy",    # NEW r12: minhash band buckets + semi-join under ANSI
 ]
 
 
