@@ -41,6 +41,50 @@ N_VECTORS = 128_000  # 64x the sf0.1 embeddings table
 DOC_COPIES = 10      # 10x the sf0.1 documents table
 N_QUERIES = 100
 
+# per-section residue ledger (filled by _scrub; committed in the
+# artifact so leaked-state regressions are attributable, not mysterious)
+_RESIDUE: dict = {}
+
+
+def _scrub(spark, section: str, *keep) -> None:
+    """bench.py-grade between-section state scrub (VERDICT r12 #1).
+
+    Round 12's SCALECHECK measured ``pretrain_sequences`` at 74.97 s vs
+    10.52 s one round earlier on UNTOUCHED code — in the same run where
+    the HNSW build got faster — right after new heavy sections
+    (hard_negatives, bpe_train's per-round localCheckpoints) were
+    inserted ahead of the documents block with no state release between
+    sections. bench.py hit the identical failure mode in round 6 (the
+    2x `ivf_pq_ann` cliff when knn_hnsw_routed's checkpoint blocks
+    joined the suite) and fixed it with a row-boundary sweep; this is
+    that sweep at section boundaries:
+
+    - ``release_caches()`` frees every package-tracked persist,
+    - ``clearCache()`` drops remaining DataFrame-persisted relations,
+    - force-unpersisting the surviving RDDs frees ``localCheckpoint``
+      blocks, which survive clearCache (verified on this Spark).
+
+    ``keep`` frames (the shared synthetic inputs) are re-persisted and
+    re-counted OUTSIDE any timed region, so every timed section starts
+    from the same warm-input / zero-leak state regardless of what ran
+    before it. The residue count per section is committed in the
+    artifact (``scrub_residue``) so a future slowdown can be attributed
+    to the section that actually leaked. Safe only at section
+    boundaries: freed localCheckpoint blocks invalidate live handles
+    derived from them (bench.py:_release_row_state docstring)."""
+    from vectorsearch_with_hnsw_spark.cache import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    residue = int(jsc.getPersistentRDDs().size())
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+    _RESIDUE[section] = residue
+    for df in keep:
+        df.persist()
+        df.count()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +124,7 @@ def main() -> None:
     }
     out["exact_knn_sec"] = round(time.perf_counter() - t0, 2)
     out["hnsw_recall_at_10"] = round(len(ann & exact) / max(1, len(exact)), 4)
+    _scrub(spark, "hnsw_build_probe_exact", vecs, queries)
 
     # recall-vs-partition-count curve: probe-all merges per-partition
     # top-k lists, so per-partition graph quality is the only recall
@@ -97,6 +142,7 @@ def main() -> None:
             len(got_p & exact) / max(1, len(exact)), 4
         )
     out[f"hnsw_recall_at_10_p{cpus}"] = out["hnsw_recall_at_10"]  # first build used P=cpus
+    _scrub(spark, "recall_vs_partitions", vecs, queries)
 
     # routed layout at 64x vectors and LARGE P: the bounded-probe path's
     # recall claim under centroid routing (default: assign_n=2
@@ -113,6 +159,7 @@ def main() -> None:
     )
 
     for p_parts in (64, 128, 256):
+        _scrub(spark, f"routed_pre_p{p_parts}", vecs, queries)
         t0 = time.perf_counter()
         ridx = hnsw_build_routed(
             vecs, HnswParams(dim=64, metric="l2"), num_partitions=p_parts
@@ -127,6 +174,7 @@ def main() -> None:
         out[f"hnsw_routed_build_probe_sec_p{p_parts}"] = round(
             time.perf_counter() - t0, 2
         )
+    _scrub(spark, "routed", vecs, queries)
 
     # kNN graph at 64x vectors: the whole table as the query set,
     # collect-free — the base graph pagerank/triangles ride beyond
@@ -178,6 +226,7 @@ def main() -> None:
         len(exact5 & got) / max(1, len(exact5)), 4
     )
     graph.unpersist()
+    _scrub(spark, "knn_graph", vecs, queries)
 
     # --- IVF-PQ at 64x vectors (round 12: fused single-pass build + ----
     # --- filtered at-rest probe) ---------------------------------------
@@ -215,6 +264,7 @@ def main() -> None:
         n_f = loaded.search(queries, k=10, n_probe=4, allowed_ids=allowed).count()
         out["ivf_pq_probe_filtered_sec"] = round(time.perf_counter() - t0, 2)
         out["ivf_pq_probe_filtered_rows"] = n_f
+    _scrub(spark, "ivf_pq", vecs, queries)
 
     # IvfIndex at-rest probe: the assignment is saved partitionBy(cell)
     # and the probe join triggers dynamic partition pruning, so the
@@ -234,6 +284,7 @@ def main() -> None:
             emb_named, queries, k=10, n_probe=4
         ).count()
         out["ivf_probe_pruned_sec"] = round(time.perf_counter() - t0, 2)
+    _scrub(spark, "ivf", vecs, queries)
 
     # hard-negative mining at 64x: one broadcast pass over the corpus,
     # two bounded windows — cost tracks |corpus| x |anchors|, never a
@@ -249,6 +300,8 @@ def main() -> None:
     out["hard_negatives_sec"] = round(time.perf_counter() - t0, 2)
 
     vecs.unpersist()
+    queries.unpersist()
+    _scrub(spark, "hard_negatives")
 
     # --- documents at 10x ----------------------------------------------
     docs = load_table(spark, sf_dir, "documents")
@@ -274,6 +327,24 @@ def main() -> None:
     t0 = time.perf_counter()
     out["bpe_train_merges"] = bpe_train(big_docs, n_merges=8).count()
     out["bpe_train_sec"] = round(time.perf_counter() - t0, 2)
+    _scrub(spark, "bpe_train", big_docs)
+
+    # incremental BPE at 32x the merges (VERDICT r12 #5): maintained
+    # pair counts mean each round shuffles only the words containing
+    # the just-merged pair, so the per-merge cost must sit far below
+    # the full-recount mode's (bpe_train_sec / 8) and flatten as merges
+    # accumulate — the sub-linear round-cost evidence for a real
+    # 32k-merge vocab (which is then scheduler-bound, not data-bound).
+    t0 = time.perf_counter()
+    out["bpe_train_incr256_merges"] = bpe_train(
+        big_docs, n_merges=256, incremental=True
+    ).count()
+    out["bpe_train_incr256_sec"] = round(time.perf_counter() - t0, 2)
+    out["bpe_train_incr256_sec_per_merge"] = round(
+        (time.perf_counter() - t0) / 256, 3
+    )
+    out["bpe_train_recount_sec_per_merge"] = round(out["bpe_train_sec"] / 8, 3)
+    _scrub(spark, "bpe_train_incr256", big_docs)
 
     t0 = time.perf_counter()
     out["minhash_pairs"] = D.minhash_lsh_pairs(big_docs).count()
@@ -283,6 +354,7 @@ def main() -> None:
     sketch_rows = cms_token_sketch(big_docs).count()
     out["cms_sketch_sec"] = round(time.perf_counter() - t0, 2)
     out["cms_grid_rows"] = sketch_rows  # fixed <= depth*width regardless of volume
+    _scrub(spark, "minhash_cms", big_docs)
 
     # semantic near-dup at 10x docs: per-task work is bounded by the
     # banded-LSH bucket population, NOT by language share (the old
@@ -338,6 +410,7 @@ def main() -> None:
     out["semantic_neardup_max_final_block"] = int(split_max["max_n"])
     out["semantic_neardup_max_final_block_frac"] = round(split_max["max_n"] / n_docs, 4)
     hv.unpersist()
+    _scrub(spark, "semantic_neardup", big_docs)
 
     # mass-duplication stress (VERDICT r9 #1): ONE document copied 20k
     # times — the identical-vector clique that defeats block bounding
@@ -366,6 +439,7 @@ def main() -> None:
     m = n_copies + DOC_COPIES
     out["star20k_pairs_if_quadratic"] = m * (m - 1) // 2
     dup_corpus.unpersist()
+    _scrub(spark, "star20k", big_docs)
 
     # curation chain end-to-end at 10x docs (VERDICT r8 #6): the whole
     # score -> gate -> dedup -> sample -> chunk -> pack plan, with its
@@ -395,6 +469,7 @@ def main() -> None:
         out["pretrain_sequences_docs_per_sec"] = round(
             n_docs / max(out["pretrain_sequences_sec"], 1e-9), 1
         )
+    _scrub(spark, "pretrain_sequences", big_docs)
 
     # hot-shingle skew guard (ngram_jaccard_pairs max_df cap): prepend
     # the SAME boilerplate header to every document — the 100 TB
@@ -438,7 +513,9 @@ def main() -> None:
     # this phase exists to measure the capped production shape
     out["ngram_boiler_pairs"] = D.ngram_jaccard_pairs(boiler, max_df_frac=0.5).count()
     out["ngram_boiler_sec"] = round(time.perf_counter() - t0, 2)
+    _scrub(spark, "ngram_boiler")
 
+    out["scrub_residue"] = dict(sorted(_RESIDUE.items()))
     print(json.dumps(out))
     # persist as a committed artifact (VERDICT r6 #6) so the judge can diff
     # the routed-recall curve and per-core build number round over round,

@@ -152,3 +152,74 @@ def test_apply_merge_fold_fuzz(spark):
         }
         for i, c in enumerate(cases):
             assert got[i] == py_merge(c, a, b), (a, b, c, got[i])
+
+
+def test_bpe_train_incremental_parity(spark, sf_smoke):
+    """The incremental (maintained pair-count) mode is bit-identical to
+    the full-recount mode on the real corpus — same merges, same
+    counts, same order. This is the exactness claim that lets the
+    registry hash the incremental path against the same unrolled-CTE
+    oracle."""
+    docs = load_table(spark, sf_smoke, "documents")
+    simple = [
+        tuple(r) for r in bpe_train(docs, n_merges=6, incremental=False)
+        .orderBy("merge_rank").collect()
+    ]
+    incr = [
+        tuple(r) for r in bpe_train(docs, n_merges=6, incremental=True)
+        .orderBy("merge_rank").collect()
+    ]
+    assert incr == simple
+
+
+def test_bpe_train_incremental_exhaustion(spark):
+    """Early vocabulary exhaustion returns the same shorter merge table
+    in both modes (the oracle degrades identically — bpe.py docstring)."""
+    docs = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    simple = bpe_train(docs, n_merges=50, incremental=False).collect()
+    incr = bpe_train(docs, n_merges=50, incremental=True).collect()
+    assert [tuple(r) for r in incr] == [tuple(r) for r in simple]
+    assert 0 < len(simple) < 50
+
+
+def test_bpe_train_releases_all_checkpoints(spark, sf_smoke):
+    """VERDICT r12 #3: a library caller must not accumulate pinned
+    checkpoint blocks per training call. Both modes leave ZERO
+    persistent RDDs behind — measured as a delta so an unrelated
+    pre-pinned block doesn't mask or fake a leak."""
+    docs = load_table(spark, sf_smoke, "documents")
+    jsc = spark.sparkContext._jsc
+    before = int(jsc.getPersistentRDDs().size())
+    bpe_train(docs, n_merges=5, incremental=False).collect()
+    assert int(jsc.getPersistentRDDs().size()) == before
+    bpe_train(docs, n_merges=5, incremental=True).collect()
+    assert int(jsc.getPersistentRDDs().size()) == before
+
+
+def test_bpe_train_incremental_deep_merge_lineage_bounded(spark, sf_smoke):
+    """Regression pin for the round-13 lineage bug: lazy vocab
+    checkpoint marks were never truncated in incremental mode (every
+    job ended at an eagerly-checkpointed pair-count RDD, and
+    doCheckpoint stops at the first marked RDD), so the serialized
+    lineage grew ~3 frames per merge until task deserialization
+    StackOverflowed near merge 150. 150 merges must complete, agree
+    with the full-recount mode on a 20-merge prefix (the merge sequence
+    is prefix-stable: each merge depends only on earlier ones), and
+    leave no pinned blocks."""
+    docs = load_table(spark, sf_smoke, "documents")
+    jsc = spark.sparkContext._jsc
+    before = int(jsc.getPersistentRDDs().size())
+    deep = bpe_train(docs, n_merges=150, incremental=True).orderBy("merge_rank")
+    rows = [tuple(r) for r in deep.collect()]
+    # the smoke corpus exhausts its pair vocabulary around merge 144 —
+    # deep enough that the pre-fix lineage (~3 frames/merge) would be
+    # ~430 frames here vs a constant ~3 after the fix
+    assert 100 < len(rows) <= 150
+    assert int(jsc.getPersistentRDDs().size()) == before
+    prefix = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=20, incremental=False)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert rows[:20] == prefix

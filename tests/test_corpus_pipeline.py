@@ -580,3 +580,68 @@ def test_dsir_gate_biases_toward_target(spark, sf_smoke):
     dropped = full.index.difference(list(hi))
     if len(dropped):
         assert kept_mean >= full.loc[dropped]["target_ppm"].mean()
+
+
+def test_salted_hash_wrap_stable_at_huge_ids(spark):
+    """ADVICE r12: the old ((id + salt) * MIX) % MOD overflowed int64
+    once id + salt exceeded ~3.47e9 — Spark wrapped silently while
+    DuckDB raised, so oracle parity quietly ended there. The reduced
+    form must (a) agree with exact big-integer arithmetic at ANY int64
+    id — checked against Python's unbounded ints — and (b) agree with
+    DuckDB evaluating the same reduced SQL, right up to the int64 edge."""
+    import duckdb
+    import pandas as pd
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        SAMPLE_MIX,
+        SAMPLE_MOD,
+        dataset_split,
+    )
+
+    ids = [0, 1, 9_999, 3_469_999_999, 3_470_000_001, 2**40, 2**62, 2**63 - 9178]
+    docs = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    got = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+
+    def py_split(i):
+        mix = (i + 9176) * SAMPLE_MIX % SAMPLE_MOD % 100  # unbounded ints
+        return "val" if mix < 5 else ("test" if mix < 10 else "train")
+
+    assert got == {i: py_split(i) for i in ids}
+
+    pdf = pd.DataFrame({"doc_id": ids, "lang": ["en"] * len(ids)})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from vectorsearch_with_hnsw_spark.registry import SQL_DATASET_SPLIT
+
+    want = {
+        int(r[0]): r[2]
+        for r in con.execute(SQL_DATASET_SPLIT).fetchall()
+    }
+    assert got == want
+
+
+def test_salted_hash_equals_naive_form_in_supported_range(spark):
+    """The conversion identity: below the old overflow bound the
+    reduced form returns EXACTLY what the naive multiply returned, so
+    swapping every hash site changed no existing split/sample/shuffle
+    assignment."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        SAMPLE_MIX,
+        SAMPLE_MOD,
+        salted_hash,
+    )
+
+    ids = spark.range(0, 2000, 37).union(
+        spark.range(3_400_000_000, 3_400_002_000, 41)
+    )
+    naive = ((F.col("id") + F.lit(9176)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    n_diff = (
+        ids.select(
+            salted_hash(F.col("id"), 9176).alias("a"), naive.alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert n_diff == 0

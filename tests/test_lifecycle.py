@@ -238,3 +238,30 @@ def test_add_after_delete_keeps_tombstone(spark, sf_smoke):
     # compact drops BOTH stored copies of id 7 along with the log entry
     back = gone.compact()
     assert back.codes.filter(F.col("vec_id") == 7).count() == 0
+
+
+def test_readd_after_delete_contract_all_families(spark, sf_smoke):
+    """VERDICT r12 #8: the documented 'ids must be fresh' contract,
+    pinned on EVERY artifact family (IvfPq / Pq / Sq8 / Ivf), not just
+    Sq8. Re-adding a tombstoned id without compacting (a) does not
+    resurrect it in probes — the log is id-keyed, (b) leaves TWO stored
+    rows for the id (add never dedups), and (c) compact drops both
+    copies with the log. The sanctioned resurrection recipe —
+    compact THEN add — must make the id probeable again."""
+    emb, a, fams = _families(spark, sf_smoke)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    victim_rows = emb.filter(F.col("vec_id") == 2)
+    victim_ids = victim_rows.select("vec_id")
+    for name, idx, search, rows in fams:
+        full = idx.add(b)
+        readded = full.delete(victim_ids).add(victim_rows)
+        got = search(readded).collect()
+        assert got, name
+        assert all(r["neighbor_id"] != 2 for r in got), name
+        assert rows(readded).filter(F.col("vec_id") == 2).count() == 2, name
+        compacted = readded.compact()
+        assert rows(compacted).filter(F.col("vec_id") == 2).count() == 0, name
+        resurrected = compacted.add(victim_rows)
+        assert rows(resurrected).filter(F.col("vec_id") == 2).count() == 1, name
+        back = search(resurrected).collect()
+        assert any(r["neighbor_id"] == 2 for r in back), name

@@ -1028,3 +1028,58 @@ def test_hard_negatives_invariants(spark, sf_smoke):
         by_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_hard_negatives_from_exhaustive_shortlist_equals_full(spark, sf_smoke):
+    """hard_negatives_from over an EXHAUSTIVE shortlist (every
+    anchor-corpus distance) must be row-identical to the full
+    cross-join miner — the exactness claim that makes the shortlist
+    path a drop-in scale substitute."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact_fast
+    from vectorsearch_with_hnsw_spark.operators.retrieval import (
+        hard_negatives,
+        hard_negatives_from,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n_corpus = emb.count()
+    anchors = emb.filter(F.col("vec_id") < 8)
+    queries = anchors.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    shortlist = knn_exact_fast(emb, queries, k=n_corpus, metric="cosine")
+    got = sorted(
+        map(
+            tuple,
+            hard_negatives_from(
+                shortlist, emb.select("vec_id", "label"), k=4, margin=0.2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, hard_negatives(emb, anchors, k=4, margin=0.2).collect())
+    )
+    assert got and got == want
+
+
+def test_hard_negatives_from_tolerates_extra_columns_and_shallow_lists(spark, sf_smoke):
+    """Extra shortlist columns (rnk) are ignored, and an anchor whose
+    shallow shortlist holds no same-label row drops out instead of
+    erroring."""
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact_fast
+    from vectorsearch_with_hnsw_spark.operators.retrieval import hard_negatives_from
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # depth 2: the nearest row is usually self, leaving one candidate —
+    # anchors whose single candidate shares their label yield nothing
+    shortlist = knn_exact_fast(emb, queries, k=2, metric="cosine")
+    out = hard_negatives_from(shortlist, emb.select("vec_id", "label"), k=4)
+    rows = out.collect()
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert lab[r["neighbor_id"]] != lab[r["query_id"]]
+        assert lab[r["pos_id"]] == lab[r["query_id"]]
+        assert r["dist"] <= r["pos_dist"] + 0.15 + 1e-12

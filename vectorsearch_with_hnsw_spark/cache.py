@@ -60,6 +60,31 @@ def tracked_count() -> int:
         return len(_TRACKED)
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind a ``localCheckpoint``ed DataFrame.
+
+    ``clearCache()`` does not reach checkpoint blocks (they live as
+    persistent RDDs, not cached relations), so iterative operators that
+    checkpoint per round (bpe_train's merge loop) would otherwise pin
+    one block set per round for the life of the session — the
+    accumulation VERDICT r12 #3 flagged. The checkpointed RDD is
+    reachable through the analyzed plan's LogicalRDD node; unpersisting
+    it drops the blocks whether or not they ever materialized (both
+    verified on this Spark).
+
+    DANGER: a freed checkpoint CANNOT recompute — any frame derived
+    from ``df`` that has not itself materialized past it raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next use. Only call when every
+    consumer of ``df`` is fully materialized (or is itself a
+    materialized checkpoint, whose lineage is already truncated)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        # not a LogicalRDD-backed frame (already released, or never a
+        # checkpoint) — freeing nothing is the correct outcome
+        pass
+
+
 def release_caches() -> int:
     """Unpersist every intermediate the package pinned; returns how many
     handles were released. Safe to call at any operation boundary —

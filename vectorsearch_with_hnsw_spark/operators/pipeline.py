@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, lang_id, quality_features
-from .textpipe import SAMPLE_MIX, SAMPLE_MOD
+from .textpipe import salted_hash
 
 
 def curate(
@@ -58,7 +58,7 @@ def curate(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "fp", "text")
     )
-    mix = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    mix = salted_hash(F.col("doc_id"))
     rate = F.lit(default_pct)
     for lang, pct in sorted(rates_pct.items()):
         rate = F.when(F.col("lang_pred") == lang, F.lit(pct)).otherwise(rate)

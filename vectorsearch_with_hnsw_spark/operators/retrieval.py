@@ -1211,3 +1211,72 @@ def hard_negatives(
         "query_id", "pos_id", "pos_dist", "neighbor_id", "dist", tier.alias("tier"),
         "rnk",
     )
+
+
+def hard_negatives_from(
+    shortlist: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+    margin: float = 0.15,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard/semi-hard negative mining as a PURE POST-FILTER over an ANN
+    shortlist — the scale path :func:`hard_negatives`' docstring
+    prescribes for anchor sets that rival the corpus (VERDICT r12 #4).
+
+    ``shortlist`` is any (query_id, neighbor_id, dist) relation — the
+    output shape of every similarity-search operator in this package
+    (knn_exact_fast, ivf_pq_knn, knn_hnsw, matryoshka_knn, ...); extra
+    columns (rnk, scores) are ignored. ``labels`` is the thin
+    (``id_col``, ``label_col``) relation. Semantics are
+    :func:`hard_negatives` restricted to the shortlist: the positive is
+    the nearest SAME-LABEL shortlist row (self excluded, distance then
+    id tiebreak), negatives are different-label shortlist rows within
+    ``margin`` of it, top-``k`` ascending, tiered hard/semi_hard.
+    Anchors whose shortlist has no same-label member drop out — with a
+    deep enough shortlist this equals full mining exactly (pinned in
+    tests against :func:`hard_negatives` on an exhaustive shortlist).
+
+    Plan shape at 100 TB: NO corpus pass at all — two hash joins
+    against the thin label relation (shuffle sized by the shortlist,
+    |anchors| x shortlist_k, never |corpus| x |anchors|) and the same
+    two bounded windows. Mining a million anchors costs whatever the
+    ANN shortlist cost, plus this bounded tail."""
+    sl = shortlist.select("query_id", "neighbor_id", "dist")
+    qlab = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlabel")
+    )
+    nlab = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlabel")
+    )
+    pairs = sl.join(qlab, "query_id").join(nlab, "neighbor_id")
+    pos = topk_per_group(
+        pairs.filter(
+            (F.col("_nlabel") == F.col("_qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        ),
+        ["query_id"],
+        ["dist", "neighbor_id"],
+        1,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("dist").alias("pos_dist"),
+    )
+    banded = (
+        pairs.filter(F.col("_nlabel") != F.col("_qlabel"))
+        .select("query_id", "neighbor_id", "dist")
+        # NOT broadcast: pos is anchor-sized, and this path exists
+        # precisely for anchor sets too large to broadcast — both join
+        # sides shuffle on query_id, each bounded by the shortlist
+        .join(pos, "query_id")
+        .filter(F.col("dist") <= F.col("pos_dist") + F.lit(float(margin)))
+    )
+    tier = F.when(F.col("dist") <= F.col("pos_dist"), F.lit("hard")).otherwise(
+        F.lit("semi_hard")
+    )
+    return topk_per_group(banded, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "pos_id", "pos_dist", "neighbor_id", "dist", tier.alias("tier"),
+        "rnk",
+    )

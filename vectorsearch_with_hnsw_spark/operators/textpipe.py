@@ -15,7 +15,7 @@ moment sums so the float math is one deterministic expression per row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -26,6 +26,27 @@ from ..cache import persist_tracked
 # Knuth multiplicative-hash constant; doc_id mix for sampling
 SAMPLE_MIX = 2_654_435_761
 SAMPLE_MOD = 2_147_483_647
+# MIX reduced mod MOD once, so the hash below never overflows int64
+SAMPLE_MIX_RED = SAMPLE_MIX % SAMPLE_MOD  # 506952114
+
+
+def salted_hash(key: Column, salt: int = 0) -> Column:
+    """Wrap-stable Knuth multiplicative hash in [0, SAMPLE_MOD) for
+    non-negative integer keys: ((key + salt) % MOD) * (MIX % MOD) % MOD.
+
+    Identity: this equals the naive ((key + salt) * MIX) % MOD wherever
+    the naive 64-bit product fits (key + salt < ~3.47e9 — every
+    previously supported id), so converting the call sites changed no
+    output anywhere; and it stays exact for ALL int64 keys, because the
+    reduced product is bounded by (MOD-1) * 506952114 < 2^61. The naive
+    form silently wrapped in Spark past that bound while DuckDB raised
+    a BIGINT overflow, so the oracle-parity claim of every split /
+    sample / shuffle op quietly ended at ~3.47e9 ids despite
+    trillion-doc design targets (ADVICE r12). All engine AND oracle
+    hash sites go through this one form now.
+    """
+    k = (key + F.lit(salt)) if salt else key
+    return ((k % F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_MIX_RED)) % F.lit(SAMPLE_MOD)
 
 
 def doc_tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
@@ -98,7 +119,7 @@ def stratified_sample(docs: DataFrame, rates_pct: dict[str, int], default_pct: i
     same rows come back on every run, any cluster, any partitioning
     (rand()-based sampling is none of those). Map-only: no shuffle at
     all; the filter pushes down to the scan."""
-    mix = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    mix = salted_hash(F.col("doc_id"))
     rate = F.lit(default_pct)
     for lang, pct in sorted(rates_pct.items()):
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
@@ -125,7 +146,7 @@ def weighted_sample(
     Plan: map-only priority projection + one per-group top-N window —
     the same WindowGroupLimit pushdown shape as lang_exemplars (partial
     per-partition top-N before the shuffle)."""
-    h = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    h = salted_hash(F.col("doc_id"), salt)
     # u in (0, 1]: (h + 1) / SAMPLE_MOD, exact double ops
     u = (h + F.lit(1)).cast("double") / F.lit(float(SAMPLE_MOD))
     priority = F.col(weight_col).cast("double") / u
@@ -190,9 +211,7 @@ def mix_corpus(
     rates = counts.crossJoin(F.broadcast(binding)).select(
         "source", ppm.alias("ppm")
     )
-    gate = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(
-        SAMPLE_MOD
-    ) % F.lit(1_000_000)
+    gate = salted_hash(F.col("doc_id"), salt) % F.lit(1_000_000)
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(gate < F.col("ppm"))
@@ -245,9 +264,7 @@ def mix_corpus_temperature(
         ),
     ).cast("long")
     rates = counts.crossJoin(F.broadcast(binding)).select("source", ppm.alias("ppm"))
-    gate = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(
-        SAMPLE_MOD
-    ) % F.lit(1_000_000)
+    gate = salted_hash(F.col("doc_id"), salt) % F.lit(1_000_000)
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(gate < F.col("ppm"))
@@ -665,7 +682,7 @@ def dataset_split(docs: DataFrame, val_pct: int = 5, test_pct: int = 5,
     on every run, any cluster, any partitioning, and survives re-ingest
     of the same ids — the property rand()-based splits lack. Map-only;
     no shuffle, no state."""
-    mix = ((F.col("doc_id") + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD) % 100
+    mix = salted_hash(F.col("doc_id"), salt) % 100
     split = (
         F.when(mix < val_pct, F.lit("val"))
         .when(mix < val_pct + test_pct, F.lit("test"))
@@ -707,7 +724,7 @@ def leakage_safe_split(
 
     labels = dedup_clusters(dup_pairs).select("doc_id", "cluster_id")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    mix = ((cid + F.lit(salt)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD) % 100
+    mix = salted_hash(cid, salt) % 100
     split = (
         F.when(mix < val_pct, F.lit("val"))
         .when(mix < val_pct + test_pct, F.lit("test"))
@@ -728,8 +745,8 @@ def training_shuffle(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     global sort, which funnels everything through one ordering. Shards
     are balanced in expectation and each sorts independently, so the
     permutation scales out with the shard count."""
-    h = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
-    h2 = ((F.col("doc_id") + F.lit(40503)) * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    h = salted_hash(F.col("doc_id"))
+    h2 = salted_hash(F.col("doc_id"), 40503)
     shard = (h % F.lit(n_shards)).cast("int")
     w = Window.partitionBy("shard").orderBy(F.col("ord"), F.col("doc_id"))
     return (
@@ -883,7 +900,7 @@ def token_budget_sample(docs: DataFrame, budget_per_source: int = 2000) -> DataF
     behavior — identical in the oracle)."""
     from ..functions.text import token_count
 
-    h = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    h = salted_hash(F.col("doc_id"))
     base = docs.select(
         "doc_id",
         "source",
@@ -1176,9 +1193,7 @@ def dsir_scores(
     )
     if keep_per_million is None:
         return out
-    gate = ((F.col("doc_id") + F.lit(9173)) * F.lit(SAMPLE_MIX)) % F.lit(
-        SAMPLE_MOD
-    ) % F.lit(1_000_000)
+    gate = salted_hash(F.col("doc_id"), 9173) % F.lit(1_000_000)
     return out.filter(
         gate < F.expr(f"({keep_per_million}::long * target_ppm) div 500000")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, lang_id, quality_features
 from ..cache import persist_tracked
-from ..operators.textpipe import SAMPLE_MIX, SAMPLE_MOD
+from ..operators.textpipe import salted_hash
 
 DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -62,7 +62,7 @@ def curate_stream(
     gated = scored.filter(
         (F.col("quality_score") >= F.lit(min_quality)) & (F.col("lang_pred") != "und")
     )
-    mix = (F.col("doc_id") * F.lit(SAMPLE_MIX)) % F.lit(SAMPLE_MOD)
+    mix = salted_hash(F.col("doc_id"))
     rate = F.lit(default_pct)
     for lang, pct in sorted(rates_pct.items()):
         rate = F.when(F.col("lang_pred") == lang, F.lit(pct)).otherwise(rate)
