@@ -298,10 +298,49 @@ def main() -> None:
         labeled, anchors, k=5, margin=0.15
     ).count()
     out["hard_negatives_sec"] = round(time.perf_counter() - t0, 2)
+    _scrub(spark, "hard_negatives", vecs)
+
+    # hard negatives FROM AN ANN SHORTLIST at 50x the anchors (VERDICT
+    # r12 #4): 5,000 anchors x 128k corpus, end-to-end INCLUDING the
+    # shortlist search (blocked-GEMM exact kNN at depth 64) — after the
+    # shortlist, the mining is two thin label joins + two bounded
+    # windows over |anchors| x 64 = 320k rows, never a corpus pass.
+    # The cross-join miner's cost is linear in anchors with the
+    # |corpus| x |anchors| pair stream as the dominant term, so its
+    # measured 100-anchor time above extrapolates to ~50x here (~25
+    # min — running it IS the explosion, same policy as the ngram
+    # boiler's analytic uncapped count); the comparison key below
+    # records that extrapolation next to the measured shortlist time.
+    from vectorsearch_with_hnsw_spark.operators.knn import knn_exact_fast as _kef
+    from vectorsearch_with_hnsw_spark.operators.retrieval import hard_negatives_from
+
+    n_anchors = 5000
+    labeled = emb_named.withColumn("label", (F.col("vec_id") % 20).cast("int"))
+    anchors_lg = labeled.filter(F.col("vec_id") < n_anchors)
+    t0 = time.perf_counter()
+    shortlist = _kef(
+        labeled,
+        anchors_lg.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=64,
+        metric="cosine",
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    out["hard_negatives_shortlist_rows"] = hard_negatives_from(
+        shortlist, labeled.select("vec_id", "label"), k=5, margin=0.15
+    ).count()
+    out["hard_negatives_shortlist_anchors"] = n_anchors
+    out["hard_negatives_shortlist_sec"] = round(time.perf_counter() - t0, 2)
+    out["hard_negatives_crossjoin_extrapolated_sec"] = round(
+        out["hard_negatives_sec"] * (n_anchors / N_QUERIES), 1
+    )
 
     vecs.unpersist()
     queries.unpersist()
-    _scrub(spark, "hard_negatives")
+    _scrub(spark, "hard_negatives_shortlist")
 
     # --- documents at 10x ----------------------------------------------
     docs = load_table(spark, sf_dir, "documents")

@@ -223,3 +223,57 @@ def test_bpe_train_incremental_deep_merge_lineage_bounded(spark, sf_smoke):
         .collect()
     ]
     assert rows[:20] == prefix
+
+
+def test_bpe_vocab_dense_ids_and_coverage(spark, sf_smoke):
+    """Vocab ids are dense 1..N by (freq desc, token), tokens unique,
+    and the vocab covers every symbol the encode path can emit (so a
+    trained-on-corpus encode never yields a NULL id)."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import bpe_encode, bpe_vocab
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    voc = bpe_vocab(docs, merges).collect()
+    ids = sorted(r["token_id"] for r in voc)
+    assert ids == list(range(1, len(voc) + 1))
+    assert len({r["token"] for r in voc}) == len(voc)
+    freqs = {r["token_id"]: r["token_freq"] for r in voc}
+    assert all(freqs[i] >= freqs[i + 1] for i in range(1, len(voc)))
+    enc = bpe_encode(docs, merges, bpe_vocab(docs, merges))
+    n_null = enc.select(
+        F.explode("token_ids").alias("t")
+    ).filter(F.col("t").isNull()).count()
+    assert n_null == 0
+
+
+def test_bpe_encode_roundtrip_and_counts(spark, sf_smoke):
+    """Decoding the id sequence through the vocab reconstructs the
+    document's pretoken stream exactly (token order is pinned, not just
+    the multiset), and n_tokens agrees with bpe_segment's n_subwords."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import bpe_encode, bpe_vocab
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    voc = {r["token_id"]: r["token"] for r in bpe_vocab(docs, merges).collect()}
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges, bpe_vocab(docs, merges)).collect()}
+    seg = {r["doc_id"]: r["n_subwords"] for r in bpe_segment(docs, merges).collect()}
+    pre = {
+        r["doc_id"]: r["pp"]
+        for r in docs.select(
+            "doc_id", F.concat_ws("\x00", bpe_tokens(F.col("text"))).alias("pp")
+        ).collect()
+    }
+    for d, row in enc.items():
+        assert row["n_tokens"] == seg[d]
+        decoded = "".join(voc[i] for i in row["token_ids"])
+        # each pretoken's symbols end with '</w>' — splitting on it
+        # recovers the pretoken stream
+        words = [w for w in decoded.split("</w>") if w != ""]
+        want = [w for w in pre[d].split("\x00") if w != ""]
+        assert words == want, d

@@ -465,3 +465,125 @@ def test_decontaminate_fuzzy_catches_edited_leak(spark, sf_smoke):
     assert out.get(9001, 0) > 0, "edited near-copy of a bench doc must flag"
     assert 9002 not in out, "novel doc must not flag"
     assert out.get(0) == MINHASH_BANDS, "bench member self-flags on every band"
+
+
+def _ref_span_state(texts: dict[int, str], n: int, min_run: int):
+    """Pure-Python reference for dup_span_intervals/strip_dup_spans:
+    token-tuple n-grams (hash collisions are negligible and the engine
+    hashes injectively on these tiny vocabularies), pairwise diagonal
+    runs, victim = higher doc_id, overlap-or-adjacent interval merge."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in texts.items()}
+    sh = {
+        d: [tuple(t[i : i + n]) for i in range(max(len(t) - n + 1, 0))]
+        for d, t in toks.items()
+    }
+    raw: dict[int, list[tuple[int, int]]] = {}
+    ids = sorted(sh)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            hits = [
+                (pa, pb)
+                for pa, ga in enumerate(sh[a])
+                for pb, gb in enumerate(sh[b])
+                if ga == gb
+            ]
+            by_diag: dict[int, list[int]] = {}
+            for pa, pb in hits:
+                by_diag.setdefault(pa - pb, []).append(pa)
+            for diag, pas in by_diag.items():
+                pas = sorted(pas)
+                run_start = pas[0]
+                prev = pas[0]
+                runs = []
+                for p in pas[1:] + [None]:
+                    if p is None or p != prev + 1:
+                        runs.append((run_start, prev - run_start + 1))
+                        if p is not None:
+                            run_start = p
+                    prev = p if p is not None else prev
+                for pa_start, run in runs:
+                    if run >= min_run:
+                        s = pa_start - diag
+                        raw.setdefault(b, []).append((s, s + run + n - 2))
+    merged: dict[int, list[tuple[int, int]]] = {}
+    for d, ivs in raw.items():
+        out = []
+        for s, e in sorted(ivs):
+            if out and s <= out[-1][1] + 1:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        merged[d] = out
+    stripped = {}
+    for d, t in toks.items():
+        cover = set()
+        for s, e in merged.get(d, []):
+            cover.update(range(s, e + 1))
+        kept = [tok for i, tok in enumerate(t) if i not in cover]
+        stripped[d] = (len(t), len(t) - len(kept), " ".join(kept))
+    return merged, stripped
+
+
+def test_dup_span_intervals_and_strip_vs_reference(spark):
+    """Planted passages: full-duplicate, partial passage, three-way
+    duplicate (keep-one must strip BOTH higher ids), and an overlap
+    that forces the interval merge — all vs the pure-Python reference."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        10: base,
+        20: base,  # full duplicate of 10 -> fully stripped
+        30: "prefix words here " + base + " suffix tail",  # contains 10
+        40: base,  # three-way: stripped against 10 (not double-counted vs 20)
+        50: "unrelated totally different tokens only once",
+        60: "alpha beta gamma delta epsilon QQQ zeta eta theta iota kappa",
+    }
+    n, min_run = 3, 2
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    want_iv, want_strip = _ref_span_state(texts, n, min_run)
+    got_iv: dict[int, list[tuple[int, int]]] = {}
+    for r in D.dup_span_intervals(docs, n=n, min_run=min_run).collect():
+        got_iv.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    got_iv = {d: sorted(v) for d, v in got_iv.items()}
+    assert got_iv == {d: v for d, v in want_iv.items() if v}
+    got_strip = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in D.strip_dup_spans(docs, n=n, min_run=min_run).collect()
+    }
+    assert got_strip == want_strip
+    # keep-one: the lowest id keeps every token, every other full copy
+    # is emptied
+    assert got_strip[10][1] == 0
+    assert got_strip[20][2] == "" and got_strip[40][2] == ""
+
+
+def test_strip_dup_spans_fuzz_vs_reference(spark):
+    """Seeded random corpora with planted shared slices: engine ==
+    reference on intervals and stripped streams."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(4):
+        texts = {}
+        for d in range(8):
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30)))
+        # plant a shared slice into two random docs
+        src = texts[rng.randrange(8)].split()
+        if len(src) >= 6:
+            s = rng.randrange(0, len(src) - 5)
+            chunk = " ".join(src[s : s + 5])
+            for d in rng.sample(range(8), 2):
+                texts[d] = texts[d] + " " + chunk
+        docs = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        )
+        _, want = _ref_span_state(texts, 3, 2)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in D.strip_dup_spans(docs, n=3, min_run=2).collect()
+        }
+        assert got == want, trial

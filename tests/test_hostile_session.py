@@ -40,6 +40,11 @@ HOSTILE_QUERIES = [
     "hard_negatives",         # NEW r12: cosine band + margin float compare under ANSI
     "leakage_safe_split",     # NEW r12: components + salted modular hash under ANSI
     "decontaminate_fuzzy",    # NEW r12: minhash band buckets + semi-join under ANSI
+    "bpe_train_incremental",  # NEW r13: maintained pair-count deltas under ANSI
+    "bpe_encode",             # NEW r13: map-literal id lookup + integer fold checksum
+    "bpe_vocab",              # NEW r13: freq-ranked vocab ids under ANSI
+    "hard_negatives_shortlist",  # NEW r13: shortlist post-filter + label joins
+    "dataset_split",          # r13 wrap-stable hash: reduced-mod multiply under ANSI
 ]
 
 

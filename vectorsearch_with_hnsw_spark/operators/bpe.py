@@ -283,6 +283,92 @@ def bpe_train(
     )
 
 
+def _word_syms(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """word -> its final symbol array under the merge list: char
+    symbols + one greedy fold per merge (the shared construction of
+    segment / vocab / encode)."""
+    syms = _char_symbols(word)
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    return syms
+
+
+def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """The tokenizer VOCABULARY induced by a merge list over a corpus:
+    every surviving symbol (base characters, ``</w>``, and merged
+    subwords), with its corpus frequency and a dense id assigned by
+    (frequency desc, token asc) — the id layout real tokenizers ship
+    (frequent tokens get small ids). Returns (token_id int, token,
+    token_freq bigint).
+
+    One corpus pass builds the word-frequency relation; symbols are
+    counted vocab-side (weighted by word freq), so the explode is over
+    the word vocabulary, not the corpus — the same sublinearity as
+    training. One small shuffle (symbol groupBy) + one global ranking
+    window over the symbol relation (artifact-sized: |chars| +
+    |merges|)."""
+    from pyspark.sql.window import Window
+
+    wordfreq = (
+        docs.select(F.explode(bpe_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    counts = (
+        wordfreq.select(
+            F.explode(_word_syms(F.col("word"), merges)).alias("token"), "freq"
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("token_freq"))
+    )
+    w = Window.orderBy(F.col("token_freq").desc(), F.col("token").asc())
+    return counts.select(
+        F.row_number().over(w).cast("int").alias("token_id"),
+        "token",
+        "token_freq",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+) -> DataFrame:
+    """Tokenize the corpus to TOKEN IDS — the artifact a training
+    pipeline actually feeds the model (completes the train ->
+    segment -> encode loop; bpe_segment only reports counts). Returns
+    (doc_id, n_tokens int, token_ids array<int>), token order exactly
+    the document's pretoken/subword order; zero-pretoken docs encode to
+    (0, []).
+
+    ``vocab`` is the (token_id, token, ...) relation (bpe_vocab's
+    output shape). It is a bounded ARTIFACT (|chars| + |merges| rows,
+    like the merge list itself), so it is collected once and applied as
+    a map literal inside a native ``transform`` — the whole encode is
+    MAP-ONLY: no explode, no join, no shuffle, each document one row in
+    and one row out, which is the only shape that survives a 100 TB
+    corpus. A symbol absent from the vocab yields a NULL id (the
+    caller's fallback policy — a trained-on-corpus vocab covers every
+    symbol by construction)."""
+    pairs = vocab.select("token", "token_id").collect()
+    lit_entries: list[Column] = []
+    for r in pairs:
+        lit_entries.append(F.lit(r["token"]))
+        lit_entries.append(F.lit(int(r["token_id"])).cast("int"))
+    vmap = F.create_map(*lit_entries) if lit_entries else F.create_map()
+    flat = F.flatten(
+        F.transform(
+            bpe_tokens(F.col("text")), lambda w: _word_syms(w, merges)
+        )
+    )
+    ids = F.transform(flat, lambda s: vmap[s])
+    return docs.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens"),
+        ids.alias("token_ids"),
+    )
+
+
 def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge list to the corpus: per document, the BPE
     token count under the trained tokenizer (chars+merges), alongside

@@ -33,6 +33,7 @@ from ..functions.text import (
     shingle_hash_array,
     simhash_bit_weight,
     simhash_token_hash,
+    tokens,
     word_shingles,
 )
 from ..functions.vector import cosine_distance, to_vec
@@ -677,13 +678,26 @@ def dup_span_pairs(
     character (each character would be folded n times across the
     overlapping shingles). Measured 9.7 -> 6.8 s warm at sf0.1 (the
     remaining cost is the join + windows, not hashing)."""
-    # persist: the positional-shingle relation feeds BOTH sides of the
-    # self-join (and, under max_df, the document-frequency filter) — 2-3
-    # recomputations of the explode+hash pass otherwise. The persisted
-    # relation is (doc_id, pos, h): three 8-byte columns, no strings —
-    # at 100 TB this is the intermediate a pipeline would write to a
-    # shuffle-store anyway before a self-join. Eager count to avoid the
-    # two join sides racing to populate the cache.
+    runs = _span_runs(_positional_shingles(docs, n, max_df)).groupBy(
+        "doc_a", "doc_b"
+    ).agg(F.max("run").alias("max_run"))
+    return runs.filter(F.col("max_run") >= min_run).select(
+        "doc_a",
+        "doc_b",
+        "max_run",
+        (F.col("max_run") + F.lit(n - 1)).alias("span_tokens"),
+    )
+
+
+def _positional_shingles(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
+    """(doc_id, pos, h) positional n-gram hash relation, persisted —
+    the shared front half of the span family. Persist: the relation
+    feeds BOTH sides of the self-join (and, under max_df, the
+    document-frequency filter) — 2-3 recomputations of the explode+hash
+    pass otherwise. Three 8-byte columns, no strings — at 100 TB this
+    is the intermediate a pipeline would write to a shuffle-store
+    anyway before a self-join. Eager count so the two join sides don't
+    race to populate the cache."""
     sh = spread(docs).select(
         "doc_id",
         F.posexplode(shingle_hash_array(F.col("text"), n)).alias("pos", "h"),
@@ -702,30 +716,134 @@ def dup_span_pairs(
             .select("h")
         )
         sh = sh.join(keep, "h")
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
-    )
+    return sh
+
+
+def _span_runs(sh: DataFrame) -> DataFrame:
+    """Maximal consecutive shared-n-gram runs per ordered doc pair and
+    diagonal: (doc_a < doc_b, diag, pa_start, run) — the
+    gaps-and-islands core shared by dup_span_pairs (max per pair) and
+    dup_span_intervals (victim-side positions: pb = pa - diag)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
     j = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
+    return (
         j.withColumn("grp", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg(F.count(F.lit(1)).alias("run"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("run").alias("max_run"))
+        .agg(F.count(F.lit(1)).alias("run"), F.min("pa").alias("pa_start"))
     )
-    return runs.filter(F.col("max_run") >= min_run).select(
-        "doc_a",
-        "doc_b",
-        "max_run",
-        (F.col("max_run") + F.lit(n - 1)).alias("span_tokens"),
+
+
+def dup_span_intervals(
+    docs: DataFrame, n: int = 8, min_run: int = 2, max_df: int | None = None
+) -> DataFrame:
+    """The REMOVAL PLAN for exact substring dedup: per victim document,
+    the merged token intervals covered by passages it shares with any
+    LOWER-id document — the relational half of "keep one copy of every
+    duplicated span" (Lee et al. 2022 §4.1's ExactSubstr removal, which
+    deletes all but one occurrence; here the surviving occurrence is
+    the lowest doc_id's, so for a span shared by docs d1 < d2 < d3 the
+    pairs (d1,d2), (d1,d3), (d2,d3) mark d2 and d3 — exactly
+    keep-one, deterministically).
+
+    Token coordinates index the LOWERCASED WHITESPACE token stream
+    (``functions.text.tokens(lower(text))`` — the same stream the
+    n-gram hashes are built from); a run of r consecutive shared
+    n-grams starting at victim position p covers tokens
+    [p, p + r + n - 2], inclusive. Overlapping or adjacent intervals
+    coalesce (running-max islands), so the output is the minimal
+    disjoint set. Returns (doc_id, span_start, span_end).
+
+    Plan shape: dup_span_pairs' inverted-index self-join and islands
+    (no cross join, df^2 bounded by ``max_df``), one more window +
+    group for the interval merge — both partitioned by victim doc, so
+    the merge shuffles only documents that actually share passages."""
+    runs = _span_runs(_positional_shingles(docs, n, max_df)).filter(
+        F.col("run") >= min_run
+    )
+    iv = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("pa_start") - F.col("diag")).cast("long").alias("s"),
+        (F.col("pa_start") - F.col("diag") + F.col("run") + F.lit(n - 2))
+        .cast("long")
+        .alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_isl = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_e = F.max("e").over(w_prev)
+    new_island = F.when(
+        prev_e.isNull() | (F.col("s") > prev_e + F.lit(1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        iv.withColumn("_island", F.sum(new_island).over(w_isl))
+        .groupBy("doc_id", "_island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_dup_spans(
+    docs: DataFrame, n: int = 8, min_run: int = 2, max_df: int | None = None
+) -> DataFrame:
+    """Exact substring dedup, applied: every document with its
+    duplicated-span tokens REMOVED (the lowest-id copy of each shared
+    passage survives — dup_span_intervals' plan executed as token-
+    stream surgery). Returns (doc_id, n_tokens, n_removed, text_clean)
+    where text_clean is the kept LOWERCASED whitespace-token stream
+    re-joined with single spaces — the canonical form the n-gram
+    machinery itself operates on; callers needing original-case
+    surgery take dup_span_intervals and cut their own bytes.
+
+    The apply side is MAP-ONLY on the corpus: the interval relation
+    (only victim docs, already merged-disjoint) is collected per doc
+    into an array via one bounded groupBy, left-joined back, and the
+    token filter is a native two-arg ``filter`` with an ``exists``
+    membership probe per token — no explode of the corpus, no UDF."""
+    iv = (
+        dup_span_intervals(docs, n=n, min_run=min_run, max_df=max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                    )
+                )
+            ).alias("_iv")
+        )
+    )
+    toks = tokens(F.lower(F.col("text")))
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    ivc = F.coalesce(F.col("_iv"), empty)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ivc, lambda v: (i.cast("long") >= v["s"]) & (i.cast("long") <= v["e"])
+        ),
+    )
+    return (
+        spread(docs)
+        .select("doc_id", "text")
+        .join(iv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+            F.concat_ws(" ", kept).alias("text_clean"),
+        )
     )
 
 
