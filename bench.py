@@ -180,6 +180,14 @@ BENCH_QUERIES = [
     "user_event_sequences",
     "doc_token_counts",
     "pretrain_sequences",
+    # round 13 additions (appended — head stays stable for deltas)
+    "bpe_train_incremental",
+    "bpe_vocab",
+    "bpe_encode",
+    "hard_negatives_shortlist",
+    "dup_span_intervals",
+    "strip_dup_spans",
+    "lsh_recall_report",
 ]
 
 

@@ -1083,3 +1083,25 @@ def test_hard_negatives_from_tolerates_extra_columns_and_shallow_lists(spark, sf
         assert lab[r["neighbor_id"]] != lab[r["query_id"]]
         assert lab[r["pos_id"]] == lab[r["query_id"]]
         assert r["dist"] <= r["pos_dist"] + 0.15 + 1e-12
+
+
+def test_recall_report_semantics(spark):
+    """recall_report: identical inputs score 1.0 per query, disjoint
+    inputs score 0.0 (left join keeps the query), partial overlap is
+    n_hits/n_exact with the EXACT side as denominator."""
+    from vectorsearch_with_hnsw_spark.operators.retrieval import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    same = {r["query_id"]: r for r in recall_report(exact, exact).collect()}
+    assert all(r["recall"] == 1.0 and r["n_hits"] == r["n_exact"] for r in same.values())
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 98)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: r for r in recall_report(approx, exact).collect()}
+    assert got[1]["n_exact"] == 3 and got[1]["n_hits"] == 2
+    assert abs(got[1]["recall"] - 2 / 3) < 1e-15
+    assert got[2]["n_hits"] == 0 and got[2]["recall"] == 0.0

@@ -1213,6 +1213,39 @@ def hard_negatives(
     )
 
 
+def recall_report(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Index-quality evaluation AS A RELATION: per-query overlap of an
+    approximate search result against the exact one — the recall@k
+    check every ANN deployment runs in CI, here composable over any two
+    (query_id, neighbor_id, ...) relations this package emits (both
+    sides already truncated to their k by construction). Returns
+    (query_id, n_exact, n_hits, recall) with
+    ``recall = n_hits / n_exact`` (exact-side denominator, so a small
+    corpus returning fewer than k true neighbors scores correctly).
+    The division is one int/int -> double op, bit-identical across
+    engines, so the whole report is oracle-hashable.
+
+    Plan shape: two distinct-projections and one equi-join on
+    (query_id, neighbor_id) — shuffle bounded by |queries| x k rows on
+    both sides regardless of corpus size; the report never touches the
+    vectors."""
+    a = approx.select("query_id", "neighbor_id").distinct()
+    e = exact.select("query_id", "neighbor_id").distinct()
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        n_hits.alias("n_hits"),
+        (n_hits / F.col("n_exact")).alias("recall"),
+    )
+
+
 def hard_negatives_from(
     shortlist: DataFrame,
     labels: DataFrame,
