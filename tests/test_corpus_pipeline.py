@@ -645,3 +645,44 @@ def test_salted_hash_equals_naive_form_in_supported_range(spark):
         .count()
     )
     assert n_diff == 0
+
+
+def test_skipgram_pairs_vs_reference(spark):
+    """Engine skip-gram counts == a pure-Python window scan on a
+    crafted corpus, including boundary positions, window>1 offsets,
+    repeated tokens (self-pairs from distinct positions), and the
+    min_count floor."""
+    from collections import Counter
+
+    from vectorsearch_with_hnsw_spark.operators.textpipe import skipgram_pairs
+
+    texts = {
+        0: "a b c a b",
+        1: "x",
+        2: "a a a",
+        3: "b c d e f g",
+    }
+    window = 2
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    want = Counter()
+    for t in texts.values():
+        toks = t.split()
+        for i, c in enumerate(toks):
+            for o in range(-window, window + 1):
+                if o and 0 <= i + o < len(toks):
+                    want[(c, toks[i + o])] += 1
+    got = {
+        (r["center"], r["context"]): r["pair_count"]
+        for r in skipgram_pairs(docs, window=window, min_count=1).collect()
+    }
+    assert got == dict(want)
+    # min_count floor
+    floored = {
+        (r["center"], r["context"]): r["pair_count"]
+        for r in skipgram_pairs(docs, window=window, min_count=3).collect()
+    }
+    assert floored == {k: v for k, v in want.items() if v >= 3}
+    # directedness: every (a,b) has a matching (b,a) with equal count
+    assert all(got[(b, a)] == n for (a, b), n in got.items())

@@ -737,6 +737,55 @@ def leakage_safe_split(
     )
 
 
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, min_count: int = 1
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts — the training
+    relation for word2vec-family embedding models (Mikolov et al.
+    2013), over the lowercased whitespace token stream. For every
+    position i and offset o in [-window, window] \\ {0} with i+o in
+    range, the DIRECTED pair (token[i], token[i+o]) contributes 1;
+    counts aggregate corpus-wide and pairs below ``min_count`` drop
+    (the standard vocabulary floor). Returns
+    (center, context, pair_count).
+
+    Plan shape at 100 TB: pair GENERATION is map-only — a nested
+    native transform over each document's token array (offsets
+    filtered to in-range BEFORE the element_at, so the lookup is
+    ANSI-safe by construction), no self-join on positions, no explode
+    until the single count shuffle. The one groupBy carries
+    (center, context) pairs whose cardinality is vocab-bounded, not
+    corpus-bounded, and map-side combine collapses each partition's
+    duplicates before the exchange."""
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    offsets = F.array(
+        *[F.lit(o) for o in range(-window, window + 1) if o != 0]
+    )
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.transform(
+                F.filter(offsets, lambda o: ((i + o) >= 0) & ((i + o) < n)),
+                lambda o: F.struct(
+                    t.alias("center"),
+                    F.element_at(toks, i + o + F.lit(1)).alias("context"),
+                ),
+            ),
+        )
+    )
+    return (
+        spread(docs)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+
+
 def training_shuffle(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     """Reproducible global permutation for training order: shard by one
     doc_id hash, order within the shard by a second (salted) hash. One
