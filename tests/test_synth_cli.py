@@ -317,3 +317,50 @@ def test_cli_bpe_train(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == 4
     assert set(back.columns) == {"merge_rank", "left_sym", "right_sym", "pair_count"}
+
+
+def test_cli_bpe_encode_and_incremental_train(spark, tmp_path, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    out = str(tmp_path / "tok")
+    cli.main(["bpe-encode", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+              "--merges", "4"])
+    assert "bpe-encode: 4 merges" in capsys.readouterr().out
+    enc = spark.read.parquet(out + "/encoded")
+    assert set(enc.columns) == {"doc_id", "n_tokens", "token_ids"}
+    assert enc.count() == 500
+    voc = spark.read.parquet(out + "/vocab")
+    assert set(voc.columns) == {"token_id", "token", "token_freq"}
+    # incremental flag produces the identical merge table
+    outi = str(tmp_path / "merges_incr")
+    cli.main(["bpe-train", "--sf-dir", "/root/testdata/sf0.001", "--out", outi,
+              "--merges", "4", "--incremental"])
+    a = sorted(tuple(r) for r in spark.read.parquet(out + "/merges").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(outi).collect())
+    assert a == b
+
+
+def test_cli_strip_spans_skipgrams_recall(spark, tmp_path, capsys):
+    from vectorsearch_with_hnsw_spark import cli
+
+    out = str(tmp_path / "clean")
+    cli.main(["strip-spans", "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert "strip-spans:" in capsys.readouterr().out
+    clean = spark.read.parquet(out)
+    assert set(clean.columns) == {"doc_id", "n_tokens", "n_removed", "text_clean"}
+
+    out2 = str(tmp_path / "sg")
+    cli.main(["skipgrams", "--sf-dir", "/root/testdata/sf0.001", "--out", out2,
+              "--window", "2"])
+    assert "skipgrams:" in capsys.readouterr().out
+    sg = spark.read.parquet(out2)
+    assert set(sg.columns) == {"center", "context", "pair_count"}
+
+    out3 = str(tmp_path / "rep")
+    cli.main(["recall", "--method", "lsh", "--sf-dir", "/root/testdata/sf0.001",
+              "--k", "5", "--out", out3])
+    msg = capsys.readouterr().out
+    assert "recall[lsh]@5: micro" in msg
+    rep = spark.read.parquet(out3)
+    assert set(rep.columns) == {"query_id", "n_exact", "n_hits", "recall"}
+    assert rep.count() == 10

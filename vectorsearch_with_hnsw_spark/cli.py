@@ -114,6 +114,53 @@ def main(argv: list[str] | None = None) -> None:
     bp.add_argument("--sf-dir", required=True)
     bp.add_argument("--out", required=True)
     bp.add_argument("--merges", type=int, default=8)
+    bp.add_argument(
+        "--incremental",
+        action="store_true",
+        help="maintained pair counts (per-round delta over affected "
+        "words only — the real-vocab-size mode; auto above 12 merges)",
+    )
+
+    be = sub.add_parser(
+        "bpe-encode",
+        help="train merges + vocab, then tokenize the corpus to token "
+        "ids -> parquet dir (merges/, vocab/, encoded/)",
+    )
+    be.add_argument("--sf-dir", required=True)
+    be.add_argument("--out", required=True)
+    be.add_argument("--merges", type=int, default=8)
+
+    ss = sub.add_parser(
+        "strip-spans",
+        help="exact substring dedup: remove duplicated-passage tokens, "
+        "lowest-id copy survives -> parquet",
+    )
+    ss.add_argument("--sf-dir", required=True)
+    ss.add_argument("--out", required=True)
+    ss.add_argument("--ngram", type=int, default=8)
+    ss.add_argument("--min-run", type=int, default=2)
+    ss.add_argument("--max-df", type=int, default=64)
+
+    sg = sub.add_parser(
+        "skipgrams",
+        help="word2vec-style (center, context, count) pairs -> parquet",
+    )
+    sg.add_argument("--sf-dir", required=True)
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--window", type=int, default=2)
+    sg.add_argument("--min-count", type=int, default=1)
+
+    rc = sub.add_parser(
+        "recall",
+        help="recall@k report of an ANN family vs exact kNN on the "
+        "embeddings table",
+    )
+    rc.add_argument("--method", default="lsh")
+    rc.add_argument("--sf-dir", required=True)
+    rc.add_argument("--k", type=int, default=10)
+    rc.add_argument("--metric", default="cosine")
+    rc.add_argument("--max-queries", type=int, default=10)
+    rc.add_argument("--out", default=None, help="optional parquet for the per-query rows")
 
     ck = sub.add_parser(
         "chunk",
@@ -329,9 +376,85 @@ def main(argv: list[str] | None = None) -> None:
             from .operators.bpe import bpe_train
 
             docs = load_table(spark, args.sf_dir, "documents")
-            merges = bpe_train(docs, n_merges=args.merges)
+            merges = bpe_train(
+                docs,
+                n_merges=args.merges,
+                incremental=True if args.incremental else None,
+            )
             merges.write.mode("overwrite").parquet(args.out)
             print(f"bpe: {merges.count()} merges -> {args.out}")
+        elif args.cmd == "bpe-encode":
+            from .operators.bpe import bpe_encode, bpe_train, bpe_vocab
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            merges_df = bpe_train(docs, n_merges=args.merges)
+            merges_df.write.mode("overwrite").parquet(f"{args.out}/merges")
+            merges = [
+                (r["left_sym"], r["right_sym"])
+                for r in merges_df.orderBy("merge_rank").collect()
+            ]
+            vocab = bpe_vocab(docs, merges)
+            vocab.write.mode("overwrite").parquet(f"{args.out}/vocab")
+            enc = bpe_encode(docs, merges, vocab)
+            enc.write.mode("overwrite").parquet(f"{args.out}/encoded")
+            n_tok = enc.agg(F.sum("n_tokens")).collect()[0][0]
+            print(
+                f"bpe-encode: {len(merges)} merges, {vocab.count()} vocab, "
+                f"{enc.count()} docs / {n_tok} tokens -> {args.out}"
+            )
+        elif args.cmd == "strip-spans":
+            from .operators.dedup import strip_dup_spans
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            out = strip_dup_spans(
+                docs, n=args.ngram, min_run=args.min_run, max_df=args.max_df
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            stats = out.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_removed").alias("removed"),
+                F.sum("n_tokens").alias("total"),
+            ).collect()[0]
+            print(
+                f"strip-spans: {stats['removed']}/{stats['total']} tokens "
+                f"removed across {stats['docs']} docs -> {args.out}"
+            )
+        elif args.cmd == "skipgrams":
+            from .operators.textpipe import skipgram_pairs
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            out = skipgram_pairs(
+                docs, window=args.window, min_count=args.min_count
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"skipgrams: {out.count()} pair types -> {args.out}")
+        elif args.cmd == "recall":
+            from .operators.knn import knn_exact
+            from .operators.retrieval import recall_report
+            from .operators.search import similarity_search
+
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            queries = emb.filter(F.col("vec_id") < args.max_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            dim = len(emb.select("embedding").first()[0])
+            approx = similarity_search(
+                emb, queries, method=args.method, k=args.k, dim=dim,
+                metric=args.metric,
+            )
+            exact = knn_exact(emb, queries, k=args.k, metric=args.metric)
+            rep = recall_report(approx, exact)
+            if args.out:
+                rep.write.mode("overwrite").parquet(args.out)
+            s = rep.agg(
+                F.sum("n_hits").alias("h"), F.sum("n_exact").alias("e")
+            ).collect()[0]
+            print(
+                f"recall[{args.method}]@{args.k}: micro "
+                f"{s['h']}/{s['e']} = {s['h'] / max(1, s['e']):.4f} over "
+                f"{rep.count()} queries"
+            )
         elif args.cmd == "quality":
             from .operators.textpipe import c4_clean, gopher_rules
 
