@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "dup_span_intervals",
     "strip_dup_spans",
     "lsh_recall_report",
+    "skipgram_pairs",
+    "dedup_containment",
 ]
 
 

@@ -587,3 +587,26 @@ def test_strip_dup_spans_fuzz_vs_reference(spark):
             for r in D.strip_dup_spans(docs, n=3, min_run=2).collect()
         }
         assert got == want, trial
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0,
+    Jaccard far below any useful threshold — the asymmetric measure's
+    reason to exist. Symmetric identical docs score 1.0 on both."""
+    short = "alpha beta gamma delta epsilon"
+    long_doc = " ".join(f"w{i}" for i in range(200)) + " " + short
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, short)],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # quote detected
+    assert cont[(1, 3)] == 1.0  # identical short docs
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.05  # Jaccard blind to the embedded quote

@@ -198,6 +198,20 @@ def ngram_jaccard_pairs(
                     "pair).",
                     stacklevel=2,
                 )
+    jac = _overlap_measures(kept).withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    )
+    return jac.filter(F.col("jaccard") >= F.lit(threshold)).select(
+        "doc_a", "doc_b", "common", "na", "nb", "jaccard"
+    )
+
+
+def _overlap_measures(kept: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, common, na, nb) from a (doc_id, shingle)
+    relation — the inverted-index self-join + size joins shared by the
+    Jaccard and containment measures."""
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -209,17 +223,70 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram CONTAINMENT
+    ``common / min(|A|, |B|)`` — the measure that catches a short
+    document quoted or embedded inside a long one, which Jaccard
+    structurally misses (a 100-shingle doc fully contained in a
+    10,000-shingle doc scores Jaccard ~0.01 but containment 1.0).
+    Broder's containment coefficient, the standard quote/subset
+    detector in dedup pipelines. Returns
+    (doc_a, doc_b, common, na, nb, containment) for pairs at or above
+    ``threshold``.
+
+    Same plan as :func:`ngram_jaccard_pairs` — the persisted
+    positional-shingle relation, the 8-byte inverted-index self-join,
+    one final int/int division — so the same scale story holds; pass
+    ``max_df_frac`` for the boilerplate cap (identical semantics and
+    warning; the capped sets feed BOTH the numerator and min-size
+    denominator, so the score stays a true containment over the
+    capped universe)."""
+    sh = (
+        spread(docs)
+        .select(
+            "doc_id", F.explode(shingle_hash_array(F.col("text"), n)).alias("shingle")
         )
+        .distinct()
+        .transform(persist_tracked)
     )
-    return jac.filter(F.col("jaccard") >= F.lit(threshold)).select(
-        "doc_a", "doc_b", "common", "na", "nb", "jaccard"
+    sh.count()
+    kept = sh
+    if max_df_frac is not None:
+        import math
+
+        cap = int(math.floor(max_df_frac * docs.count()))
+        hot_rows = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+            .collect()
+        )
+        if hot_rows:
+            import warnings
+
+            warnings.warn(
+                f"ngram_containment_pairs: max_df_frac={max_df_frac} "
+                f"dropped {len(hot_rows)} hot shingle(s) (df > {cap})",
+                stacklevel=2,
+            )
+            hot = docs.sparkSession.createDataFrame(hot_rows, "shingle long")
+            kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    cont = _overlap_measures(kept).withColumn(
+        "containment",
+        F.col("common").cast("double")
+        / F.least(F.col("na"), F.col("nb")).cast("double"),
+    )
+    return cont.filter(F.col("containment") >= F.lit(threshold)).select(
+        "doc_a", "doc_b", "common", "na", "nb", "containment"
     )
 
 
