@@ -624,3 +624,26 @@ def test_streaming_hard_negatives_matches_batch(spark, sf_smoke, tmp_path):
     cols = ["query_id", "pos_id", "pos_dist", "neighbor_id", "dist", "tier", "rnk"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_streaming_skipgram_matches_batch(spark, sf_smoke):
+    """skipgram_stream complete-mode over a drained bounded stream ==
+    batch skipgram_pairs over the same rows, including the min_count
+    floor on the aggregated state."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import skipgram_pairs
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        read_documents_stream,
+        skipgram_stream,
+    )
+    from vectorsearch_with_hnsw_spark.streaming.events import run_stream_to_memory
+
+    got = run_stream_to_memory(
+        skipgram_stream(read_documents_stream(spark, sf_smoke), window=2, min_count=2),
+        "skipgram_stream_test",
+        mode="complete",
+    )
+    want = skipgram_pairs(
+        load_table(spark, sf_smoke, "documents"), window=2, min_count=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -171,3 +171,25 @@ def gopher_stream(docs_stream: DataFrame, min_words: int = 50, min_stopwords: in
     from ..operators.textpipe import gopher_rules
 
     return gopher_rules(docs_stream, min_words=min_words, min_stopwords=min_stopwords)
+
+
+def skipgram_stream(
+    docs_stream: DataFrame, window: int = 2, min_count: int = 1
+) -> DataFrame:
+    """Streaming twin of textpipe.skipgram_pairs: the running
+    (center, context) co-occurrence counts maintained as documents
+    arrive — incremental embedding-training data prep.
+
+    Pair GENERATION is the same stateless map-side nested transform as
+    the batch plan; the running count is a streaming groupBy whose
+    state is one counter per observed pair TYPE — bounded by the
+    co-occurrence vocabulary (pairs actually seen within the window),
+    not by corpus size. That is the right shape for bounded/curated
+    vocabularies; for open web-scale vocabularies compose the CMS
+    sketch twin instead (fixed grid) or flush per retention horizon.
+    Complete-mode output over a drained bounded stream equals the batch
+    operator over the same rows bit-for-bit (the min_count floor
+    filters the aggregated state, identically in both)."""
+    from ..operators.textpipe import skipgram_pairs
+
+    return skipgram_pairs(docs_stream, window=window, min_count=min_count)
