@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "lsh_recall_report",
     "skipgram_pairs",
     "dedup_containment",
+    "multimodal_dup_pairs",
 ]
 
 

@@ -196,3 +196,21 @@ def test_projection_weights_deterministic():
     assert np.array_equal(a, b)
     assert a.min() >= -8 and a.max() <= 7
     assert not np.array_equal(a, make_projection_weights(seed=8))
+
+
+def test_payload_dup_pairs_star_semantics(spark):
+    """Identical payloads pair to the min-id representative (star
+    edges, O(n) per clique); distinct payloads never pair; singletons
+    emit nothing."""
+    from vectorsearch_with_hnsw_spark.multimodal.binary import payload_dup_pairs
+
+    rows = [
+        (1, b"same-bytes"),
+        (5, b"same-bytes"),
+        (9, b"same-bytes"),
+        (2, b"unique-a"),
+        (3, b"unique-b"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(tuple(r) for r in payload_dup_pairs(blobs).collect())
+    assert got == [(1, 5), (1, 9)]

@@ -310,3 +310,42 @@ def embed_with_model(
 
     schema = f"{id_col} long, " + ", ".join(f"e{j} double" for j in range(dim_out))
     return blobs.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def payload_dup_pairs(
+    blobs: DataFrame,
+    weights: np.ndarray | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact multimodal duplicate pairs: rows whose binary payloads
+    produce IDENTICAL embedding feature vectors under the
+    deterministic decode + projection (embed_with_model) — the
+    binary-asset twin of text `dedup_exact`, i.e. byte-identical (and,
+    with a real decoder, pixel-identical-after-preprocess) asset
+    dedup. Emits star edges (rep_id, dup_id): the minimum id per
+    feature group represents, every other member points at it — the
+    same O(n)-per-clique edge contract as the text dedup family, so
+    the output feeds the shared connected-components / keeper
+    machinery unchanged.
+
+    Plan shape: one embedding pass (Arrow-batched, broadcast weights),
+    one groupBy on the feature tuple (map-side combined), one
+    broadcast-able join back — no pairwise work anywhere, so a clique
+    of a million identical thumbnails costs a million rows, not 5e11
+    pairs."""
+    emb = embed_with_model(blobs, weights, id_col=id_col, payload_col=payload_col)
+    feat_cols = [c for c in emb.columns if c != id_col]
+    import pyspark.sql.functions as F
+
+    groups = (
+        emb.groupBy(*feat_cols)
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    return (
+        emb.join(groups, feat_cols)
+        .filter(F.col(id_col) != F.col("rep_id"))
+        .select("rep_id", F.col(id_col).alias("dup_id"))
+    )
