@@ -658,3 +658,48 @@ def test_ivf_pq_index_filtered_probe_prunes_before_decode(spark, sf_smoke, tmp_p
     assert any(
         "PartitionFilters" in line and "cell" in line for line in plan.splitlines()
     ), "cell partition pruning lost under the filtered probe"
+
+
+def test_bpe_encode_is_map_only(spark, sf_smoke):
+    """bpe_encode's 100 TB claim pinned on the plan: ZERO exchanges
+    (the merge folds are native HOFs, the vocab is a map literal — no
+    join, no shuffle, no Python worker) after the bounded artifact
+    collects (merges + vocab happen at call time, outside this plan)."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    df = bpe_encode(docs, merges, bpe_vocab(docs, merges))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert df.count() > 0
+
+
+def test_skipgram_pairs_single_exchange(spark, sf_smoke):
+    """skipgram_pairs' plan: pair generation fuses with the scan
+    (nested native transforms, no Python worker, no join); the ONE
+    exchange is the (center, context) count aggregate, with a map-side
+    partial HashAggregate before it."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import skipgram_pairs
+    from vectorsearch_with_hnsw_spark.sources import load_table
+
+    df = skipgram_pairs(load_table(spark, sf_smoke, "documents"), window=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exch = [line.strip() for line in plan.splitlines() if "Exchange" in line]
+    hash_ex = [e for e in exch if "hashpartitioning" in e]
+    # sources.spread adds one RoundRobin repartition on SMALL inputs
+    # (test-scale parallelism helper, not a data shuffle shape)
+    other = [e for e in exch if "hashpartitioning" not in e]
+    assert len(hash_ex) == 1, exch
+    assert all("RoundRobinPartitioning" in e for e in other) and len(other) <= 1, exch
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert df.count() > 0
