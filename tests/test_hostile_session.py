@@ -45,6 +45,12 @@ HOSTILE_QUERIES = [
     "bpe_vocab",              # NEW r13: freq-ranked vocab ids under ANSI
     "hard_negatives_shortlist",  # NEW r13: shortlist post-filter + label joins
     "dataset_split",          # r13 wrap-stable hash: reduced-mod multiply under ANSI
+    "skipgram_pairs",         # NEW r13: element_at under ANSI — bounds-filtered lookups
+    "strip_dup_spans",        # NEW r13: two-arg filter + exists token surgery under ANSI
+    "dup_span_intervals",     # NEW r13: islands interval merge under ANSI
+    "dedup_containment",      # NEW r13: least() int/int division under ANSI
+    "lsh_recall_report",      # NEW r13: nested-CTE recall join under ANSI
+    "multimodal_dup_pairs",   # NEW r13: feature-tuple grouping under ANSI
 ]
 
 
