@@ -524,13 +524,16 @@ def test_ivf_pq_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
 
 def test_ivf_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
     """A loaded IvfIndex probe must read only the probed cells: the
-    assignment is saved partitionBy('cell') and the probe join on the
-    partition column against the broadcast probe set triggers dynamic
-    partition pruning, so the parquet scan carries a pruning filter on
-    cell — and the candidate set is cell-pruned BEFORE the raw-vector
-    join (the probe join precedes the vec_id join in the plan), so a
-    probe of a 100 TB at-rest assignment never streams unprobed rows
-    into the join."""
+    assignment is saved partitionBy('cell') and the driver-side probe
+    selection emits a STATIC ``cell IN (...)`` filter on the partition
+    column, so the parquet scan carries a literal PartitionFilters
+    entry (plain static pruning — strictly stronger than the
+    dynamic-pruning subquery the old probe-join shape relied on: the
+    file listing itself is pruned before any stage runs). The
+    candidate set is therefore cell-pruned BEFORE the raw-vector join,
+    so a probe of a 100 TB at-rest assignment never streams unprobed
+    rows into the join; no pair rows exist at all — scoring happens in
+    the per-cell Arrow kernel."""
     from vectorsearch_with_hnsw_spark.operators.ivf import IvfIndex
     from vectorsearch_with_hnsw_spark.sources import load_table
 
@@ -542,15 +545,22 @@ def test_ivf_index_probe_is_partition_pruned(spark, sf_smoke, tmp_path):
     path = str(tmp_path / "ivf_prune")
     idx.save(path)
     loaded = IvfIndex.load(spark, path)
-    plan = formatted_plan(loaded.search(emb, q, k=3, n_probe=2))
+    df = loaded.search(emb, q, k=3, n_probe=2)
+    plan = formatted_plan(df)
     pf_lines = [
         line for line in plan.splitlines()
         if "PartitionFilters" in line and "cell" in line
     ]
     assert any(
-        "dynamicpruning" in line.lower() or "in(cell" in line.lower()
+        "dynamicpruning" in line.lower()
+        or "in(cell" in line.lower()
+        or ("in (" in line.lower() and "cell#" in line)
         for line in pf_lines
     ), f"no cell pruning on the assignment scan; lines: {pf_lines}"
+    # the probe never materializes candidate x query pair rows: no
+    # interpreted HOF fold (aggregate/zip_with) survives in the scoring
+    # path — distances come from the Arrow kernel
+    assert "zip_with" not in plan and "lambdafunction" not in plan.lower(), plan
 
 
 def test_approx_top_tokens_verified_tokenizes_once(spark, sf_smoke):

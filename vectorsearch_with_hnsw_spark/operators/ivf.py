@@ -488,54 +488,132 @@ class IvfIndex:
         predicate=None,
         allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
-        """Bucket-pruned exact-L2 probe over the stored assignment —
-        identical plan to ivf_kmeans_knn's probe half (queries rank the
-        stored centroids, candidates come from the n_probe nearest
-        cells, exact rescore, per-query top-k). ``emb`` supplies the
-        raw vectors (the index stores routing state, not the data —
-        at rest they form one bucketed table).
+        """Bucket-pruned exact-L2 probe over the stored assignment.
+        ``emb`` supplies the raw vectors (the index stores routing
+        state, not the data — at rest they form one bucketed table).
+
+        Probe selection runs DRIVER-SIDE over the bounded
+        |queries| x n_cells grid using the shared :func:`_d2_matrix`
+        sequential fold — bit-identical to the ``_l2sq`` +
+        ``row_number().over(d2, cell)`` window it replaces (per-dim
+        ascending accumulation; stable argsort over cell-ascending
+        columns = the (d2, cell) tie order). The probed-cell set then
+        prunes the at-rest assignment with a STATIC ``IN`` filter on
+        the partition column (plain partition pruning — stronger than
+        the dynamic-pruning subquery the old probe-join shape relied
+        on), and candidates flow through ONE join (vec_id -> vector)
+        into an Arrow kernel that scores each candidate against the
+        queries probing its cell via ``sqrt(_d2_matrix(...))`` — the
+        same blocked per-dim kernel kmeans assignment uses, and
+        bit-identical to the ``l2_distance`` HOF fold it replaces
+        ((x-y)^2 == (y-x)^2 bitwise; same ascending accumulation;
+        sqrt correctly rounded). The old shape materialized
+        |candidates| x |queries-probing-cell| pair ROWS, each paying an
+        interpreted per-row fold plus a second shuffle join — measured
+        24x slower than brute-force GEMM kNN at 128k vectors; this
+        shape keeps candidates as single rows and only
+        partitions x queries x k partial-top-k rows reach the final
+        window.
 
         ``predicate`` / ``allowed_ids``: ``filtered_knn``'s pre-filter
         contract over the stored (vec_id, cell) assignment — applied
-        before the probe join, so a filtered probe of the at-rest index
+        before the probe, so a filtered probe of the at-rest index
         touches only permitted rows (see ``IvfPqIndex.search``).
         Exact-k whenever the permitted rows inside the probed cells
         have >= k members. Tombstoned ids are skipped first (the
         reference's deleted-check, hsnw_trial.py:178-179)."""
-        from ..functions.vector import l2_distance
+        import numpy as np
+        import pandas as pd
+
         from .knn import live_rows, prefilter_rows
+
+        spark = queries_df.sparkSession
+        out_schema = "query_id long, neighbor_id long, dist double"
+        qrows = queries_df.select(
+            "query_id", to_vec("query_vec").alias("_q")
+        ).collect()
+        if not qrows:
+            return spark.createDataFrame([], out_schema + ", rnk int")
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
+        crows = self.centroids.orderBy("cell").collect()
+        cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
+        C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        # (nq, n_cells) squared distances by the trainer's sequential
+        # fold; stable argsort over cell-ascending columns reproduces
+        # the old orderBy("d2", "cell") tie-break exactly
+        D2 = _d2_matrix(Q, C)
+        npb = min(n_probe, len(cells_np))
+        cell_queries: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for j in np.argsort(D2[qi], kind="stable")[:npb]:
+                cell_queries.setdefault(int(cells_np[j]), []).append(qi)
+        probed = sorted(cell_queries)
+        bc = spark.sparkContext.broadcast(
+            (qids, Q, {c: np.array(v, dtype=np.int64) for c, v in cell_queries.items()})
+        )
 
         assigned = prefilter_rows(
             live_rows(self.assigned, self.tombstones), "vec_id", predicate, allowed_ids
         )
         pts = emb.select("vec_id", to_vec("embedding").alias("v"))
-        qcells = queries_df.crossJoin(F.broadcast(self.centroids)).select(
-            "query_id",
-            "query_vec",
-            "cell",
-            _l2sq(to_vec("query_vec"), F.col("centroid")).alias("d2"),
-        )
-        wq = Window.partitionBy("query_id").orderBy("d2", "cell")
-        probes = (
-            qcells.withColumn("_rn", F.row_number().over(wq))
-            .filter(F.col("_rn") <= n_probe)
-            .select("query_id", "query_vec", "cell")
-        )
-        # probe join FIRST: the broadcast join on the partition column
-        # prunes the at-rest assignment scan to the probed cells
-        # (dynamic partition pruning on a saved index — the scan reads
-        # n_probe/n_cells of the files), and only the surviving
-        # candidate rows flow into the raw-vector join.
         cand = (
-            assigned.join(F.broadcast(probes), "cell")
+            assigned.filter(F.col("cell").isin(probed))
             .join(pts, "vec_id")
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                l2_distance(F.col("v"), to_vec("query_vec")).alias("dist"),
-            )
+            .select("vec_id", "cell", "v")
         )
-        return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
+
+        def kern(batches):
+            qids_b, Qb, cellmap = bc.value
+            _EMPTY_F8 = np.empty(0, dtype=np.float64)
+            _EMPTY_I8 = np.empty(0, dtype=np.int64)
+            best_d = {}
+            best_i = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                for cell in np.unique(cells_arr):
+                    qsel = cellmap.get(int(cell))
+                    if qsel is None:
+                        continue
+                    mask = cells_arr == cell
+                    sub = mat[mask]
+                    sids = ids[mask]
+                    # exact fold for ALL candidate/query pairs of this
+                    # cell — (nq_cell, c) memory, no pair-row blowup,
+                    # no approximate candidate pick to defend
+                    D = np.sqrt(_d2_matrix(Qb[qsel], sub))
+                    for row, qi in enumerate(qsel):
+                        d = np.concatenate([best_d.get(qi, _EMPTY_F8), D[row]])
+                        i = np.concatenate([best_i.get(qi, _EMPTY_I8), sids])
+                        keep = np.lexsort((i, d))[:k]
+                        best_d[qi] = d[keep]
+                        best_i[qi] = i[keep]
+            order = sorted(best_i)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        qids_b[order] if order else _EMPTY_I8,
+                        [len(best_i[qi]) for qi in order],
+                    ),
+                    "neighbor_id": (
+                        np.concatenate([best_i[qi] for qi in order])
+                        if order
+                        else _EMPTY_I8
+                    ),
+                    "dist": (
+                        np.concatenate([best_d[qi] for qi in order])
+                        if order
+                        else _EMPTY_F8
+                    ),
+                }
+            )
+
+        partial = cand.mapInPandas(kern, out_schema)
+        return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
             "query_id", "neighbor_id", "dist", "rnk"
         )
 
