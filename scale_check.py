@@ -192,11 +192,17 @@ def main() -> None:
     # envelope on multi-minute computations is ~1.3-1.7x (see
     # ORDERPROBE*.json — time-correlated host variance), and a single
     # draw of a 4-minute phase is noise-dominated
+    from vectorsearch_with_hnsw_spark.cache import release_plan_checkpoints
+
     graph = None
     g_times = []
     for _ in range(2):
         if graph is not None:
             graph.unpersist()
+            # run 1's result is dead: free its stitch checkpoint too
+            # (the operator already freed every intermediate round;
+            # the final, returned checkpoint is caller-owned)
+            release_plan_checkpoints(graph)
         t0 = time.perf_counter()
         graph = knn_graph(
             vecs, k=5, metric="l2", id_col="id", vec_col="vec",
@@ -226,6 +232,7 @@ def main() -> None:
         len(exact5 & got) / max(1, len(exact5)), 4
     )
     graph.unpersist()
+    release_plan_checkpoints(graph)
     _scrub(spark, "knn_graph", vecs, queries)
 
     # --- IVF-PQ at 64x vectors (round 12: fused single-pass build + ----

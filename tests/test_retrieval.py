@@ -116,6 +116,39 @@ def test_knn_graph_cluster_backend(spark, sf_oracle):
     assert got == exact  # bit-identical edges AND distances
 
 
+def test_knn_graph_releases_stitch_checkpoints(spark, sf_oracle):
+    """The NN-descent stitch must not pin one checkpoint block set per
+    round for the life of the session (VERDICT r13 #3): every
+    intermediate round is freed when the next round materializes (the
+    bpe_train pattern), so after a stitched build exactly ONE
+    checkpointed RDD — the returned final round — survives, and
+    release_plan_checkpoints() frees that too once the caller is done,
+    leaving zero pinned blocks."""
+    from vectorsearch_with_hnsw_spark.cache import release_plan_checkpoints
+
+    jsc = spark.sparkContext._jsc
+    # isolate: drop anything earlier tests left behind
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+    emb = load_table(spark, sf_oracle, "embeddings")
+    g = knn_graph(
+        emb, k=4, metric="l2", method="cluster", num_partitions=4,
+        stitch_rounds=3,
+    )
+    assert g.count() > 0
+    from vectorsearch_with_hnsw_spark.cache import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+    pinned = int(jsc.getPersistentRDDs().size())
+    assert pinned <= 1, f"stitch leaked {pinned} checkpoint block sets (want <=1)"
+    # result is still usable while its own checkpoint lives
+    assert g.count() > 0
+    freed = release_plan_checkpoints(g)
+    assert freed >= 1, "expected at least the final stitch checkpoint"
+    assert int(jsc.getPersistentRDDs().size()) == 0
+
+
 def test_knn_graph_cluster_cosine(spark, sf_oracle):
     """Same contract under the cosine metric (the zero-norm-guarded
     three-rounding fold)."""

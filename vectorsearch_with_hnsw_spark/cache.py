@@ -85,6 +85,32 @@ def release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def release_plan_checkpoints(df: DataFrame) -> int:
+    """Free the blocks of EVERY ``localCheckpoint`` a result frame's
+    plan depends on; returns how many checkpoint leaves were released.
+
+    :func:`release_checkpoint` frees a checkpointed frame you hold the
+    handle to; this walks the analyzed plan of any DERIVED frame (a
+    persisted/projected result an iterative operator returned — e.g.
+    ``knn_graph``'s stitched output) and unpersists each LogicalRDD
+    leaf's RDD. Harness-side cleanup for results whose final round is
+    necessarily checkpoint-backed: call it only when you are fully done
+    with ``df`` and everything derived from it (same DANGER contract as
+    :func:`release_checkpoint` — freed blocks cannot recompute)."""
+    n = 0
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            node = it.next()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                node.rdd().unpersist(True)
+                n += 1
+    except Exception:
+        pass
+    return n
+
+
 def release_caches() -> int:
     """Unpersist every intermediate the package pinned; returns how many
     handles were released. Safe to call at any operation boundary —

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import release_checkpoint
 from ..functions.vector import dot, l2_norm, metric_expr, to_vec
 from .knn import topk_per_group
 
@@ -669,7 +670,13 @@ def _stitch_graph(
     carry arrays through a shuffle (the kernel looks both endpoints up
     by sorted-id binary search); above the budget the fallback is the
     same two co-partitioned joins as before with the kernel scoring the
-    assembled pairs. localCheckpoint truncates the per-round lineage."""
+    assembled pairs. localCheckpoint truncates the per-round lineage,
+    and each round's blocks are FREED once the next round's eager
+    checkpoint materializes (the bpe_train pattern — VERDICT r13 #3:
+    the stitch previously pinned one block set per round for the life
+    of the session); only the final, returned checkpoint stays pinned,
+    and callers fully done with the result can free that too via
+    ``cache.release_plan_checkpoints``."""
     import numpy as np
     import pandas as pd
 
@@ -814,11 +821,17 @@ def _stitch_graph(
             .filter(F.col("src_id") != F.col("dst_id"))
             .distinct()
         )
-        g = (
+        new_g = (
             topk_per_group(score(cand), ["src_id"], ["dist", "dst_id"], k)
             .select("src_id", "dst_id", "dist", "rnk")
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above has materialized, so the previous
+        # round's blocks (and, on round 1, the entry checkpoint) are
+        # dead weight — free them now instead of pinning one block set
+        # per round for the life of the session
+        release_checkpoint(g)
+        g = new_g
     return g
 
 
