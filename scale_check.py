@@ -392,6 +392,42 @@ def main() -> None:
     out["bpe_train_recount_sec_per_merge"] = round(out["bpe_train_sec"] / 8, 3)
     _scrub(spark, "bpe_train_incr256", big_docs)
 
+    # encode-to-ids at a REAL merge count (VERDICT r13 #5): the nested-
+    # HOF expression path analyzer-fails near 128 merges, so 1024
+    # merges exercises the Arrow-kernel path (auto dispatch) — one
+    # map-only pass, per-distinct-word memoized greedy scans, over the
+    # 10x corpus. The merge list is a synthetic chain (training 1024
+    # real merges is a separate, already-measured cost); encode cost
+    # depends only on list shape + corpus. n_tokens is summed so the
+    # whole output materializes.
+    from vectorsearch_with_hnsw_spark.operators.bpe import bpe_encode, bpe_vocab
+
+    chain_merges: list = []
+    for c1 in "abcdefghijklmnopqrstuvwxyz":
+        for c2 in "abcdefghijklmnopqrstuvwxyz":
+            left = c1  # a 4-merge chain seeded at each (c1, c2)
+            for c3 in (c2, "a", "e", "</w>"):
+                chain_merges.append((left, c3))
+                left = left + c3
+                if len(chain_merges) >= 1024:
+                    break
+            if len(chain_merges) >= 1024:
+                break
+        if len(chain_merges) >= 1024:
+            break
+    t0 = time.perf_counter()
+    vocab_1k = bpe_vocab(big_docs, chain_merges)
+    enc_tok = (
+        bpe_encode(big_docs, chain_merges, vocab_1k)
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d"))
+        .collect()[0]
+    )
+    out["bpe_encode_1k_merges_sec"] = round(time.perf_counter() - t0, 2)
+    out["bpe_encode_1k_merges_docs"] = int(enc_tok["d"])
+    out["bpe_encode_1k_merges_tokens"] = int(enc_tok["t"])
+    out["bpe_encode_1k_merges_n"] = len(chain_merges)
+    _scrub(spark, "bpe_encode_1k", big_docs)
+
     # exact substring removal at 10x docs: every document exists in 10
     # copies, so the span machinery faces 45 same-text pairs per
     # original — the mass-duplication shape it exists for. Keep-one

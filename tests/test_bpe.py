@@ -277,3 +277,128 @@ def test_bpe_encode_roundtrip_and_counts(spark, sf_smoke):
         words = [w for w in decoded.split("</w>") if w != ""]
         want = [w for w in pre[d].split("\x00") if w != ""]
         assert words == want, d
+
+
+def test_word_syms_py_matches_expression_fuzz(spark):
+    """The Arrow-kernel symbolizer (_word_syms_py, with its absent-
+    symbol skip) is bit-identical to the nested-HOF expression
+    (_word_syms) on 40 seeded random words under ADVERSARIAL merge
+    lists — merges that chain (output of one is input of a later one),
+    merges out of trained order, same-symbol pairs, and merges that
+    never apply. This is the contract that lets auto-dispatch switch
+    paths by merge count alone."""
+    import random
+
+    from vectorsearch_with_hnsw_spark.operators.bpe import (
+        _word_syms,
+        _word_syms_py,
+    )
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randrange(0, 10)))
+        for _ in range(40)
+    ]
+    merge_lists = [
+        [("a", "b"), ("ab", "c"), ("a", "a"), ("abc", "</w>"), ("b", "b")],
+        [("c", "c"), ("cc", "cc"), ("a", "cccc"), ("b", "a"), ("ba", "ba")],
+        [("b", "</w>"), ("a", "b</w>"), ("ab</w>", "ab</w>"), ("z", "q")],
+        [(rng.choice(["a", "b", "c", "ab", "bc"]),
+          rng.choice(["a", "b", "c", "ab", "bc"])) for _ in range(20)],
+    ]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i int, w string")
+    for merges in merge_lists:
+        got = {
+            r["i"]: r["s"]
+            for r in df.select("i", _word_syms(F.col("w"), merges).alias("s")).collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == _word_syms_py(w, merges), (w, merges, got[i])
+
+
+def test_bpe_kernel_paths_match_expr(spark, sf_smoke):
+    """encode/vocab/segment forced through the Arrow kernel produce
+    row-identical results to the declarative expression path on trained
+    merges — the bit-parity gate for the auto dispatch that kicks in
+    above EXPR_MAX_MERGES (where the expression path cannot analyze at
+    all)."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import bpe_encode, bpe_vocab
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    voc_e = sorted(map(tuple, bpe_vocab(docs, merges, method="expr").collect()))
+    voc_k = sorted(map(tuple, bpe_vocab(docs, merges, method="kernel").collect()))
+    assert voc_e == voc_k
+    vocab = bpe_vocab(docs, merges)
+    enc_e = sorted(
+        (r["doc_id"], r["n_tokens"], tuple(r["token_ids"]))
+        for r in bpe_encode(docs, merges, vocab, method="expr").collect()
+    )
+    enc_k = sorted(
+        (r["doc_id"], r["n_tokens"], tuple(r["token_ids"]))
+        for r in bpe_encode(docs, merges, vocab, method="kernel").collect()
+    )
+    assert enc_e == enc_k
+    seg_e = sorted(map(tuple, bpe_segment(docs, merges, method="expr").collect()))
+    seg_k = sorted(map(tuple, bpe_segment(docs, merges, method="kernel").collect()))
+    assert seg_e == seg_k
+
+
+def test_bpe_encode_large_merge_list_auto_kernel(spark, sf_smoke):
+    """Above EXPR_MAX_MERGES the auto dispatch must route around the
+    expression path (which analyzer-fails near 128 merges) and still
+    satisfy the encode contract: decoding through the vocab recovers
+    the pretoken stream exactly at 300 merges. Also pins that 'auto'
+    really selects the kernel (an exchange-free mapInPandas plan, no
+    nested-HOF chain)."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import (
+        EXPR_MAX_MERGES,
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    # synthetic chained merge list — training 300 real merges is
+    # minutes; encode cost/semantics depend only on the list shape
+    merges = []
+    for c1 in "abcdefghijklmnopqrst":
+        left = c1
+        for c2 in "aeiou</w>xyzqw":
+            if c2 == "<":
+                right = "</w>"
+            else:
+                right = c2
+            merges.append((left, right))
+            left = left + right
+            if len(merges) >= 300:
+                break
+        if len(merges) >= 300:
+            break
+    assert len(merges) > EXPR_MAX_MERGES
+    vocab = bpe_vocab(docs, merges)
+    enc = bpe_encode(docs, merges, vocab)
+    # plan pin on the UNLIMITED table (the test's own limit(40) adds a
+    # GlobalLimit exchange that has nothing to do with the operator):
+    # the kernel encode is one mapInPandas over the scan, exchange-free
+    full = bpe_encode(load_table(spark, sf_smoke, "documents"), merges, vocab)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+    voc = {r["token_id"]: r["token"] for r in vocab.collect()}
+    pre = {
+        r["doc_id"]: [w for w in r["pp"].split("\x00") if w != ""]
+        for r in docs.select(
+            "doc_id", F.concat_ws("\x00", bpe_tokens(F.col("text"))).alias("pp")
+        ).collect()
+    }
+    rows = enc.collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] == len(r["token_ids"])
+        assert all(i is not None for i in r["token_ids"])
+        decoded = "".join(voc[i] for i in r["token_ids"])
+        words = [w for w in decoded.split("</w>") if w != ""]
+        assert words == pre[r["doc_id"]], r["doc_id"]

@@ -43,12 +43,21 @@ END_SYM = "</w>"  # Sennrich's end-of-word marker symbol
 def _char_symbols(word: Column) -> Column:
     """word -> [c1, c2, ..., cn, '</w>'] via substring (codepoint-exact
     and identical in DuckDB, unlike split-on-empty whose edge behavior
-    is engine-specific)."""
+    is engine-specific). The empty-word guard matters: sequence(1, 0)
+    is DESCENDING [1, 0] in Spark, which would emit two empty-string
+    symbols — unreachable through ``bpe_tokens`` (the pretokenizer
+    regex never matches empty), but the kernel mirror
+    (:func:`_word_syms_py`) is total, so this stays total too."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: F.substring(word, i, F.lit(1)),
     )
-    return F.concat(chars, F.array(F.lit(END_SYM)))
+    return F.concat(
+        F.when(F.length(word) > 0, chars).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.array(F.lit(END_SYM)),
+    )
 
 
 def _apply_merge(syms: Column, left: str, right: str) -> Column:
@@ -286,14 +295,113 @@ def bpe_train(
 def _word_syms(word: Column, merges: list[tuple[str, str]]) -> Column:
     """word -> its final symbol array under the merge list: char
     symbols + one greedy fold per merge (the shared construction of
-    segment / vocab / encode)."""
+    segment / vocab / encode).
+
+    EXPRESSION-PATH ONLY: each merge nests one more HOF into a single
+    Catalyst expression, and the analyzer's fixed-point resolution hits
+    its iteration cap around 128 merges (measured: 64 analyzes fine,
+    128 raises "Max iterations (100) reached for batch Resolution").
+    Real merge counts (1k-32k) go through :func:`_word_syms_py` inside
+    an Arrow kernel — selected automatically by the ``method="auto"``
+    dispatch on segment/vocab/encode."""
     syms = _char_symbols(word)
     for left, right in merges:
         syms = _apply_merge(syms, left, right)
     return syms
 
 
-def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+# Above this merge count the public operators switch from the nested-
+# HOF expression to the Arrow kernel (the expression path analyzer-
+# fails at ~128; 64 leaves 2x headroom under the measured limit).
+EXPR_MAX_MERGES = 64
+
+
+def _word_syms_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python mirror of :func:`_word_syms`, statement for statement:
+    char symbols + ``</w>``, then per merge IN LIST ORDER one greedy
+    left-to-right non-overlapping scan that replaces the current last
+    output symbol when (last == left, next == right) — exactly
+    ``_apply_merge``'s fold, so the result is identical for ANY merge
+    list (trained or arbitrary), not just lists where the rank-priority
+    shortcut would coincide. The only addition is a pure skip: a merge
+    whose left or right symbol is absent from the current symbol set
+    cannot change the scan's output, so it is skipped wholesale — this
+    is what makes 32k-merge lists affordable (cost per word tracks the
+    few merges that apply, not the list length)."""
+    syms = list(word)
+    syms.append(END_SYM)
+    present = set(syms)
+    for left, right in merges:
+        if left not in present or right not in present:
+            continue
+        merged = left + right
+        out: list[str] = []
+        ap = out.append
+        for s in syms:
+            if out and s == right and out[-1] == left:
+                out[-1] = merged
+            else:
+                ap(s)
+        if len(out) != len(syms):
+            syms = out
+            present = set(syms)
+    return syms
+
+
+def _pick_method(method: str, merges: list[tuple[str, str]]) -> str:
+    """Shared expr/kernel dispatch: 'auto' keeps the fully-declarative
+    nested-HOF expression while it is analyzable (<= EXPR_MAX_MERGES)
+    and switches to the Arrow kernel above it; 'expr'/'kernel' force a
+    path (the parity tests run both)."""
+    if method == "auto":
+        return "expr" if len(merges) <= EXPR_MAX_MERGES else "kernel"
+    if method not in ("expr", "kernel"):
+        raise ValueError(f"Unknown bpe method '{method}'")
+    return method
+
+
+def _wordfreq(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus pass every
+    vocab-side consumer shares."""
+    return (
+        docs.select(F.explode(bpe_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbolized_wordfreq_kernel(
+    wordfreq: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(token, freq) rows — one row per surviving symbol occurrence per
+    distinct word, freq = the word's corpus frequency — via the Arrow
+    kernel symbolizer. Same relation the expression path's
+    explode(_word_syms) produces; consumers aggregate it identically."""
+    import pandas as pd
+
+    from ..sources.tables import spread
+
+    bc = wordfreq.sparkSession.sparkContext.broadcast(merges)
+
+    def kern(batches):
+        merges_b = bc.value
+        for pdf in batches:
+            toks: list[str] = []
+            freqs: list[int] = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for s in _word_syms_py(word, merges_b):
+                    toks.append(s)
+                    freqs.append(freq)
+            yield pd.DataFrame({"token": toks, "freq": freqs})
+
+    return spread(wordfreq).mapInPandas(kern, "token string, freq long")
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    method: str = "auto",
+) -> DataFrame:
     """The tokenizer VOCABULARY induced by a merge list over a corpus:
     every surviving symbol (base characters, ``</w>``, and merged
     subwords), with its corpus frequency and a dense id assigned by
@@ -306,18 +414,21 @@ def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     the word vocabulary, not the corpus — the same sublinearity as
     training. One small shuffle (symbol groupBy) + one global ranking
     window over the symbol relation (artifact-sized: |chars| +
-    |merges|)."""
+    |merges|). Above ``EXPR_MAX_MERGES`` the symbolizer runs in the
+    Arrow kernel (``method='auto'``) — identical (token, freq) rows,
+    identical aggregation; only where the greedy merge scan executes
+    changes."""
     from pyspark.sql.window import Window
 
-    wordfreq = (
-        docs.select(F.explode(bpe_tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    counts = (
-        wordfreq.select(
+    wordfreq = _wordfreq(docs)
+    if _pick_method(method, merges) == "expr":
+        sym_rows = wordfreq.select(
             F.explode(_word_syms(F.col("word"), merges)).alias("token"), "freq"
         )
+    else:
+        sym_rows = _symbolized_wordfreq_kernel(wordfreq, merges)
+    counts = (
+        sym_rows
         .groupBy("token")
         .agg(F.sum("freq").alias("token_freq"))
     )
@@ -333,6 +444,7 @@ def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     vocab: DataFrame,
+    method: str = "auto",
 ) -> DataFrame:
     """Tokenize the corpus to TOKEN IDS — the artifact a training
     pipeline actually feeds the model (completes the train ->
@@ -349,44 +461,126 @@ def bpe_encode(
     and one row out, which is the only shape that survives a 100 TB
     corpus. A symbol absent from the vocab yields a NULL id (the
     caller's fallback policy — a trained-on-corpus vocab covers every
-    symbol by construction)."""
+    symbol by construction).
+
+    Above ``EXPR_MAX_MERGES`` (``method='auto'``) the merge scan runs
+    in an Arrow kernel instead of the nested-HOF expression — same
+    map-only shape (pretokenization stays the native ``bpe_tokens``
+    regex; one mapInPandas, no exchange), same bit-identical greedy
+    fold per word (``_word_syms_py``), memoized per DISTINCT word per
+    partition so each word pays the scan once however often it
+    recurs. This is the 32k-merge path: the expression form
+    analyzer-fails at ~128 merges (see ``_word_syms``)."""
     pairs = vocab.select("token", "token_id").collect()
-    lit_entries: list[Column] = []
-    for r in pairs:
-        lit_entries.append(F.lit(r["token"]))
-        lit_entries.append(F.lit(int(r["token_id"])).cast("int"))
-    vmap = F.create_map(*lit_entries) if lit_entries else F.create_map()
-    flat = F.flatten(
-        F.transform(
-            bpe_tokens(F.col("text")), lambda w: _word_syms(w, merges)
+    if _pick_method(method, merges) == "expr":
+        lit_entries: list[Column] = []
+        for r in pairs:
+            lit_entries.append(F.lit(r["token"]))
+            lit_entries.append(F.lit(int(r["token_id"])).cast("int"))
+        vmap = F.create_map(*lit_entries) if lit_entries else F.create_map()
+        flat = F.flatten(
+            F.transform(
+                bpe_tokens(F.col("text")), lambda w: _word_syms(w, merges)
+            )
         )
-    )
-    ids = F.transform(flat, lambda s: vmap[s])
-    return docs.select(
-        "doc_id",
-        F.size(ids).alias("n_tokens"),
-        ids.alias("token_ids"),
-    )
+        ids = F.transform(flat, lambda s: vmap[s])
+        return docs.select(
+            "doc_id",
+            F.size(ids).alias("n_tokens"),
+            ids.alias("token_ids"),
+        )
+
+    import pandas as pd
+
+    vmap_py = {r["token"]: int(r["token_id"]) for r in pairs}
+    bc = docs.sparkSession.sparkContext.broadcast((merges, vmap_py))
+    pre = docs.select("doc_id", bpe_tokens(F.col("text")).alias("_words"))
+
+    def kern(batches):
+        merges_b, vmap_b = bc.value
+        cache: dict[str, list] = {}
+        for pdf in batches:
+            out_ids: list = []
+            out_n: list = []
+            for words in pdf["_words"]:
+                toks: list = []
+                for w in words:
+                    got = cache.get(w)
+                    if got is None:
+                        got = [
+                            vmap_b.get(s) for s in _word_syms_py(w, merges_b)
+                        ]
+                        cache[w] = got
+                    toks.extend(got)
+                out_ids.append(toks)
+                out_n.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.array(out_n, dtype="int32"),
+                    "token_ids": out_ids,
+                }
+            )
+
+    return pre.mapInPandas(kern, "doc_id long, n_tokens int, token_ids array<int>")
 
 
-def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    method: str = "auto",
+) -> DataFrame:
     """Apply a learned merge list to the corpus: per document, the BPE
     token count under the trained tokenizer (chars+merges), alongside
     the pretoken count — the compression diagnostic a tokenizer-training
     run reports. Map-only: the merge list is a plan literal (it is the
-    ARTIFACT, bounded by n_merges), each merge one fold."""
-    syms = F.transform(
-        bpe_tokens(F.col("text")), lambda w: _char_symbols(w)
-    )
-    for left, right in merges:
-        syms = F.transform(syms, lambda s: _apply_merge(s, left, right))
-    n_sub = F.aggregate(
-        F.transform(syms, lambda s: F.size(s)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return docs.select(
-        "doc_id",
-        F.size(bpe_tokens(F.col("text"))).alias("n_pretokens"),
-        n_sub.alias("n_subwords"),
-    )
+    ARTIFACT, bounded by n_merges), each merge one fold; above
+    ``EXPR_MAX_MERGES`` the fold runs in the Arrow kernel
+    (``method='auto'``), same per-word scan, still map-only."""
+    if _pick_method(method, merges) == "expr":
+        syms = F.transform(
+            bpe_tokens(F.col("text")), lambda w: _char_symbols(w)
+        )
+        for left, right in merges:
+            syms = F.transform(syms, lambda s: _apply_merge(s, left, right))
+        n_sub = F.aggregate(
+            F.transform(syms, lambda s: F.size(s)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return docs.select(
+            "doc_id",
+            F.size(bpe_tokens(F.col("text"))).alias("n_pretokens"),
+            n_sub.alias("n_subwords"),
+        )
+
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(merges)
+    pre = docs.select("doc_id", bpe_tokens(F.col("text")).alias("_words"))
+
+    def kern(batches):
+        merges_b = bc.value
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_pre: list = []
+            n_sub: list = []
+            for words in pdf["_words"]:
+                total = 0
+                for w in words:
+                    got = cache.get(w)
+                    if got is None:
+                        got = len(_word_syms_py(w, merges_b))
+                        cache[w] = got
+                    total += got
+                n_pre.append(len(words))
+                n_sub.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_pretokens": pd.array(n_pre, dtype="int32"),
+                    "n_subwords": pd.array(n_sub, dtype="int32"),
+                }
+            )
+
+    return pre.mapInPandas(kern, "doc_id long, n_pretokens int, n_subwords int")
