@@ -610,3 +610,95 @@ def test_containment_catches_quote_jaccard_misses(spark):
         for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
     }
     assert jac[(1, 2)] < 0.05  # Jaccard blind to the embedded quote
+
+
+def test_dup_span_char_offsets_slice_identity(spark):
+    """Char offsets point at the ORIGINAL text: slicing
+    text[char_start:char_end] and re-tokenizing (lowered) must equal
+    the lowered tokens at [span_start, span_end] — including docs whose
+    case and whitespace differ from the canonical stream the intervals
+    were computed on."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        10: base,
+        20: "  ALPHA   Beta GAMMA  delta Epsilon zeta ETA theta iota KAPPA ",
+        30: "prefix words here\t" + base.upper() + "  suffix tail",
+        50: "unrelated totally different tokens only once",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    rows = D.dup_span_char_offsets(docs, n=3, min_run=2).collect()
+    assert rows
+    import re
+
+    tok_re = re.compile(r"\S+", re.ASCII)
+    for r in rows:
+        text = texts[r["doc_id"]]
+        toks = [m.group(0).lower() for m in tok_re.finditer(text)]
+        sliced = [
+            m.group(0).lower()
+            for m in tok_re.finditer(text[r["char_start"]: r["char_end"]])
+        ]
+        assert sliced == toks[r["span_start"]: r["span_end"] + 1], r
+        # offsets are tight: no whitespace at either edge
+        assert not text[r["char_start"]].isspace()
+        assert not text[r["char_end"] - 1].isspace()
+
+
+def test_strip_dup_spans_exact_roundtrip(spark):
+    """Original-byte surgery round trip: for every document,
+    re-tokenizing text_clean gives exactly the ORIGINAL-CASE tokens
+    whose indices survive dup_span_intervals, text outside the cuts is
+    preserved byte-for-byte (prefix check), lowering the kept tokens
+    reproduces strip_dup_spans' canonical stream, and non-victim docs
+    pass through completely untouched."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        10: base,
+        20: "  ALPHA   Beta GAMMA  delta Epsilon zeta ETA theta iota KAPPA ",
+        30: "Prefix, words? here\t" + base.upper() + "  suffix; tail!",
+        50: "unrelated totally different tokens only once",
+    }
+    n, min_run = 3, 2
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    iv: dict[int, list[tuple[int, int]]] = {d: [] for d in texts}
+    for r in D.dup_span_intervals(docs, n=n, min_run=min_run).collect():
+        iv[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    canon = {
+        r["doc_id"]: r["text_clean"]
+        for r in D.strip_dup_spans(docs, n=n, min_run=min_run).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in D.strip_dup_spans_exact(docs, n=n, min_run=min_run).collect()
+    }
+    import re
+
+    tok_re = re.compile(r"\S+", re.ASCII)
+    for d, text in texts.items():
+        toks = [m.group(0) for m in tok_re.finditer(text)]
+        covered = {
+            i for s, e in iv[d] for i in range(s, e + 1)
+        }
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        row = got[d]
+        clean_toks = [m.group(0) for m in tok_re.finditer(row["text_clean"])]
+        assert clean_toks == kept, d
+        assert " ".join(t.lower() for t in kept) == canon[d], d
+        assert row["n_spans"] == len(iv[d]), d
+        if not iv[d]:
+            assert row["text_clean"] == text and row["n_chars_removed"] == 0, d
+        else:
+            # everything before the first cut survives byte-for-byte
+            first_cs = min(
+                r2["char_start"]
+                for r2 in D.dup_span_char_offsets(
+                    docs, n=n, min_run=min_run
+                ).collect()
+                if r2["doc_id"] == d
+            )
+            assert row["text_clean"].startswith(text[:first_cs]), d
+            assert row["n_chars_removed"] > 0, d

@@ -140,6 +140,13 @@ def main(argv: list[str] | None = None) -> None:
     ss.add_argument("--ngram", type=int, default=8)
     ss.add_argument("--min-run", type=int, default=2)
     ss.add_argument("--max-df", type=int, default=64)
+    ss.add_argument(
+        "--original-case",
+        action="store_true",
+        help="cut the spans out of the ORIGINAL text (case/punct/"
+        "whitespace outside cuts preserved byte-for-byte); default "
+        "output is the lowercased canonical token stream",
+    )
 
     sg = sub.add_parser(
         "skipgrams",
@@ -403,22 +410,38 @@ def main(argv: list[str] | None = None) -> None:
                 f"{enc.count()} docs / {n_tok} tokens -> {args.out}"
             )
         elif args.cmd == "strip-spans":
-            from .operators.dedup import strip_dup_spans
+            from .operators.dedup import strip_dup_spans, strip_dup_spans_exact
 
             docs = load_table(spark, args.sf_dir, "documents")
-            out = strip_dup_spans(
-                docs, n=args.ngram, min_run=args.min_run, max_df=args.max_df
-            )
-            out.write.mode("overwrite").parquet(args.out)
-            stats = out.agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum("n_removed").alias("removed"),
-                F.sum("n_tokens").alias("total"),
-            ).collect()[0]
-            print(
-                f"strip-spans: {stats['removed']}/{stats['total']} tokens "
-                f"removed across {stats['docs']} docs -> {args.out}"
-            )
+            if args.original_case:
+                out = strip_dup_spans_exact(
+                    docs, n=args.ngram, min_run=args.min_run, max_df=args.max_df
+                )
+                out.write.mode("overwrite").parquet(args.out)
+                stats = out.agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_chars_removed").alias("removed"),
+                    F.sum("n_spans").alias("spans"),
+                ).collect()[0]
+                print(
+                    f"strip-spans: {stats['removed']} original-text chars in "
+                    f"{stats['spans']} spans removed across {stats['docs']} "
+                    f"docs -> {args.out}"
+                )
+            else:
+                out = strip_dup_spans(
+                    docs, n=args.ngram, min_run=args.min_run, max_df=args.max_df
+                )
+                out.write.mode("overwrite").parquet(args.out)
+                stats = out.agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_removed").alias("removed"),
+                    F.sum("n_tokens").alias("total"),
+                ).collect()[0]
+                print(
+                    f"strip-spans: {stats['removed']}/{stats['total']} tokens "
+                    f"removed across {stats['docs']} docs -> {args.out}"
+                )
         elif args.cmd == "skipgrams":
             from .operators.textpipe import skipgram_pairs
 

@@ -914,6 +914,146 @@ def strip_dup_spans(
     )
 
 
+def dup_span_char_offsets(
+    docs: DataFrame, n: int = 8, min_run: int = 2, max_df: int | None = None
+) -> DataFrame:
+    """``dup_span_intervals`` lifted from token coordinates to
+    CHARACTER offsets in the ORIGINAL text (VERDICT r13 #6: real
+    pipelines want the original bytes cut, not the lowercased
+    canonical stream). Returns (doc_id, span_start, span_end,
+    char_start, char_end): token coords as before, plus the
+    0-based codepoint offset of the first covered token's first
+    character and the EXCLUSIVE offset one past the last covered
+    token's last character — Python-slice / substring-friendly.
+
+    Alignment argument: the interval machinery indexes
+    ``tokens(lower(text))``; lowercasing never creates or destroys
+    whitespace, so the i-th token of the lowered stream is the i-th
+    token of the original — token INDICES transfer even where Unicode
+    lowercasing changes a token's length. Offsets are therefore
+    computed on the original text, with a Python ``\\S+`` scan under
+    ``re.ASCII`` — the exact complement of the Java default (non-
+    Unicode) ``\\s+`` the native tokenizer splits on, pinned by the
+    round-trip test.
+
+    Scale shape: offsets are computed ONLY for victim documents (one
+    semi-join, one Arrow pass over those rows); the interval relation
+    joins them on doc_id — cost tracks duplicate density, never the
+    corpus."""
+    import re
+
+    import pandas as pd
+
+    iv = dup_span_intervals(docs, n=n, min_run=min_run, max_df=max_df)
+    victims = iv.select("doc_id").distinct()
+    vdocs = docs.join(victims, "doc_id", "semi").select("doc_id", "text")
+    tok_re = re.compile(r"\S+", re.ASCII)
+
+    def kern(batches):
+        for pdf in batches:
+            starts: list = []
+            ends: list = []
+            for text in pdf["text"]:
+                ms = list(tok_re.finditer(text or ""))
+                starts.append([m.start() for m in ms])
+                ends.append([m.end() for m in ms])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "_ts": starts, "_te": ends}
+            )
+
+    offs = vdocs.mapInPandas(
+        kern, "doc_id long, _ts array<int>, _te array<int>"
+    )
+    return iv.join(offs, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.element_at("_ts", (F.col("span_start") + 1).cast("int"))
+        .cast("long")
+        .alias("char_start"),
+        F.element_at("_te", (F.col("span_end") + 1).cast("int"))
+        .cast("long")
+        .alias("char_end"),
+    )
+
+
+def strip_dup_spans_exact(
+    docs: DataFrame, n: int = 8, min_run: int = 2, max_df: int | None = None
+) -> DataFrame:
+    """Exact substring dedup applied to the ORIGINAL text: the
+    duplicated spans' characters are cut out of ``text`` itself —
+    case, punctuation, and all whitespace OUTSIDE the removed spans
+    preserved byte-for-byte (the companion to ``strip_dup_spans``,
+    whose output is the lowercased canonical token stream). Returns
+    (doc_id, n_spans, n_chars_removed, text_clean).
+
+    The cut is a native fold over each doc's (bounded, disjoint,
+    sorted) char-interval array: accumulate the substring between the
+    previous cut end and the next cut start, then the tail — no UDF on
+    the corpus side; only the victim-side offset scan
+    (``dup_span_char_offsets``) leaves the JVM. Non-victim documents
+    pass through untouched (left join, empty interval array)."""
+    civ = (
+        dup_span_char_offsets(docs, n=n, min_run=min_run, max_df=max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("char_start").alias("cs"),
+                        F.col("char_end").alias("ce"),
+                    )
+                )
+            ).alias("_civ")
+        )
+    )
+    empty = F.array().cast("array<struct<cs:bigint,ce:bigint>>")
+    ivc = F.coalesce(F.col("_civ"), empty)
+    # fold state: (pos = chars consumed so far, acc = kept text).
+    # substring is 1-based codepoints; cs/ce are 0-based half-open.
+    folded = F.aggregate(
+        ivc,
+        F.struct(
+            F.lit(0).cast("long").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda st, v: F.struct(
+            v["ce"].alias("pos"),
+            F.concat(
+                st["acc"],
+                F.substring(
+                    F.col("text"),
+                    (st["pos"] + 1).cast("int"),
+                    (v["cs"] - st["pos"]).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.substring(
+                F.col("text"),
+                (st["pos"] + 1).cast("int"),
+                (F.length("text") - st["pos"]).cast("int"),
+            ),
+        ),
+    )
+    removed = F.aggregate(
+        ivc,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + (v["ce"] - v["cs"]),
+    )
+    return (
+        spread(docs)
+        .select("doc_id", "text")
+        .join(civ, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(ivc).cast("int").alias("n_spans"),
+            removed.alias("n_chars_removed"),
+            folded.alias("text_clean"),
+        )
+    )
+
+
 def dedup_keep_best(docs: DataFrame) -> DataFrame:
     """Quality-aware exact dedup (CCNet-style): within each
     fingerprint group keep the highest-quality document, not the lowest
