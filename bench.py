@@ -191,6 +191,12 @@ BENCH_QUERIES = [
     "skipgram_pairs",
     "dedup_containment",
     "multimodal_dup_pairs",
+    # round 14 additions (appended — head stays stable for deltas)
+    "dup_span_char_offsets",
+    "strip_dup_spans_exact",
+    "strip_repeated_lines",
+    "lsh_mrr_report",
+    "bpe_decode",
 ]
 
 

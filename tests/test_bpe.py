@@ -402,3 +402,39 @@ def test_bpe_encode_large_merge_list_auto_kernel(spark, sf_smoke):
         decoded = "".join(voc[i] for i in r["token_ids"])
         words = [w for w in decoded.split("</w>") if w != ""]
         assert words == pre[r["doc_id"]], r["doc_id"]
+
+
+def test_bpe_decode_roundtrip(spark, sf_smoke):
+    """decode(encode(docs)) reproduces the canonical pretoken stream
+    exactly for a trained-on-corpus vocab — the tokenizer loop's last
+    edge; and an id missing from the vocab decodes as empty (NULL-id
+    mirror)."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    vocab = bpe_vocab(docs, merges)
+    got = {
+        r["doc_id"]: r["text_decoded"]
+        for r in bpe_decode(bpe_encode(docs, merges, vocab), vocab).collect()
+    }
+    want = {
+        r["doc_id"]: r["pp"]
+        for r in docs.select(
+            "doc_id", F.concat_ws(" ", bpe_tokens(F.col("text"))).alias("pp")
+        ).collect()
+    }
+    assert got == want
+    # unknown id -> empty decode contribution
+    enc = spark.createDataFrame(
+        [(1, [999999])], "doc_id long, token_ids array<int>"
+    )
+    row = bpe_decode(enc, vocab).collect()[0]
+    assert row["text_decoded"] == "" and row["n_tokens"] == 1

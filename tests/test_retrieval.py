@@ -1138,3 +1138,27 @@ def test_recall_report_semantics(spark):
     assert got[1]["n_exact"] == 3 and got[1]["n_hits"] == 2
     assert abs(got[1]["recall"] - 2 / 3) < 1e-15
     assert got[2]["n_hits"] == 0 and got[2]["recall"] == 0.0
+
+
+def test_mrr_report_ranks(spark):
+    """Known ranked results: relevant at rank 3 -> rr = 1/3 exactly;
+    rank-1 self hit -> rr = 1.0; no relevant in the list -> first_rank
+    NULL, rr = 0.0 by convention."""
+    from vectorsearch_with_hnsw_spark.operators.retrieval import mrr_report
+
+    approx = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 20, 1), (2, 21, 2),
+            (3, 30, 1), (3, 31, 2),
+        ],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    relevant = spark.createDataFrame(
+        [(1, 12), (1, 99), (2, 20), (3, 77)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: (r["first_rank"], r["rr"]) for r in mrr_report(approx, relevant).collect()}
+    assert got[1] == (3, 1.0 / 3.0)
+    assert got[2] == (1, 1.0)
+    assert got[3] == (None, 0.0)

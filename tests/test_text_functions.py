@@ -159,3 +159,34 @@ def test_familiarity_buckets_semantics(spark, sf_smoke):
 
     with pytest.raises(ValueError):
         familiarity_buckets(docs, n_buckets=0)
+
+
+def test_strip_repeated_lines_keep_first(spark):
+    """Planted intra-doc repeats: the first occurrence survives, later
+    exact copies drop, distinct lines and order are untouched, and
+    min_chars exempts short recurring lines (bullets)."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import strip_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\ncookie banner\nreal content two\ncookie banner"),
+            (2, "a\nunique line\na\nother line\na"),
+            (3, "no repeats here\nsecond line"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_repeated_lines(docs).collect()}
+    assert got[1]["text_clean"] == "cookie banner\nreal content one\nreal content two"
+    assert got[1]["n_repeats_removed"] == 2 and got[1]["n_lines"] == 5
+    assert got[2]["text_clean"] == "a\nunique line\nother line"
+    assert got[3]["n_repeats_removed"] == 0
+    assert got[3]["text_clean"] == "no repeats here\nsecond line"
+    assert got[4]["n_lines"] == 0 and got[4]["text_clean"] == ""
+    # min_chars=2: single-char 'a' lines are exempt from dedup
+    got2 = {
+        r["doc_id"]: r
+        for r in strip_repeated_lines(docs, min_chars=2).collect()
+    }
+    assert got2[2]["text_clean"] == "a\nunique line\na\nother line\na"
+    assert got2[2]["n_repeats_removed"] == 0

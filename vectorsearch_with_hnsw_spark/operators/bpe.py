@@ -525,6 +525,39 @@ def bpe_encode(
     return pre.mapInPandas(kern, "doc_id long, n_tokens int, token_ids array<int>")
 
 
+def bpe_decode(encoded: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Token ids back to text — the inverse of :func:`bpe_encode` and
+    the last edge of the tokenizer loop (train -> vocab -> encode ->
+    DECODE; every real tokenizer ships both directions). Returns
+    (doc_id, n_tokens, text_decoded) where text_decoded is the
+    canonical pretoken stream: ids map to tokens through the (bounded,
+    broadcast-literal) vocab, concatenate, and the ``</w>`` end-of-word
+    markers re-split the stream into space-joined words. Map-only —
+    one row in, one row out, no shuffle at any corpus size.
+
+    Round trip: for a trained-on-corpus vocab,
+    ``bpe_decode(bpe_encode(docs, m, v), v)`` reproduces
+    ``concat_ws(' ', bpe_tokens(text))`` exactly (pinned by test and
+    by the ``bpe_decode`` oracle row). An id absent from the vocab
+    decodes as an empty string (the NULL-id policy's mirror)."""
+    pairs = vocab.select("token_id", "token").collect()
+    lit_entries: list[Column] = []
+    for r in pairs:
+        lit_entries.append(F.lit(int(r["token_id"])).cast("int"))
+        lit_entries.append(F.lit(r["token"]))
+    imap = F.create_map(*lit_entries) if lit_entries else F.create_map()
+    ids = F.col("token_ids")
+    raw = F.array_join(
+        F.transform(ids, lambda i: F.coalesce(imap[i], F.lit(""))), ""
+    )
+    words = F.filter(F.split(raw, END_SYM), lambda w: w != F.lit(""))
+    return encoded.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens"),
+        F.array_join(words, " ").alias("text_decoded"),
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],

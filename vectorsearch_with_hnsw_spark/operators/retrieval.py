@@ -1259,6 +1259,48 @@ def recall_report(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+def mrr_report(approx: DataFrame, relevant: DataFrame) -> DataFrame:
+    """Mean-reciprocal-rank evaluation AS A RELATION — the companion
+    to :func:`recall_report` for rank-sensitive retrieval QA: per
+    query, the rank of the FIRST relevant hit in the approximate
+    result and its reciprocal. ``approx`` is any ranked
+    (query_id, neighbor_id, rnk) relation this package emits;
+    ``relevant`` is any (query_id, neighbor_id, ...) relation naming
+    the relevant items (an exact top-k, a labeled qrels table, ...).
+    Returns (query_id, first_rank, rr): first_rank = min rnk whose
+    neighbor is relevant (NULL when no relevant item appears — the
+    query scores 0 by convention, rr = 0.0), rr = 1/first_rank.
+
+    Engine-exactness: rr is ONE int/int -> double division (correctly
+    rounded identically in every IEEE engine). The corpus-wide MEAN is
+    deliberately NOT emitted: a float sum over queries is
+    partial-order-dependent, so the mean is left to the consumer over
+    this per-query relation (same contract as the integer moments in
+    doc_len_outliers).
+
+    Plan shape: one equi-join on (query_id, neighbor_id) + one min
+    aggregation — shuffle bounded by |queries| x k, never the
+    corpus."""
+    a = approx.select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+    r = relevant.select("query_id", "neighbor_id").distinct()
+    firsts = (
+        a.join(r, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_rank"))
+    )
+    qs = approx.select("query_id").distinct()
+    return qs.join(firsts, "query_id", "left").select(
+        "query_id",
+        "first_rank",
+        F.when(
+            F.col("first_rank").isNotNull(),
+            F.lit(1.0) / F.col("first_rank"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )
+
+
 def hard_negatives_from(
     shortlist: DataFrame,
     labels: DataFrame,

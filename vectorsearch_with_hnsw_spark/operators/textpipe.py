@@ -1171,6 +1171,40 @@ def c4_clean(
     )
 
 
+def strip_repeated_lines(docs: DataFrame, min_chars: int = 1) -> DataFrame:
+    """INTRA-document exact line dedup — the doc-internal repetition
+    scrub (MassiveText/RefinedWeb run it before any cross-document
+    dedup: navboxes, cookie banners, and scraped pagination repeat the
+    same line dozens of times WITHIN one page, and corpus-level span
+    dedup never sees them because no other document shares them).
+    Per document: keep each non-empty line's FIRST occurrence, drop
+    exact repeats; lines shorter than ``min_chars`` are never treated
+    as repeats (single-char bullets legitimately recur).
+
+    Returns (doc_id, n_lines, n_repeats_removed, text_clean) with
+    text_clean newline-joined in original order. MAP-ONLY: the
+    keep-first scan is a native two-arg ``filter`` with an ``exists``
+    probe over the line's own prefix — no explode, no shuffle, no UDF;
+    per-doc cost is O(lines^2) string equality on short arrays (web
+    pages have tens of lines), which stays inside whole-stage codegen.
+    Complements ``c4_clean`` (quality line filter) and the
+    dup_span family (CROSS-document passages)."""
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != F.lit(""))
+    kept = F.filter(
+        lines,
+        lambda ln, i: (F.length(ln) < min_chars)
+        | ~F.exists(F.slice(lines, 1, i), lambda prev: prev == ln),
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return docs.select(
+        "doc_id",
+        n_lines.cast("int").alias("n_lines"),
+        (n_lines - n_kept).cast("int").alias("n_repeats_removed"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
 def dsir_scores(
     docs: DataFrame, target_lang: str = "en", keep_per_million: int | None = None
 ) -> DataFrame:
