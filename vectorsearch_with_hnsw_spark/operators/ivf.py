@@ -83,6 +83,159 @@ def _d2_matrix(X, Cv):
     return acc
 
 
+def _cos_matrix(Q, X, qn2):
+    """(nq, nc) cosine distances by the canonical sequential folds —
+    bit-identical to the ``cosine_distance`` HOF (dot and both squared
+    norms accumulate one dimension at a time in ascending order;
+    multiplication is IEEE-commutative so operand orientation is
+    irrelevant; ``denom == 0`` maps to 1.0, the same convention
+    ``knn_exact_fast`` uses for the expression's zero-norm guard)."""
+    import numpy as np
+
+    nq = len(Q)
+    nc = len(X)
+    dot = np.zeros((nq, nc), dtype=np.float64)
+    x2 = np.zeros(nc, dtype=np.float64)
+    for d0 in range(X.shape[1] if nc else 0):
+        xd = X[:, d0]
+        dot += Q[:, d0][:, None] * xd[None, :]
+        x2 += xd * xd
+    denom = np.sqrt(x2)[None, :] * np.sqrt(qn2)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 1.0 - dot / denom
+    return np.where(denom == 0.0, 1.0, out)
+
+
+def _seq_norm2(Q):
+    """Per-row |q|^2 by the ascending sequential fold (l2_norm's
+    order)."""
+    import numpy as np
+
+    qn2 = np.zeros(len(Q), dtype=np.float64)
+    for d0 in range(Q.shape[1] if len(Q) else 0):
+        qn2 += Q[:, d0] * Q[:, d0]
+    return qn2
+
+
+def _kernel_probe(
+    pts: DataFrame,
+    cand_assigned: DataFrame,
+    queries_df: DataFrame,
+    cents_df: DataFrame,
+    k: int,
+    n_probe: int,
+    metric: str = "l2",
+    probe_metric: str = "l2sq",
+) -> DataFrame:
+    """The shared IVF probe: driver-side probe selection over the
+    bounded |queries| x n_cells grid (``probe_metric`` = 'l2sq' mirrors
+    the ``_l2sq`` fold; 'cosine' mirrors ``cosine_distance``; stable
+    argsort over cell-ascending columns = the (d, cell) window
+    tie-break), a STATIC ``cell IN (...)`` filter pruning
+    ``cand_assigned`` (vec_id, cell), ONE join to the raw vectors, and
+    per-cell fold-exact scoring of every candidate inside an Arrow
+    kernel — no candidate x query pair rows ever materialize, no
+    interpreted per-row HOF. Distances are bit-identical to the
+    ``l2_distance`` / ``cosine_distance`` expressions they replace
+    (per-dim ascending accumulation; correctly-rounded sqrt/div).
+
+    Query-batch bound: queries and centroids are COLLECTED and
+    broadcast (the ``knn_exact_fast`` contract — right for bounded
+    probe batches, wrong for query tables that rival the corpus; those
+    use the declarative ``knn_exact`` family)."""
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"Unknown metric '{metric}'")
+    spark = queries_df.sparkSession
+    out_schema = "query_id long, neighbor_id long, dist double"
+    qrows = queries_df.select(
+        "query_id", to_vec("query_vec").alias("_q")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rnk int")
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
+    crows = cents_df.orderBy("cell").collect()
+    cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    qn2 = _seq_norm2(Q)
+    if probe_metric == "l2sq":
+        D = _d2_matrix(Q, C)
+    else:
+        D = _cos_matrix(Q, C, qn2)
+    npb = min(n_probe, len(cells_np))
+    cell_queries: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for j in np.argsort(D[qi], kind="stable")[:npb]:
+            cell_queries.setdefault(int(cells_np[j]), []).append(qi)
+    probed = sorted(cell_queries)
+    bc = spark.sparkContext.broadcast(
+        (qids, Q, qn2, {c: np.array(v, dtype=np.int64) for c, v in cell_queries.items()})
+    )
+
+    cand = (
+        cand_assigned.filter(F.col("cell").isin(probed))
+        .join(pts, "vec_id")
+        .select("vec_id", "cell", "v")
+    )
+
+    def kern(batches):
+        qids_b, Qb, qn2_b, cellmap = bc.value
+        empty_f8 = np.empty(0, dtype=np.float64)
+        empty_i8 = np.empty(0, dtype=np.int64)
+        best_d: dict = {}
+        best_i: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            for cell in np.unique(cells_arr):
+                qsel = cellmap.get(int(cell))
+                if qsel is None:
+                    continue
+                mask = cells_arr == cell
+                sub = mat[mask]
+                sids = ids[mask]
+                if metric == "l2":
+                    Dm = np.sqrt(_d2_matrix(Qb[qsel], sub))
+                else:
+                    Dm = _cos_matrix(Qb[qsel], sub, qn2_b[qsel])
+                for row, qi in enumerate(qsel):
+                    d = np.concatenate([best_d.get(qi, empty_f8), Dm[row]])
+                    i = np.concatenate([best_i.get(qi, empty_i8), sids])
+                    keep = np.lexsort((i, d))[:k]
+                    best_d[qi] = d[keep]
+                    best_i[qi] = i[keep]
+        order = sorted(best_i)
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    qids_b[order] if order else empty_i8,
+                    [len(best_i[qi]) for qi in order],
+                ),
+                "neighbor_id": (
+                    np.concatenate([best_i[qi] for qi in order])
+                    if order
+                    else empty_i8
+                ),
+                "dist": (
+                    np.concatenate([best_d[qi] for qi in order])
+                    if order
+                    else empty_f8
+                ),
+            }
+        )
+
+    partial = cand.mapInPandas(kern, out_schema)
+    return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
+        "query_id", "neighbor_id", "dist", "rnk"
+    )
+
+
 def assign_frozen(pts: DataFrame, cent_df: DataFrame) -> DataFrame:
     """Nearest-cell assignment of (vec_id, v) rows under a FROZEN
     centroid table, as an Arrow kernel — BIT-IDENTICAL to the
@@ -298,35 +451,18 @@ def ivf_kmeans_knn(
 ) -> DataFrame:
     """IVF probe routed by TRAINED centroids — the closed loop of
     kmeans_train -> cell assignment -> bucket-pruned L2 search that
-    label_centroids only stands in for. Queries rank the trained
-    centroids by the same squared-L2 fold the trainer used, probe the
-    ``n_probe`` nearest cells, and rank candidates by exact L2 (sqrt
-    fold, identical to knn_exact). Same 100 TB plan shape as
-    ivf_knn_cosine: index bucketed by cell once, probes broadcast,
-    bucket-pruned scan + per-query top-k window."""
-    from ..functions.vector import l2_distance
-
+    label_centroids only stands in for. Probe selection and candidate
+    scoring run through the shared :func:`_kernel_probe` (driver-side
+    centroid ranking by the trainer's squared-L2 fold, static cell
+    pruning, per-cell Arrow GEMM scoring — distances bit-identical to
+    the ``l2_distance`` fold); same plan as ``IvfIndex.search``, which
+    is this operator's at-rest twin (their bit-equality is pinned by
+    the save/load round-trip test)."""
     pts, cents, assign = _kmeans_impl(emb, dim, n_cells, iters, "vec_id", "embedding")
     assigned = assign(cents).select("vec_id", "cell")
-    qcells = queries_df.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "query_vec",
-        "cell",
-        _l2sq(to_vec("query_vec"), F.col("centroid")).alias("d2"),
-    )
-    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
-    probes = (
-        qcells.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "query_vec", "cell")
-    )
-    cand = assigned.join(pts, "vec_id").join(F.broadcast(probes), "cell").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        l2_distance(F.col("v"), to_vec("query_vec")).alias("dist"),
-    )
-    return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
-        "query_id", "neighbor_id", "dist", "rnk"
+    return _kernel_probe(
+        pts, assigned, queries_df, cents, k, n_probe,
+        metric="l2", probe_metric="l2sq",
     )
 
 
@@ -338,35 +474,24 @@ def ivf_knn_cosine(
     n_probe: int = 5,
 ) -> DataFrame:
     """IVF probe: queries pick their n_probe nearest cells, candidates are
-    the vectors assigned to those cells, ranked by exact cosine distance.
+    the vectors assigned to those cells, ranked by exact cosine distance
+    — probe selection and scoring via the shared :func:`_kernel_probe`
+    (cosine mode: the driver-side centroid ranking and the per-cell
+    Arrow scoring both mirror ``cosine_distance``'s fold sequence
+    bit-for-bit, zero-norm guard included).
 
     Plan shape at 100 TB: the index side is bucketed by cell (written
-    once), the query side broadcasts, so the probe is a bucket-pruned
-    scan + window — no all-pairs anything."""
+    once), the probed-cell set prunes the scan statically, and only
+    partitions x queries x k partial rows reach the final window — no
+    all-pairs anything, no candidate x query pair rows."""
     cents = label_centroids(emb, dim)
-    assigned = assign_cells(emb.select("vec_id", "embedding"), cents)
-    qcells = (
-        queries_df.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "query_vec",
-            "cell",
-            cosine_distance(to_vec("query_vec"), F.col("centroid")).alias("cdist"),
-        )
+    assigned = assign_cells(emb.select("vec_id", "embedding"), cents).select(
+        "vec_id", "cell"
     )
-    w = Window.partitionBy("query_id").orderBy("cdist", "cell")
-    probes = (
-        qcells.withColumn("crnk", F.row_number().over(w))
-        .filter(F.col("crnk") <= n_probe)
-        .select("query_id", "query_vec", "cell")
-    )
-    cand = assigned.join(F.broadcast(probes), "cell").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_distance(to_vec("embedding"), to_vec("query_vec")).alias("dist"),
-    )
-    return topk_per_group(cand, ["query_id"], ["dist", "neighbor_id"], k).select(
-        "query_id", "neighbor_id", "dist", "rnk"
+    pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+    return _kernel_probe(
+        pts, assigned, queries_df, cents, k, n_probe,
+        metric="cosine", probe_metric="cosine",
     )
 
 
@@ -522,99 +647,15 @@ class IvfIndex:
         Exact-k whenever the permitted rows inside the probed cells
         have >= k members. Tombstoned ids are skipped first (the
         reference's deleted-check, hsnw_trial.py:178-179)."""
-        import numpy as np
-        import pandas as pd
-
         from .knn import live_rows, prefilter_rows
-
-        spark = queries_df.sparkSession
-        out_schema = "query_id long, neighbor_id long, dist double"
-        qrows = queries_df.select(
-            "query_id", to_vec("query_vec").alias("_q")
-        ).collect()
-        if not qrows:
-            return spark.createDataFrame([], out_schema + ", rnk int")
-        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
-        Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
-        crows = self.centroids.orderBy("cell").collect()
-        cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
-        C = np.array([r["centroid"] for r in crows], dtype=np.float64)
-        # (nq, n_cells) squared distances by the trainer's sequential
-        # fold; stable argsort over cell-ascending columns reproduces
-        # the old orderBy("d2", "cell") tie-break exactly
-        D2 = _d2_matrix(Q, C)
-        npb = min(n_probe, len(cells_np))
-        cell_queries: dict[int, list[int]] = {}
-        for qi in range(len(qids)):
-            for j in np.argsort(D2[qi], kind="stable")[:npb]:
-                cell_queries.setdefault(int(cells_np[j]), []).append(qi)
-        probed = sorted(cell_queries)
-        bc = spark.sparkContext.broadcast(
-            (qids, Q, {c: np.array(v, dtype=np.int64) for c, v in cell_queries.items()})
-        )
 
         assigned = prefilter_rows(
             live_rows(self.assigned, self.tombstones), "vec_id", predicate, allowed_ids
         )
         pts = emb.select("vec_id", to_vec("embedding").alias("v"))
-        cand = (
-            assigned.filter(F.col("cell").isin(probed))
-            .join(pts, "vec_id")
-            .select("vec_id", "cell", "v")
-        )
-
-        def kern(batches):
-            qids_b, Qb, cellmap = bc.value
-            _EMPTY_F8 = np.empty(0, dtype=np.float64)
-            _EMPTY_I8 = np.empty(0, dtype=np.int64)
-            best_d = {}
-            best_i = {}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
-                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                mat = np.array(list(pdf["v"]), dtype=np.float64)
-                for cell in np.unique(cells_arr):
-                    qsel = cellmap.get(int(cell))
-                    if qsel is None:
-                        continue
-                    mask = cells_arr == cell
-                    sub = mat[mask]
-                    sids = ids[mask]
-                    # exact fold for ALL candidate/query pairs of this
-                    # cell — (nq_cell, c) memory, no pair-row blowup,
-                    # no approximate candidate pick to defend
-                    D = np.sqrt(_d2_matrix(Qb[qsel], sub))
-                    for row, qi in enumerate(qsel):
-                        d = np.concatenate([best_d.get(qi, _EMPTY_F8), D[row]])
-                        i = np.concatenate([best_i.get(qi, _EMPTY_I8), sids])
-                        keep = np.lexsort((i, d))[:k]
-                        best_d[qi] = d[keep]
-                        best_i[qi] = i[keep]
-            order = sorted(best_i)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(
-                        qids_b[order] if order else _EMPTY_I8,
-                        [len(best_i[qi]) for qi in order],
-                    ),
-                    "neighbor_id": (
-                        np.concatenate([best_i[qi] for qi in order])
-                        if order
-                        else _EMPTY_I8
-                    ),
-                    "dist": (
-                        np.concatenate([best_d[qi] for qi in order])
-                        if order
-                        else _EMPTY_F8
-                    ),
-                }
-            )
-
-        partial = cand.mapInPandas(kern, out_schema)
-        return topk_per_group(partial, ["query_id"], ["dist", "neighbor_id"], k).select(
-            "query_id", "neighbor_id", "dist", "rnk"
+        return _kernel_probe(
+            pts, assigned, queries_df, self.centroids, k, n_probe,
+            metric="l2", probe_metric="l2sq",
         )
 
 
