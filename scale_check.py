@@ -291,6 +291,17 @@ def main() -> None:
             emb_named, queries, k=10, n_probe=4
         ).count()
         out["ivf_probe_pruned_sec"] = round(time.perf_counter() - t0, 2)
+        # vector-bearing layout (save(path, emb)): the pruned cell
+        # files carry the vectors, so the probe runs with ZERO joins
+        # and never scans the corpus table — the at-rest layout for
+        # 100 TB (the routing-only probe above re-joins the corpus)
+        ivf.save(td + "/ivf_vb", emb_named)
+        loaded_vb = IvfIndex.load(spark, td + "/ivf_vb")
+        t0 = time.perf_counter()
+        out["ivf_probe_zerojoin_rows"] = loaded_vb.search(
+            None, queries, k=10, n_probe=4
+        ).count()
+        out["ivf_probe_zerojoin_sec"] = round(time.perf_counter() - t0, 2)
     _scrub(spark, "ivf", vecs, queries)
 
     # hard-negative mining at 64x: one broadcast pass over the corpus,

@@ -1162,3 +1162,58 @@ def test_mrr_report_ranks(spark):
     assert got[1] == (3, 1.0 / 3.0)
     assert got[2] == (1, 1.0)
     assert got[3] == (None, 0.0)
+
+
+def test_ivf_index_vector_bearing_save(spark, sf_oracle, tmp_path):
+    """save(path, emb) stores vectors NEXT TO the routing: the loaded
+    index probes with emb=None, results bit-identical to the
+    routing-only form AND to the one-shot ivf_kmeans_knn; the plan has
+    NO join (zero-join probe — the pruned cell files carry the
+    vectors) while keeping the static cell partition filter; add() on
+    the loaded index carries the new batch's vectors so the zero-join
+    contract survives incremental insert."""
+    from vectorsearch_with_hnsw_spark.operators.ivf import IvfIndex, ivf_kmeans_knn
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = _queries(spark, sf_oracle, n=5)
+    idx = IvfIndex.build(emb, dim=64, n_cells=8, iters=2)
+    path = str(tmp_path / "ivf_vb")
+    idx.save(path, emb)
+    loaded = IvfIndex.load(spark, path)
+    assert "v" in loaded.assigned.columns
+    res = loaded.search(None, q, k=10, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = {(r.query_id, r.rnk): (r.neighbor_id, r.dist) for r in res.collect()}
+    want = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+        for r in ivf_kmeans_knn(emb, q, dim=64, k=10, n_probe=2).collect()
+    }
+    assert got == want
+    # routing-only probe on the ignored-emb path agrees too
+    got2 = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+        for r in loaded.search(emb, q, k=10, n_probe=2).collect()
+    }
+    assert got2 == want
+    # incremental insert keeps vectors: re-saved index still zero-join
+    extra = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    grown = loaded.add(extra)
+    assert "v" in grown.assigned.columns
+    path2 = str(tmp_path / "ivf_vb2")
+    grown.save(path2)
+    re = IvfIndex.load(spark, path2)
+    assert "v" in re.assigned.columns
+    rows2 = re.search(None, q, k=10, n_probe=8).collect()
+    ids = {r.neighbor_id for r in rows2}
+    # the added rows are exact copies of queries 0-2 at offset ids, so
+    # a probe-all search MUST surface them (dist 0 twins)
+    assert rows2 and {1_000_000, 1_000_001, 1_000_002} <= ids
+    # routing-only index without emb must refuse loudly
+    idx.save(str(tmp_path / "ivf_ro"))
+    ro = IvfIndex.load(spark, str(tmp_path / "ivf_ro"))
+    with pytest.raises(ValueError, match="probe needs raw vectors"):
+        ro.search(None, q, k=3, n_probe=2).collect()

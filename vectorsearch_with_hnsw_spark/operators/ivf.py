@@ -118,7 +118,7 @@ def _seq_norm2(Q):
 
 
 def _kernel_probe(
-    pts: DataFrame,
+    pts: DataFrame | None,
     cand_assigned: DataFrame,
     queries_df: DataFrame,
     cents_df: DataFrame,
@@ -175,11 +175,20 @@ def _kernel_probe(
         (qids, Q, qn2, {c: np.array(v, dtype=np.int64) for c, v in cell_queries.items()})
     )
 
-    cand = (
-        cand_assigned.filter(F.col("cell").isin(probed))
-        .join(pts, "vec_id")
-        .select("vec_id", "cell", "v")
-    )
+    # a vector-bearing assignment (save(..., emb) wrote 'v' next to the
+    # routing) probes with ZERO joins: the pruned-cell files carry the
+    # vectors, so a probe of a 100 TB at-rest index never scans the
+    # corpus table at all; otherwise one vec_id join supplies them
+    pruned = cand_assigned.filter(F.col("cell").isin(probed))
+    if "v" in cand_assigned.columns:
+        cand = pruned.select("vec_id", "cell", "v")
+    else:
+        if pts is None:
+            raise ValueError(
+                "probe needs raw vectors: pass emb, or save the index "
+                "with store-vectors (save(path, emb))"
+            )
+        cand = pruned.join(pts, "vec_id").select("vec_id", "cell", "v")
 
     def kern(batches):
         qids_b, Qb, qn2_b, cellmap = bc.value
@@ -542,9 +551,14 @@ class IvfIndex:
         — the reference's insert (hsnw_trial.py:197-265) on the
         at-rest routing table; no retrain, existing rows untouched.
         Ids must be fresh (re-adding a tombstoned id does not clear
-        its tombstone — ``compact`` first)."""
+        its tombstone — ``compact`` first). A vector-bearing index
+        (loaded from a ``save(path, emb)`` layout) carries the new
+        batch's vectors into the union so the zero-join probe contract
+        survives incremental insert."""
         pts = emb.select(F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v"))
         fresh = assign_frozen(pts, self.centroids).select("vec_id", "cell")
+        if "v" in self.assigned.columns:
+            fresh = fresh.join(pts, "vec_id").select("vec_id", "v", "cell")
         return IvfIndex(
             self.centroids, self.assigned.unionByName(fresh), self.dim,
             tombstones=self.tombstones,
@@ -572,19 +586,40 @@ class IvfIndex:
             self.centroids, live_rows(self.assigned, self.tombstones), self.dim
         )
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, emb: DataFrame | None = None) -> None:
         """Assignment is written PARTITIONED BY CELL (the same at-rest
         layout as ``IvfPqIndex.save``), so a probe of a loaded index is
-        a partition-pruned read: the probe join on ``cell`` against the
-        broadcast probe set triggers dynamic partition pruning and the
-        scan touches only n_probe/n_cells of the files
-        (tests/test_plans.py pins the pruning subquery on the scan)."""
+        a partition-pruned read touching only n_probe/n_cells of the
+        files (tests/test_plans.py pins the static partition filter on
+        the scan).
+
+        Pass ``emb`` to store the raw vectors NEXT TO the routing
+        (``v`` column inside each cell partition): a probe of the
+        loaded index then runs with ZERO joins — the pruned-cell files
+        carry everything, and the corpus table is never scanned at
+        probe time. That is the right at-rest layout at 100 TB (the
+        routing-only form must re-join the corpus on vec_id, which
+        scans the full vector table per probe batch); the routing-only
+        form remains for callers who co-locate vectors elsewhere."""
         self.centroids.withColumn("dim", F.lit(self.dim)).withColumn(
             "tombs", F.lit(self.tombstones is not None)
         ).write.mode("overwrite").parquet(f"{path}/centroids")
-        self.assigned.select("vec_id", "cell").write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(f"{path}/assigned")
+        if emb is not None:
+            pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+            assigned = (
+                self.assigned.select("vec_id", "cell")
+                .join(pts, "vec_id")
+                .select("vec_id", "v", "cell")
+            )
+        elif "v" in self.assigned.columns:
+            # re-save of a vector-bearing index (e.g. after add):
+            # keep the zero-join layout
+            assigned = self.assigned.select("vec_id", "v", "cell")
+        else:
+            assigned = self.assigned.select("vec_id", "cell")
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/assigned"
+        )
         if self.tombstones is not None:
             self.tombstones.write.mode("overwrite").parquet(f"{path}/tombstones")
 
@@ -606,7 +641,7 @@ class IvfIndex:
 
     def search(
         self,
-        emb: DataFrame,
+        emb: DataFrame | None,
         queries_df: DataFrame,
         k: int = 10,
         n_probe: int = 5,
@@ -614,8 +649,9 @@ class IvfIndex:
         allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Bucket-pruned exact-L2 probe over the stored assignment.
-        ``emb`` supplies the raw vectors (the index stores routing
-        state, not the data — at rest they form one bucketed table).
+        ``emb`` supplies the raw vectors for a routing-only index; a
+        vector-bearing index (``save(path, emb)``) ignores it and
+        probes with zero joins (``emb=None`` is then valid).
 
         Probe selection runs DRIVER-SIDE over the bounded
         |queries| x n_cells grid using the shared :func:`_d2_matrix`
@@ -652,7 +688,11 @@ class IvfIndex:
         assigned = prefilter_rows(
             live_rows(self.assigned, self.tombstones), "vec_id", predicate, allowed_ids
         )
-        pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+        pts = (
+            emb.select("vec_id", to_vec("embedding").alias("v"))
+            if emb is not None
+            else None
+        )
         return _kernel_probe(
             pts, assigned, queries_df, self.centroids, k, n_probe,
             metric="l2", probe_metric="l2sq",
