@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "strip_repeated_lines",
     "lsh_mrr_report",
     "bpe_decode",
+    "dup_ngram_fraction",
 ]
 
 

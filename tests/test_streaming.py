@@ -647,3 +647,48 @@ def test_streaming_skipgram_matches_batch(spark, sf_smoke):
         load_table(spark, sf_smoke, "documents"), window=2, min_count=2
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bpe_encode_stream_matches_batch(spark, sf_smoke):
+    """bpe_encode_stream append-mode over a drained bounded stream ==
+    batch bpe_encode over the same rows, on BOTH encode paths (the
+    expression path and the Arrow kernel path — the kernel is what
+    real merge counts use, so its stream-capability is the claim that
+    matters)."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.streaming.documents import (
+        bpe_encode_stream,
+        read_documents_stream,
+    )
+    from vectorsearch_with_hnsw_spark.streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    vocab = bpe_vocab(docs, merges)
+    for method in ("expr", "kernel"):
+        got = run_stream_to_memory(
+            bpe_encode_stream(
+                read_documents_stream(spark, sf_smoke), merges, vocab,
+                method=method,
+            ),
+            f"bpe_encode_stream_{method}",
+            mode="append",
+        )
+        want = bpe_encode(docs, merges, vocab, method=method)
+        g = sorted(
+            (r["doc_id"], r["n_tokens"], tuple(r["token_ids"]))
+            for r in got.collect()
+        )
+        w = sorted(
+            (r["doc_id"], r["n_tokens"], tuple(r["token_ids"]))
+            for r in want.collect()
+        )
+        assert g == w, method

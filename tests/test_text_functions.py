@@ -190,3 +190,38 @@ def test_strip_repeated_lines_keep_first(spark):
     }
     assert got2[2]["text_clean"] == "a\nunique line\na\nother line\na"
     assert got2[2]["n_repeats_removed"] == 0
+
+
+def test_doc_dup_ngram_fraction_planted(spark):
+    """Gopher's duplicate-n-gram coverage on crafted docs: a doc that
+    is one trigram repeated scores ~1.0 on both fractions; a doc with
+    no repeated trigram scores dup = 0 while the top fraction covers
+    exactly one trigram's chars; short docs (< n tokens) score 0."""
+    from vectorsearch_with_hnsw_spark.operators.textpipe import (
+        doc_dup_ngram_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd ef ab cd ef ab cd ef"),       # trigram repeated 3x
+            (2, "aa bb cc dd ee ff gg"),             # all trigrams unique
+            (3, "xx yy"),                            # shorter than n
+            (4, "one two three four one two three"), # 'one two three' twice
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in doc_dup_ngram_fraction(docs, n=3).collect()}
+    assert got[1]["dup_ngram_char_frac"] == 1.0
+    assert got[1]["top_ngram_char_frac"] == 1.0
+    assert got[1]["top_ngram_count"] >= 2
+    assert got[2]["dup_ngram_char_frac"] == 0.0
+    # 7 unique trigrams; the top one (count 1, lexicographic min) covers
+    # exactly 3 tokens of 2 chars each out of 14 total
+    assert got[2]["top_ngram_count"] == 1
+    assert got[2]["top_ngram_char_frac"] == 6 / 14
+    assert got[3]["dup_ngram_char_frac"] == 0.0 and got[3]["top_ngram_count"] == 0
+    # doc 4: 'one two three' occurs twice -> covered tokens are
+    # one,two,three,four? four is NOT inside any duplicated trigram
+    # window: covered = positions 1-3 and 5-7 (1-based) = one two three
+    # one two three = 3+3+5+3+3+5 = 22 chars of total 26
+    assert got[4]["dup_ngram_char_frac"] == 22 / 26

@@ -1171,6 +1171,126 @@ def c4_clean(
     )
 
 
+def doc_dup_ngram_fraction(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher's duplicate-n-gram repetition signals (Rae et al. 2021,
+    A1.1), per document: the character fraction covered by the most
+    frequent n-gram's occurrences (their 2-4-gram rule) and by ALL
+    n-grams occurring twice or more (their 5-10-gram rule) — the
+    intra-doc repetition metrics ``doc_repetition``'s top-token and
+    type/token ratios approximate at the unigram level only.
+
+    Coverage is the overlap-UNION of token positions: token t counts
+    once however many duplicate n-grams span it; char weight = the
+    token's length (whitespace excluded), fractions are one int/int ->
+    double division each (engine-exact). Docs shorter than n tokens
+    score 0 on both.
+
+    MAP-ONLY: within-doc n-gram counting is a nested native HOF scan
+    (per gram, count its equals; per token, EXISTS over the <= n gram
+    windows spanning it) — O(G^2) string equality on per-doc arrays,
+    no explode, no shuffle, whole-stage codegen at any corpus size.
+    The heavy arrays are STAGED through separate projections so each
+    is evaluated once per row: Catalyst inlines lambda-referenced
+    subexpressions at every use site (no CSE across HOF boundaries),
+    and the single-expression form re-evaluated the O(G^2) count
+    array inside every per-token window probe — O(T*n*G^2) per doc,
+    measured minutes at sf0.01 where this shape is seconds.
+    CollapseProject keeps the stages because the staged expressions
+    are non-cheap and multiply referenced."""
+    toks_c = F.col("_toks")
+    T = F.size(toks_c)
+    g_last = T - F.lit(n - 1)  # last gram start (1-based); <=0 when T < n
+    staged = (
+        docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select(
+            "doc_id",
+            "_toks",
+            g_last.alias("_glast"),
+            F.when(
+                g_last >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(g_last, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(toks_c, i, n)),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_grams"),
+            F.transform(toks_c, lambda t0: F.length(t0)).alias("_tlens"),
+        )
+        .select(
+            "*",
+            F.transform(
+                F.col("_grams"),
+                lambda g: F.size(F.filter(F.col("_grams"), lambda x: x == g)),
+            ).alias("_cnts"),
+        )
+        .select(
+            "*",
+            F.coalesce(F.array_max("_cnts"), F.lit(0)).alias("_maxc"),
+        )
+        .select(
+            "*",
+            F.array_min(
+                F.filter(
+                    F.zip_with(
+                        "_grams",
+                        "_cnts",
+                        lambda g, c: F.when(c == F.col("_maxc"), g),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("_topg"),
+            F.aggregate(F.col("_tlens"), F.lit(0), lambda a, x: a + x).alias(
+                "_total"
+            ),
+        )
+    )
+
+    def covered_chars(pred):
+        """Sum of lengths of tokens covered by a gram-start window
+        satisfying ``pred(start)`` — the overlap union. All array
+        references hit staged columns: O(1) per (token, window)."""
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("_toks"))),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                (F.col("_glast") >= 1)
+                & F.exists(
+                    F.sequence(
+                        F.greatest(t - F.lit(n - 1), F.lit(1)),
+                        F.least(t, F.col("_glast")),
+                    ),
+                    pred,
+                ),
+                F.element_at(F.col("_tlens"), t.cast("int")),
+            ).otherwise(F.lit(0)),
+        )
+
+    dup_chars = covered_chars(
+        lambda s: F.element_at(F.col("_cnts"), s.cast("int")) >= 2
+    )
+    top_chars = covered_chars(
+        lambda s: F.element_at(F.col("_grams"), s.cast("int")) == F.col("_topg")
+    )
+    staged = staged.select(
+        "*", dup_chars.alias("_dupch"), top_chars.alias("_topch")
+    )
+    ok = (F.col("_total") > 0) & (F.col("_glast") >= 1)
+    zero = F.lit(0.0)
+    return staged.select(
+        "doc_id",
+        F.size(F.col("_toks")).cast("int").alias("n_tokens"),
+        F.col("_maxc").cast("int").alias("top_ngram_count"),
+        F.when(ok, F.col("_topch") / F.col("_total"))
+        .otherwise(zero)
+        .alias("top_ngram_char_frac"),
+        F.when(ok, F.col("_dupch") / F.col("_total"))
+        .otherwise(zero)
+        .alias("dup_ngram_char_frac"),
+    )
+
+
 def strip_repeated_lines(docs: DataFrame, min_chars: int = 1) -> DataFrame:
     """INTRA-document exact line dedup — the doc-internal repetition
     scrub (MassiveText/RefinedWeb run it before any cross-document

@@ -193,3 +193,23 @@ def skipgram_stream(
     from ..operators.textpipe import skipgram_pairs
 
     return skipgram_pairs(docs_stream, window=window, min_count=min_count)
+
+
+def bpe_encode_stream(
+    docs_stream: DataFrame,
+    merges: list,
+    vocab: DataFrame,
+    method: str = "auto",
+) -> DataFrame:
+    """Streaming twin of bpe.bpe_encode: tokenize documents to TOKEN
+    IDS as they land, under a FROZEN trained tokenizer (merge list +
+    vocab are bounded artifacts baked into the plan — the standard
+    deploy shape: train batch-side, encode at ingest). Both encode
+    paths are stateless map-only transforms (the nested-HOF expression
+    up to EXPR_MAX_MERGES, the Arrow mapInPandas kernel above — both
+    stream-capable), so append-mode output over a micro-batch equals
+    the batch operator over the same rows bit-for-bit, and the encode
+    composes in front of any stateful stage as a zero-state map."""
+    from ..operators.bpe import bpe_encode
+
+    return bpe_encode(docs_stream, merges, vocab, method=method)
