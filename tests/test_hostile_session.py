@@ -51,6 +51,12 @@ HOSTILE_QUERIES = [
     "dedup_containment",      # NEW r13: least() int/int division under ANSI
     "lsh_recall_report",      # NEW r13: nested-CTE recall join under ANSI
     "multimodal_dup_pairs",   # NEW r13: feature-tuple grouping under ANSI
+    "dup_span_char_offsets",  # NEW r14: ASCII \S+ offset kernel + interval joins under ANSI
+    "strip_dup_spans_exact",  # NEW r14: substring fold over char cuts under ANSI
+    "strip_repeated_lines",   # NEW r14: prefix-exists keep-first filter under ANSI
+    "lsh_mrr_report",         # NEW r14: min-rank join + 1/rank division under ANSI
+    "bpe_decode",             # NEW r14: id->token map inversion + </w> re-split
+    "dup_ngram_fraction",     # NEW r14: staged nested HOF scans + element_at under ANSI
 ]
 
 
