@@ -1238,20 +1238,28 @@ def recall_report(approx: DataFrame, exact: DataFrame) -> DataFrame:
     The division is one int/int -> double op, bit-identical across
     engines, so the whole report is oracle-hashable.
 
-    Plan shape: two distinct-projections and one equi-join on
-    (query_id, neighbor_id) — shuffle bounded by |queries| x k rows on
-    both sides regardless of corpus size; the report never touches the
-    vectors."""
-    a = approx.select("query_id", "neighbor_id").distinct()
+    Plan shape: two distinct-projections and ONE left equi-join on
+    (query_id, neighbor_id), then a single per-query aggregation —
+    shuffle bounded by |queries| x k rows on both sides regardless of
+    corpus size; the report never touches the vectors. The exact side
+    is referenced exactly once: the old shape read it twice (denominator
+    aggregation + hit join), and Spark does not CSE across join sides,
+    so an expensive ``exact`` subtree (a full exact kNN) executed twice
+    per action (guide §1.2: don't compute things you throw away)."""
+    a = approx.select("query_id", "neighbor_id").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
     e = exact.select("query_id", "neighbor_id").distinct()
-    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    hits = (
-        a.join(e, ["query_id", "neighbor_id"])
+    grouped = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
     )
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-    return base.join(hits, "query_id", "left").select(
+    return grouped.select(
         "query_id",
         F.col("n_exact").cast("long").alias("n_exact"),
         n_hits.alias("n_hits"),
@@ -1278,18 +1286,33 @@ def mrr_report(approx: DataFrame, relevant: DataFrame) -> DataFrame:
     this per-query relation (same contract as the integer moments in
     doc_len_outliers).
 
-    Plan shape: one equi-join on (query_id, neighbor_id) + one min
-    aggregation — shuffle bounded by |queries| x k, never the
-    corpus."""
+    Plan shape: ONE left equi-join on (query_id, neighbor_id) + one
+    min aggregation — shuffle bounded by |queries| x k, never the
+    corpus. The approximate side is referenced exactly once: the old
+    shape read it twice (hit join + the query-universe distinct), and
+    Spark does not CSE across join sides, so an expensive ``approx``
+    subtree (a whole ANN query) executed twice per action (guide §1.2;
+    on the lsh_mrr_report registry row the plan drops 22 -> 16
+    Exchanges and 4 -> 2 MapInPandas nodes — the LSH kernel pass now
+    runs once; sf0.1 wall-clock is join-latency-bound either way, the
+    win is the removed ANN pass at scale). Every
+    approx query survives the left join, so the per-query group set is
+    exactly the old query-universe distinct; min() ignores the NULL
+    rnk-of-unmatched rows, so first_rank is unchanged row for row."""
     a = approx.select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
-    r = relevant.select("query_id", "neighbor_id").distinct()
-    firsts = (
-        a.join(r, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.min("rnk").alias("first_rank"))
+    r = relevant.select("query_id", "neighbor_id").distinct().withColumn(
+        "_rel", F.lit(1)
     )
-    qs = approx.select("query_id").distinct()
-    return qs.join(firsts, "query_id", "left").select(
+    grouped = (
+        a.join(r, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("_rel").isNotNull(), F.col("rnk"))).alias(
+                "first_rank"
+            )
+        )
+    )
+    return grouped.select(
         "query_id",
         "first_rank",
         F.when(
