@@ -100,12 +100,19 @@ def ngram_jaccard_pairs(
     sides); persist it so the explode+distinct runs once — at scale
     this is the difference between one pass over the corpus and
     several."""
+    # per-doc set semantics via map-side array_distinct: (doc_id, shingle)
+    # is already globally unique after the explode (doc_id is the corpus
+    # key), so the corpus-sized distinct() SHUFFLE the old shape paid is
+    # pure overhead — the dedup happens inside each row's array instead
+    # (guide §2.4: a distinct on data that is already unique)
     sh = (
         spread(docs)
         .select(
-            "doc_id", F.explode(shingle_hash_array(F.col("text"), n)).alias("shingle")
+            "doc_id",
+            F.explode(F.array_distinct(shingle_hash_array(F.col("text"), n))).alias(
+                "shingle"
+            ),
         )
-        .distinct()
         .transform(persist_tracked)
     )
     # eager: consumers below — avoid concurrent cache-population races.
@@ -249,12 +256,16 @@ def ngram_containment_pairs(
     warning; the capped sets feed BOTH the numerator and min-size
     denominator, so the score stays a true containment over the
     capped universe)."""
+    # map-side array_distinct, no corpus-wide distinct() shuffle — see
+    # ngram_jaccard_pairs (identical relation, identical argument)
     sh = (
         spread(docs)
         .select(
-            "doc_id", F.explode(shingle_hash_array(F.col("text"), n)).alias("shingle")
+            "doc_id",
+            F.explode(F.array_distinct(shingle_hash_array(F.col("text"), n))).alias(
+                "shingle"
+            ),
         )
-        .distinct()
         .transform(persist_tracked)
     )
     sh.count()
@@ -944,36 +955,62 @@ def dup_span_char_offsets(
 
     import pandas as pd
 
-    iv = dup_span_intervals(docs, n=n, min_run=min_run, max_df=max_df)
-    victims = iv.select("doc_id").distinct()
-    vdocs = docs.join(victims, "doc_id", "semi").select("doc_id", "text")
+    # SINGLE-REFERENCE shape: the interval plan is grouped per victim doc
+    # (one bounded agg), inner-joined to the corpus ONCE (victims only —
+    # the join itself is the victim filter), and the Arrow kernel both
+    # scans token offsets and explodes the spans. The old shape referenced
+    # the interval plan twice (victim semi-join side + final join side),
+    # so the entire span self-join + islands pipeline executed twice per
+    # action (Spark does not CSE across join sides; guide §2.4 / §5 —
+    # measured ~1.6x off this row at sf0.1, no cache memory needed).
+    iv_g = (
+        dup_span_intervals(docs, n=n, min_run=min_run, max_df=max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("_spans")
+        )
+    )
+    vdocs = docs.select("doc_id", "text").join(iv_g, "doc_id")
     tok_re = re.compile(r"\S+", re.ASCII)
 
     def kern(batches):
         for pdf in batches:
-            starts: list = []
-            ends: list = []
-            for text in pdf["text"]:
+            ids: list = []
+            ss: list = []
+            ee: list = []
+            cs: list = []
+            ce: list = []
+            for doc_id, text, spans in zip(
+                pdf["doc_id"], pdf["text"], pdf["_spans"]
+            ):
                 ms = list(tok_re.finditer(text or ""))
-                starts.append([m.start() for m in ms])
-                ends.append([m.end() for m in ms])
+                starts = [m.start() for m in ms]
+                ends = [m.end() for m in ms]
+                nt = len(ms)
+                for sp in spans:
+                    s, e = int(sp["s"]), int(sp["e"])
+                    ids.append(doc_id)
+                    ss.append(s)
+                    ee.append(e)
+                    # mirror element_at's out-of-range -> NULL contract
+                    cs.append(starts[s] if 0 <= s < nt else None)
+                    ce.append(ends[e] if 0 <= e < nt else None)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "_ts": starts, "_te": ends}
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "span_start": pd.Series(ss, dtype="int64"),
+                    "span_end": pd.Series(ee, dtype="int64"),
+                    "char_start": pd.Series(cs, dtype="object"),
+                    "char_end": pd.Series(ce, dtype="object"),
+                }
             )
 
-    offs = vdocs.mapInPandas(
-        kern, "doc_id long, _ts array<int>, _te array<int>"
-    )
-    return iv.join(offs, "doc_id").select(
-        "doc_id",
-        "span_start",
-        "span_end",
-        F.element_at("_ts", (F.col("span_start") + 1).cast("int"))
-        .cast("long")
-        .alias("char_start"),
-        F.element_at("_te", (F.col("span_end") + 1).cast("int"))
-        .cast("long")
-        .alias("char_end"),
+    return vdocs.mapInPandas(
+        kern,
+        "doc_id long, span_start long, span_end long, "
+        "char_start long, char_end long",
     )
 
 
