@@ -672,9 +672,12 @@ def test_ivf_pq_index_filtered_probe_prunes_before_decode(spark, sf_smoke, tmp_p
 
 def test_bpe_encode_is_map_only(spark, sf_smoke):
     """bpe_encode's 100 TB claim pinned on the plan: ZERO exchanges
-    (the merge folds are native HOFs, the vocab is a map literal — no
-    join, no shuffle, no Python worker) after the bounded artifact
-    collects (merges + vocab happen at call time, outside this plan)."""
+    after the bounded artifact collects (merges + vocab happen at call
+    time, outside this plan). The r14 auto dispatch routes the
+    corpus-side merge scan through ONE MapInPandas kernel (memoized per
+    distinct word — measured 7x over the nested-HOF expression at 4
+    merges); the plan must stay exchange-free with exactly that one
+    Python boundary and no row-at-a-time eval nodes."""
     from vectorsearch_with_hnsw_spark.operators.bpe import (
         bpe_encode,
         bpe_train,
@@ -691,6 +694,7 @@ def test_bpe_encode_is_map_only(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
     assert df.count() > 0
 
 

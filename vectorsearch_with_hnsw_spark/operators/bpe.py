@@ -348,12 +348,29 @@ def _word_syms_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-def _pick_method(method: str, merges: list[tuple[str, str]]) -> str:
-    """Shared expr/kernel dispatch: 'auto' keeps the fully-declarative
-    nested-HOF expression while it is analyzable (<= EXPR_MAX_MERGES)
-    and switches to the Arrow kernel above it; 'expr'/'kernel' force a
-    path (the parity tests run both)."""
+def _pick_method(
+    method: str, merges: list[tuple[str, str]], corpus_side: bool = False
+) -> str:
+    """Shared expr/kernel dispatch. 'expr'/'kernel' force a path (the
+    parity tests run both). 'auto' picks by where the merge scan runs:
+
+    - ``corpus_side=True`` (segment/encode — the fold applies to EVERY
+      word occurrence of every document): always the Arrow kernel. The
+      nested-HOF expression re-executes the full interpreted fold per
+      occurrence, while the kernel memoizes per DISTINCT word per task
+      — measured 7.2 -> 0.39 s (segment) and 7.4 -> 1.06 s (encode)
+      under the noop sink at sf0.1 with only 4 merges, bit-identical
+      (guide §4.2: hand whole batches to native code, amortize per-task
+      state).
+    - ``corpus_side=False`` (vocab — the fold applies once per DISTINCT
+      word of the vocab relation): the declarative expression while it
+      is analyzable (<= EXPR_MAX_MERGES; the analyzer's fixed-point cap
+      fails at ~128), the kernel above. At vocab scale the expression
+      measures slightly faster (0.74 vs 0.97 s) and keeps whole-stage
+      codegen."""
     if method == "auto":
+        if corpus_side:
+            return "kernel"
         return "expr" if len(merges) <= EXPR_MAX_MERGES else "kernel"
     if method not in ("expr", "kernel"):
         raise ValueError(f"Unknown bpe method '{method}'")
@@ -472,7 +489,7 @@ def bpe_encode(
     recurs. This is the 32k-merge path: the expression form
     analyzer-fails at ~128 merges (see ``_word_syms``)."""
     pairs = vocab.select("token", "token_id").collect()
-    if _pick_method(method, merges) == "expr":
+    if _pick_method(method, merges, corpus_side=True) == "expr":
         lit_entries: list[Column] = []
         for r in pairs:
             lit_entries.append(F.lit(r["token"]))
@@ -570,7 +587,7 @@ def bpe_segment(
     ARTIFACT, bounded by n_merges), each merge one fold; above
     ``EXPR_MAX_MERGES`` the fold runs in the Arrow kernel
     (``method='auto'``), same per-word scan, still map-only."""
-    if _pick_method(method, merges) == "expr":
+    if _pick_method(method, merges, corpus_side=True) == "expr":
         syms = F.transform(
             bpe_tokens(F.col("text")), lambda w: _char_symbols(w)
         )

@@ -893,13 +893,19 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
 
     (doc_id, vec array<double>); token-less documents get the zero
     vector (which the downstream zero-norm guards treat as the
-    reference treats zero embeddings). Pure Column expressions
-    end-to-end — explode, integer hash/modulo, one signed-count
-    shuffle, map-assembly, normalize — so the scan stays in
-    whole-stage codegen and the only corpus-sized exchange is the
-    (doc, bucket) aggregation."""
+    reference treats zero embeddings). The scan, hash, and signed-count
+    aggregation are Column expressions (whole-stage codegen, map-side
+    partial agg); the dense-vector ASSEMBLY + normalize run as one
+    Arrow batch kernel over the bounded (doc_id, <= dim entries) rows —
+    a numpy scatter + per-dim ascending norm fold, bit-identical to the
+    map_from_entries + dim-element_at + l2_normalize expression chain
+    it replaced (same sequential fold order; same x/n per-element
+    division; same zero-norm pass-through) and ~2x cheaper at sf0.1
+    (guide §4.2 — the chain was interpreted per output element)."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.text import poly_hash, tokens
-    from ..functions.vector import l2_normalize
 
     tok = spread(docs).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
@@ -910,23 +916,33 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
         F.expr(f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1 ELSE -1 END").alias("sign"),
     )
     vals = signed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("val"))
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
-        ).cast("double"),
+    ent = vals.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "val")).alias("ent")
     )
-    # materialize the 64-lookup assembly as its own projection BEFORE
-    # normalizing: Catalyst inlines (not CSEs) expressions referenced
-    # inside higher-order lambdas, so l2_normalize(raw) would re-evaluate
-    # the whole map-lookup chain per output element — O(dim^2) lookups
-    # per doc (measured: 6.9s -> 0.9s at sf0.1 for the normalize stage)
-    assembled = (
-        vals.groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m"))
-        .select("doc_id", raw.alias("raw"))
-        .select("doc_id", l2_normalize(F.col("raw")).alias("vec"))
-    )
+
+    def _assemble(batches):
+        for pdf in batches:
+            m = np.zeros((len(pdf), dim), dtype=np.float64)
+            for r, es in enumerate(pdf["ent"]):
+                if len(es):
+                    idx = np.fromiter(
+                        (e["bucket"] for e in es), dtype=np.int64, count=len(es)
+                    )
+                    vv = np.fromiter(
+                        (float(e["val"]) for e in es), dtype=np.float64, count=len(es)
+                    )
+                    m[r, idx] = vv
+            # per-dim ascending accumulation == the sequential
+            # sum-of-squares fold of functions.vector.l2_norm
+            n2 = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(dim):
+                n2 += m[:, d] * m[:, d]
+            n = np.sqrt(n2)
+            nz = n > 0.0
+            m[nz] = m[nz] / n[nz, None]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "vec": list(m)})
+
+    assembled = ent.mapInPandas(_assemble, "doc_id long, vec array<double>")
     zero = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0))
     return (
         docs.select("doc_id")
