@@ -1241,9 +1241,13 @@ def decontaminate(
     and the benchmark side (small) broadcasts. n=8 keeps collisions
     meaningful (8-gram matches are near-certain leaks, the
     industry-standard window)."""
+    # per-doc set semantics map-side (array_distinct), no corpus-wide
+    # distinct() shuffle — (doc_id, shingle) is already unique after the
+    # explode (guide §2.4; same change as ngram_jaccard_pairs)
     doc_sh = spread(docs).select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle"),
+    )
     bench_sh = benchmark.select(
         F.explode(word_shingles(F.col("text"), n)).alias("shingle")
     ).distinct()

@@ -52,10 +52,20 @@ def salted_hash(key: Column, salt: int = 0) -> Column:
 def doc_tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, token) relation, lowercased; distinct=True gives the
     document-frequency relation (one row per doc/token)."""
-    tok = spread(docs).select(
+    if distinct:
+        # per-doc set semantics map-side: (doc_id, token) is already
+        # globally unique after the explode, so array_distinct inside
+        # the row replaces a corpus-sized distinct() shuffle (guide
+        # §2.4; same change as ngram_jaccard_pairs)
+        return spread(docs).select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias(
+                "token"
+            ),
+        )
+    return spread(docs).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    return tok.distinct() if distinct else tok
 
 
 def vocab_top_tokens(docs: DataFrame, top_n: int = 50) -> DataFrame:
@@ -87,9 +97,24 @@ def tfidf_top_terms(docs: DataFrame, per_doc: int = 3, min_token_len: int = 4) -
         F.length("token") >= min_token_len
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df from a map-side-distinct explode of its own scan: the two
+    # branches never shared a scan anyway (Spark does not CSE across
+    # join sides), and this drops the corpus-sized (doc, token)
+    # distinct() shuffle the old shape paid before the token groupBy
+    # (guide §2.4)
     dfreq = (
-        tok.select("doc_id", "token")
-        .distinct()
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        tokens(F.lower(F.col("text"))),
+                        lambda t: F.length(t) >= F.lit(min_token_len),
+                    )
+                )
+            ).alias("token"),
+        )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
