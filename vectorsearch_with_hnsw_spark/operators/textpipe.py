@@ -1350,7 +1350,19 @@ def strip_repeated_lines(docs: DataFrame, min_chars: int = 1) -> DataFrame:
     pages have tens of lines), which stays inside whole-stage codegen.
     Complements ``c4_clean`` (quality line filter) and the
     dup_span family (CROSS-document passages)."""
-    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != F.lit(""))
+    # stage the split ONCE per row: Catalyst inlines (not CSEs)
+    # expressions referenced inside HOF lambdas, so the un-staged form
+    # re-evaluated the split+filter for EVERY line's prefix probe —
+    # O(lines) split passes per document (the doc_dup_ngram_fraction
+    # staging argument; neutral at sf0.1's few-line docs, structural at
+    # real page sizes)
+    staged = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), "\n"), lambda x: x != F.lit("")).alias(
+            "_lines"
+        ),
+    )
+    lines = F.col("_lines")
     kept = F.filter(
         lines,
         lambda ln, i: (F.length(ln) < min_chars)
@@ -1358,7 +1370,7 @@ def strip_repeated_lines(docs: DataFrame, min_chars: int = 1) -> DataFrame:
     )
     n_lines = F.size(lines)
     n_kept = F.size(kept)
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_lines.cast("int").alias("n_lines"),
         (n_lines - n_kept).cast("int").alias("n_repeats_removed"),
