@@ -225,3 +225,57 @@ def test_doc_dup_ngram_fraction_planted(spark):
     # window: covered = positions 1-3 and 5-7 (1-based) = one two three
     # one two three = 3+3+5+3+3+5 = 22 chars of total 26
     assert got[4]["dup_ngram_char_frac"] == 22 / 26
+
+
+def test_hashed_doc_vectors_kernel_matches_expression_assembly(spark, sf_smoke):
+    """r14 optimization pin: the Arrow assembly kernel (numpy scatter +
+    per-dim ascending norm fold) is BIT-IDENTICAL to the declarative
+    map_from_entries + element_at + l2_normalize expression chain it
+    replaced — same sequential fold order, same x/n per-element
+    division, same zero-norm pass-through — on real testdata, not just
+    toy rows."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_with_hnsw_spark.functions.text import poly_hash, tokens
+    from vectorsearch_with_hnsw_spark.functions.vector import l2_normalize
+    from vectorsearch_with_hnsw_spark.operators.textpipe import hashed_doc_vectors
+    from vectorsearch_with_hnsw_spark.sources import load_table
+    from vectorsearch_with_hnsw_spark.sources.tables import spread
+
+    dim = 16
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # the pre-r14 expression-chain reference, verbatim
+    tok = spread(docs).select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).select("doc_id", poly_hash(F.col("token")).alias("h"))
+    signed = tok.select(
+        "doc_id",
+        (F.col("h") % dim).cast("int").alias("bucket"),
+        F.expr(f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1 ELSE -1 END").alias("sign"),
+    )
+    vals = signed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("val"))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
+        ).cast("double"),
+    )
+    assembled = (
+        vals.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m"))
+        .select("doc_id", raw.alias("raw"))
+        .select("doc_id", l2_normalize(F.col("raw")).alias("vec"))
+    )
+    zero = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0))
+    ref = (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select("doc_id", F.coalesce("vec", zero).alias("vec"))
+    )
+
+    got = {r.doc_id: r.vec for r in hashed_doc_vectors(docs, dim=dim).collect()}
+    want = {r.doc_id: r.vec for r in ref.collect()}
+    assert got.keys() == want.keys()
+    # bitwise equality, element by element — no tolerance
+    assert all(got[k] == want[k] for k in want), "kernel diverged from expression"
