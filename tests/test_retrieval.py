@@ -1217,3 +1217,35 @@ def test_ivf_index_vector_bearing_save(spark, sf_oracle, tmp_path):
     ro = IvfIndex.load(spark, str(tmp_path / "ivf_ro"))
     with pytest.raises(ValueError, match="probe needs raw vectors"):
         ro.search(None, q, k=3, n_probe=2).collect()
+
+
+def test_assign_frozen_cosine_matches_declarative(spark, sf_smoke):
+    """The map-only cosine assignment kernel (assign_frozen_cosine) is
+    BIT-IDENTICAL to the declarative crossJoin + cosine_distance +
+    row_number reference shape (assign_cells) it replaced on the
+    ivf_knn_cosine / ivf_sq8_knn hot paths — same cell per vec_id,
+    including the (cdist, cell) tie order — and it passes every input
+    column through unchanged (the SQ8 encode and the zero-join probe
+    both consume the passthrough)."""
+    from vectorsearch_with_hnsw_spark.operators.ivf import (
+        _collect_cents,
+        assign_cells,
+        assign_frozen_cosine,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = label_centroids(emb, 64)
+    want = {
+        r.vec_id: r.cell
+        for r in assign_cells(emb.select("vec_id", "embedding"), cents).collect()
+    }
+    cells_np, C = _collect_cents(cents)
+    got_rows = assign_frozen_cosine(
+        emb.select("vec_id", "embedding"), cells_np, C
+    ).collect()
+    got = {r.vec_id: r.cell for r in got_rows}
+    assert got == want
+    # passthrough: embedding survives the kernel bit-for-bit
+    orig = {r.vec_id: list(r.embedding) for r in emb.select("vec_id", "embedding").collect()}
+    assert {r.vec_id: list(r.embedding) for r in got_rows} == orig

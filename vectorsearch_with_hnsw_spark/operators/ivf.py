@@ -47,7 +47,13 @@ def label_centroids(emb: DataFrame, dim: int) -> DataFrame:
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid set,
-    rank by cosine distance, keep rank 1. Ties break by cell id."""
+    rank by cosine distance, keep rank 1. Ties break by cell id.
+
+    This is the declarative REFERENCE shape. The hot paths
+    (ivf_knn_cosine, ivf_sq8_knn) use :func:`assign_frozen_cosine`,
+    which computes the identical assignment in one map-only Arrow pass
+    with no corpus-wide window shuffle; their bit-equality is pinned by
+    tests/test_retrieval.py::test_assign_frozen_cosine_matches_declarative."""
     cand = vectors.crossJoin(F.broadcast(centroids)).select(
         "*", cosine_distance(to_vec(vec_col), F.col("centroid")).alias("cdist")
     )
@@ -117,6 +123,67 @@ def _seq_norm2(Q):
     return qn2
 
 
+def _collect_cents(cents_df: DataFrame):
+    """The (cell, centroid) table as cell-ascending driver arrays — the
+    exact bounded collection :func:`_kernel_probe` performs, shared so a
+    one-shot operator aggregates its centroids ONCE per action. Before
+    round 15, ivf_knn_cosine/ivf_sq8_knn collected the centroids eagerly
+    for probe selection AND re-embedded the same corpus-wide aggregation
+    lazily under a broadcast in the assignment side, so every action
+    paid the aggregation twice (the r14 ivf_ann_cosine regression)."""
+    import numpy as np
+
+    crows = cents_df.orderBy("cell").collect()
+    cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    return cells_np, C
+
+
+def assign_frozen_cosine(
+    vectors: DataFrame,
+    cells_np,
+    C,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell COSINE assignment under a frozen, pre-collected
+    centroid table, as an Arrow kernel — BIT-IDENTICAL to the
+    crossJoin + ``cosine_distance`` + ``row_number().over(cdist, cell)``
+    shape (:func:`assign_cells`) it replaces on the hot paths:
+    :func:`_cos_matrix` mirrors the ``cosine_distance`` fold (per-dim
+    ascending accumulation, zero-norm -> 1.0), and argmin over
+    cell-ascending columns returns the FIRST minimum — exactly the
+    (cdist, cell) window tie order. The old shape evaluated an
+    interpreted HOF n_cells times per corpus row and then paid a
+    corpus-wide ``Window.partitionBy(vec_id)`` shuffle; this is one
+    map-only pass, and all input columns pass through (so the caller's
+    downstream — probe join elimination, SQ8 encode — keeps working on
+    the same relation). ``cell`` (int) is appended."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batch type)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..sources.tables import spread
+
+    out_schema = StructType(
+        list(vectors.schema.fields) + [StructField("cell", IntegerType())]
+    )
+    cells32 = np.asarray(cells_np, dtype=np.int32)
+    bc = vectors.sparkSession.sparkContext.broadcast((cells32, C))
+
+    def kern(batches):
+        cells_v, Cv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            D = _cos_matrix(X, Cv, _seq_norm2(X))
+            pdf = pdf.copy()
+            pdf["cell"] = cells_v[D.argmin(axis=1)]
+            yield pdf
+
+    return spread(vectors).mapInPandas(kern, out_schema)
+
+
 def _kernel_probe(
     pts: DataFrame | None,
     cand_assigned: DataFrame,
@@ -157,9 +224,13 @@ def _kernel_probe(
         return spark.createDataFrame([], out_schema + ", rnk int")
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["_q"] for r in qrows], dtype=np.float64)
-    crows = cents_df.orderBy("cell").collect()
-    cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
-    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    if isinstance(cents_df, tuple):
+        # pre-collected (cells_np, C) from _collect_cents: the caller
+        # already paid the (bounded) centroid collection once — don't
+        # run the aggregation a second time
+        cells_np, C = cents_df
+    else:
+        cells_np, C = _collect_cents(cents_df)
     qn2 = _seq_norm2(Q)
     if probe_metric == "l2sq":
         D = _d2_matrix(Q, C)
@@ -492,14 +563,24 @@ def ivf_knn_cosine(
     Plan shape at 100 TB: the index side is bucketed by cell (written
     once), the probed-cell set prunes the scan statically, and only
     partitions x queries x k partial rows reach the final window — no
-    all-pairs anything, no candidate x query pair rows."""
-    cents = label_centroids(emb, dim)
-    assigned = assign_cells(emb.select("vec_id", "embedding"), cents).select(
-        "vec_id", "cell"
-    )
+    all-pairs anything, no candidate x query pair rows.
+
+    One-shot shape (round 15): the centroid aggregation is collected
+    ONCE (a bounded n_cells x dim artifact) and shared by the
+    assignment kernel and the probe — the pre-r15 form embedded the
+    same aggregation lazily under the assignment's broadcast AND
+    collected it eagerly for probe selection, so every action ran the
+    corpus-wide aggregation twice. Assignment is the map-only
+    :func:`assign_frozen_cosine` kernel (no crossJoin x n_cells HOF, no
+    corpus-wide vec_id window shuffle), and because the kernel passes
+    the vectors through, the probe takes the zero-join path: one corpus
+    scan for the aggregation, one for assign+score, and the only
+    shuffle left is the final bounded top-k."""
+    cells_np, C = _collect_cents(label_centroids(emb, dim))
     pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+    assigned = assign_frozen_cosine(pts, cells_np, C, vec_col="v")
     return _kernel_probe(
-        pts, assigned, queries_df, cents, k, n_probe,
+        None, assigned, queries_df, (cells_np, C), k, n_probe,
         metric="cosine", probe_metric="cosine",
     )
 

@@ -217,13 +217,28 @@ def ivf_sq8_knn(
 
     Entirely deterministic integer/fixed-expression arithmetic after the
     centroid assignment, so the full hybrid is DuckDB-oracle-checkable.
+
+    One-shot shape (round 15): the centroid aggregation is collected
+    ONCE (bounded n_cells x dim artifact) and reused on both sides —
+    the corpus assignment runs through the map-only
+    :func:`~.ivf.assign_frozen_cosine` kernel (bit-identical to the
+    crossJoin + cosine HOF + vec_id-window shape it replaces, with the
+    embedding column passed through for the SQ8 encode), and the
+    query-side probe selection joins a LOCAL recreation of the
+    collected table instead of re-embedding the corpus-wide aggregation
+    under the broadcast. Pre-r15, every action paid the centroid
+    aggregation twice plus a corpus-wide window shuffle.
     """
     from pyspark.sql.window import Window as W
 
-    from .ivf import assign_cells, label_centroids
+    from .ivf import _collect_cents, assign_frozen_cosine, label_centroids
 
-    cents = label_centroids(emb, dim)
-    assigned = assign_cells(emb.select("vec_id", "embedding"), cents)
+    cells_np, C = _collect_cents(label_centroids(emb, dim))
+    cents_local = emb.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cells_np, C)],
+        "cell int, centroid array<double>",
+    )
+    assigned = assign_frozen_cosine(emb.select("vec_id", "embedding"), cells_np, C)
     ranges = dim_ranges(emb)
     bcode = quantize(assigned, ranges, extra_cols=["cell"]).select(
         F.col("vec_id").alias("neighbor_id"), F.col("code").alias("bcode"), "cell"
@@ -231,7 +246,7 @@ def ivf_sq8_knn(
 
     from ..functions.vector import cosine_distance, to_vec
 
-    qcells = queries.crossJoin(F.broadcast(cents)).select(
+    qcells = queries.crossJoin(F.broadcast(cents_local)).select(
         "query_id",
         "query_vec",
         "cell",
