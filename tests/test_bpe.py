@@ -438,3 +438,41 @@ def test_bpe_decode_roundtrip(spark, sf_smoke):
     )
     row = bpe_decode(enc, vocab).collect()[0]
     assert row["text_decoded"] == "" and row["n_tokens"] == 1
+
+
+def test_bpe_null_text_encodes_as_zero_pretoken_doc(spark):
+    """A NULL text row pretokenizes to [] on BOTH dispatch paths: encode
+    gives (0, []) and segment (0, 0), expression and kernel agreeing —
+    before the guard, the expression path NULLed through while the
+    corpus-side Arrow kernel raised TypeError on `for w in words` and
+    killed the task."""
+    from vectorsearch_with_hnsw_spark.operators.bpe import (
+        bpe_encode,
+        bpe_segment,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    vocab = bpe_vocab(docs, merges)
+    for method in ("expr", "kernel"):
+        enc = {
+            r.doc_id: (r.n_tokens, list(r.token_ids))
+            for r in bpe_encode(docs, merges, vocab, method=method).collect()
+        }
+        assert enc[2] == (0, []), f"{method}: NULL doc must encode as (0, [])"
+        assert enc[3] == (0, [])
+        assert enc[1][0] > 0
+        seg = {
+            r.doc_id: (r.n_pretokens, r.n_subwords)
+            for r in bpe_segment(docs, merges, method=method).collect()
+        }
+        assert seg[2] == (0, 0), f"{method}: NULL doc must segment as (0, 0)"
+        assert seg[3] == (0, 0)

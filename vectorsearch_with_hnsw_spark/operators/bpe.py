@@ -377,6 +377,17 @@ def _pick_method(
     return method
 
 
+def _words_or_empty(text_col) -> Column:
+    """``bpe_tokens``, NULL-total: a NULL text pretokenizes to [] so a
+    NULL doc encodes/segments exactly like a zero-pretoken doc —
+    (0, []) / (0, 0) — on BOTH the expression and the kernel path.
+    Without the guard, ``regexp_extract_all(NULL)`` is NULL: the
+    expression path silently NULLed through while the Arrow kernel's
+    ``for w in words`` raised TypeError and killed the task (the same
+    null-guard style dup_span_char_offsets uses)."""
+    return F.coalesce(bpe_tokens(text_col), F.array().cast("array<string>"))
+
+
 def _wordfreq(docs: DataFrame) -> DataFrame:
     """(word, freq) over the corpus — the one corpus pass every
     vocab-side consumer shares."""
@@ -497,7 +508,7 @@ def bpe_encode(
         vmap = F.create_map(*lit_entries) if lit_entries else F.create_map()
         flat = F.flatten(
             F.transform(
-                bpe_tokens(F.col("text")), lambda w: _word_syms(w, merges)
+                _words_or_empty(F.col("text")), lambda w: _word_syms(w, merges)
             )
         )
         ids = F.transform(flat, lambda s: vmap[s])
@@ -511,7 +522,7 @@ def bpe_encode(
 
     vmap_py = {r["token"]: int(r["token_id"]) for r in pairs}
     bc = docs.sparkSession.sparkContext.broadcast((merges, vmap_py))
-    pre = docs.select("doc_id", bpe_tokens(F.col("text")).alias("_words"))
+    pre = docs.select("doc_id", _words_or_empty(F.col("text")).alias("_words"))
 
     def kern(batches):
         merges_b, vmap_b = bc.value
@@ -589,7 +600,7 @@ def bpe_segment(
     (``method='auto'``), same per-word scan, still map-only."""
     if _pick_method(method, merges, corpus_side=True) == "expr":
         syms = F.transform(
-            bpe_tokens(F.col("text")), lambda w: _char_symbols(w)
+            _words_or_empty(F.col("text")), lambda w: _char_symbols(w)
         )
         for left, right in merges:
             syms = F.transform(syms, lambda s: _apply_merge(s, left, right))
@@ -600,14 +611,14 @@ def bpe_segment(
         )
         return docs.select(
             "doc_id",
-            F.size(bpe_tokens(F.col("text"))).alias("n_pretokens"),
+            F.size(_words_or_empty(F.col("text"))).alias("n_pretokens"),
             n_sub.alias("n_subwords"),
         )
 
     import pandas as pd
 
     bc = docs.sparkSession.sparkContext.broadcast(merges)
-    pre = docs.select("doc_id", bpe_tokens(F.col("text")).alias("_words"))
+    pre = docs.select("doc_id", _words_or_empty(F.col("text")).alias("_words"))
 
     def kern(batches):
         merges_b = bc.value
