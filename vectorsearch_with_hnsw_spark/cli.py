@@ -353,7 +353,7 @@ def main(argv: list[str] | None = None) -> None:
             from .operators.clusters import dedup_clusters
 
             docs = load_table(spark, args.sf_dir, "documents")
-            cc = dedup_clusters(D.minhash_lsh_pairs(docs), algorithm=args.algorithm)
+            cc = dedup_clusters(D.minhash_lsh_candidates(docs), algorithm=args.algorithm)
             cc.write.mode("overwrite").parquet(args.out)
             print(f"{cc.count()} clustered docs -> {args.out}")
         elif args.cmd == "split":
@@ -366,7 +366,7 @@ def main(argv: list[str] | None = None) -> None:
                 from .operators import dedup as D
 
                 out = leakage_safe_split(
-                    docs, D.minhash_lsh_pairs(docs), args.val_pct, args.test_pct
+                    docs, D.minhash_lsh_candidates(docs), args.val_pct, args.test_pct
                 )
             out.write.mode("overwrite").parquet(args.out)
             kind = "per-doc" if args.per_doc else "leakage-safe"

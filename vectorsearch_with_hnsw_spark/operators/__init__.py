@@ -3,6 +3,7 @@ from .dedup import (
     dedup_exact,
     dedup_incremental,
     embedding_neardup_pairs,
+    minhash_lsh_candidates,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -44,6 +45,7 @@ __all__ = [
     "knn_with_labels",
     "lsh_knn_cosine",
     "maxsim_search",
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "mix_corpus",

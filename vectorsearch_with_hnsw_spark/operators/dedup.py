@@ -330,10 +330,71 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: band the signature (rows-per-band =
     num_hashes/bands), equi-join docs sharing any band bucket, dedup, and
     attach the estimated Jaccard (fraction of matching signature
-    components). Never compares all pairs — only bucket collisions."""
-    import functools
+    components). Never compares all pairs — only bucket collisions.
 
-    sig = minhash_signatures(docs, num_hashes)
+    Shuffle-thin shape (round 15, guide §2.3/§8): the (band, bucket)
+    self-join used to carry ALL num_hashes signature columns on BOTH
+    sides (84 bytes/row at the defaults) only so est_jaccard could be
+    computed after the match. The banded relation now carries just the
+    matched band's own slice (the rows_per_band values the collision
+    re-verify needs — 36 bytes/row, a ~2.3x cut on the widest dedup
+    shuffle), the pair dedup runs over a two-column relation, and the
+    full signatures are RE-ATTACHED to the (small) surviving pair set
+    by two joins against the persisted signature relation — decide with
+    small rows, then move the heavy columns once, for collisions only.
+    The persist moves from the 4xN-row banded frame to the N-row sig
+    frame (it is read by the banded explode and both re-attach sides;
+    eager count because concurrent cache population races)."""
+    pairs, sig = _minhash_candidate_pairs(docs, num_hashes, bands)
+    a_sig = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """The thin (doc_a, doc_b) LSH candidate relation — exactly
+    :func:`minhash_lsh_pairs` minus the est_jaccard attach, for
+    topology-only consumers (fuzzy_dedup, dedup_clusters,
+    leakage_safe_split): connected components never read est_jaccard,
+    and the two signature re-attach joins cannot be pruned away by the
+    optimizer (an inner join changes cardinality as far as Catalyst
+    knows), so skipping them must happen at the operator level."""
+    pairs, _ = _minhash_candidate_pairs(docs, num_hashes, bands)
+    return pairs
+
+
+def _minhash_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int,
+    bands: int,
+):
+    """Shared head of the MinHash-LSH family: returns the deduped thin
+    (doc_a, doc_b) candidate set and the persisted signature relation
+    (callers attaching est_jaccard join it back)."""
+    sig = minhash_signatures(docs, num_hashes).transform(persist_tracked)
+    sig.count()
     rows_per_band = num_hashes // bands
     # 8-byte xxhash64 band key instead of a variable-width string
     # concat: the bucket join shuffles a fixed-width long. A 2^-64
@@ -345,6 +406,13 @@ def minhash_lsh_pairs(
             F.xxhash64(
                 *[F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
             ).alias("bucket"),
+            # the matched band's own signature slice: everything the
+            # post-join collision re-verify needs, rows_per_band longs
+            # instead of all num_hashes
+            *[
+                F.col(f"mh{b * rows_per_band + j}").alias(f"s{j}")
+                for j in range(rows_per_band)
+            ],
         )
         for b in range(bands)
     ]
@@ -352,69 +420,41 @@ def minhash_lsh_pairs(
     # composite key, instead of `bands` separate joins + union: same
     # candidate set, but a single shuffle of bands*N rows replaces
     # 2*bands shuffles of N rows plus the union — measured 3x faster on
-    # the pairs stage at sf0.1 (1.9 -> 0.65 s warm). persist + eager
-    # count: both join sides read this frame, and concurrent cache
-    # population would otherwise race (observed 5-10x swings).
+    # the pairs stage at sf0.1 (1.9 -> 0.65 s warm).
     banded = sig.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_structs)).alias("_bb"),
-    ).select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(num_hashes)],
-        F.col("_bb.band").alias("band"),
-        F.col("_bb.bucket").alias("bucket"),
-    ).transform(persist_tracked)
-    banded.count()
+        "doc_id", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("doc_id", "_bb.band", "_bb.bucket", *[f"_bb.s{j}" for j in range(rows_per_band)])
     l = banded.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
         "band",
         "bucket",
+        *[F.col(f"s{j}").alias(f"a_s{j}") for j in range(rows_per_band)],
     )
     r = banded.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
         "band",
         "bucket",
+        *[F.col(f"s{j}").alias(f"b_s{j}") for j in range(rows_per_band)],
     )
     # re-verify the matched band's actual signature rows after the
     # hash-key join (map-side, no extra shuffle): a 2^-64 xxhash64
     # collision would otherwise fabricate a candidate pair, and
     # downstream consumers (fuzzy_dedup's transitive closure) take
     # pairs as-is
-    band_eq = functools.reduce(
-        lambda acc, b: acc
-        | (
-            (F.col("band") == b)
-            & functools.reduce(
-                lambda a, i: a & (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")),
-                range(b * rows_per_band + 1, (b + 1) * rows_per_band),
-                F.col(f"a_mh{b * rows_per_band}") == F.col(f"b_mh{b * rows_per_band}"),
-            )
-        ),
-        range(1, bands),
-        (F.col("band") == 0)
-        & functools.reduce(
-            lambda a, i: a & (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")),
-            range(1, rows_per_band),
-            F.col("a_mh0") == F.col("b_mh0"),
-        ),
+    import functools
+
+    slice_eq = functools.reduce(
+        lambda a, j: a & (F.col(f"a_s{j}") == F.col(f"b_s{j}")),
+        range(1, rows_per_band),
+        F.col("a_s0") == F.col("b_s0"),
     )
     pairs = (
         l.join(r, ["band", "bucket"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & band_eq)
+        .filter((F.col("doc_a") < F.col("doc_b")) & slice_eq)
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    matches = sum(
-        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
-    )
+    return pairs, sig
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -1148,7 +1188,7 @@ def fuzzy_dedup(docs: DataFrame, cc_algorithm: str = "label") -> DataFrame:
     from ..functions.text import quality_features
     from .clusters import connected_components
 
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = minhash_lsh_candidates(docs)
     return _cluster_keeper_verdict(docs, pairs, cc_algorithm)
 
 
