@@ -99,7 +99,13 @@ def ngram_jaccard_pairs(
     The shingle relation feeds four consumers (df + sizes + both join
     sides); persist it so the explode+distinct runs once — at scale
     this is the difference between one pass over the corpus and
-    several."""
+    several.
+
+    Precondition: ``doc_id`` must be unique in ``docs``. Per-doc set
+    semantics come from map-side ``array_distinct`` over each row's own
+    shingle array (no corpus-wide distinct shuffle), so duplicate
+    doc_id rows would double-count df/sizes where a relation-level
+    distinct would collapse them."""
     # per-doc set semantics via map-side array_distinct: (doc_id, shingle)
     # is already globally unique after the explode (doc_id is the corpus
     # key), so the corpus-sized distinct() SHUFFLE the old shape paid is
@@ -255,7 +261,9 @@ def ngram_containment_pairs(
     ``max_df_frac`` for the boilerplate cap (identical semantics and
     warning; the capped sets feed BOTH the numerator and min-size
     denominator, so the score stays a true containment over the
-    capped universe)."""
+    capped universe). Same precondition too: ``doc_id`` unique in
+    ``docs`` (per-doc set semantics are map-side ``array_distinct``,
+    not a relation-level distinct)."""
     # map-side array_distinct, no corpus-wide distinct() shuffle — see
     # ngram_jaccard_pairs (identical relation, identical argument)
     sh = (
@@ -810,12 +818,23 @@ def dup_span_pairs(
 def _positional_shingles(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
     """(doc_id, pos, h) positional n-gram hash relation, persisted —
     the shared front half of the span family. Persist: the relation
-    feeds BOTH sides of the self-join (and, under max_df, the
-    document-frequency filter) — 2-3 recomputations of the explode+hash
-    pass otherwise. Three 8-byte columns, no strings — at 100 TB this
-    is the intermediate a pipeline would write to a shuffle-store
-    anyway before a self-join. Eager count so the two join sides don't
-    race to populate the cache."""
+    feeds BOTH sides of the self-join — 2 recomputations of the
+    explode+hash pass otherwise. Three 8-byte columns, no strings — at
+    100 TB this is the intermediate a pipeline would write to a
+    shuffle-store anyway before a self-join. Eager count so the two
+    join sides don't race to populate the cache.
+
+    Precondition (shared with ngram_jaccard_pairs/decontaminate):
+    ``doc_id`` must be unique in ``docs`` — the document-frequency
+    branch counts per-document-DISTINCT n-grams via ``array_distinct``
+    over each doc's own hash array (map-side), so duplicate doc_id rows
+    would double-count df where a corpus-wide (doc_id, h) distinct
+    would collapse them. The r15 shape drops that corpus-wide distinct
+    shuffle (guide §2.4): df is one partially-aggregated groupBy over
+    per-doc-deduped hashes — the shuffle carries at most
+    distinct-h-per-partition count rows instead of every (doc_id, h)
+    pair twice (once for the distinct exchange, once for the h
+    regroup)."""
     sh = spread(docs).select(
         "doc_id",
         F.posexplode(shingle_hash_array(F.col("text"), n)).alias("pos", "h"),
@@ -826,8 +845,12 @@ def _positional_shingles(docs: DataFrame, n: int, max_df: int | None) -> DataFra
         # anti-join-on-drops alternative: count_distinct's expand and
         # the anti side defeat exchange reuse)
         keep = (
-            sh.select("doc_id", "h")
-            .distinct()
+            spread(docs)
+            .select(
+                F.explode(
+                    F.array_distinct(shingle_hash_array(F.col("text"), n))
+                ).alias("h")
+            )
             .groupBy("h")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df)
@@ -1280,7 +1303,13 @@ def decontaminate(
     contaminated doc is emitted once no matter how many n-grams leak,
     and the benchmark side (small) broadcasts. n=8 keeps collisions
     meaningful (8-gram matches are near-certain leaks, the
-    industry-standard window)."""
+    industry-standard window).
+
+    Precondition: ``doc_id`` must be unique in ``docs`` (corpus side) —
+    its per-doc set semantics are map-side ``array_distinct``, not a
+    relation-level distinct, so duplicate doc_id rows would emit
+    duplicate contamination verdicts. The benchmark side keeps its
+    relation-level distinct (it is small and broadcast)."""
     # per-doc set semantics map-side (array_distinct), no corpus-wide
     # distinct() shuffle — (doc_id, shingle) is already unique after the
     # explode (guide §2.4; same change as ngram_jaccard_pairs)

@@ -51,7 +51,12 @@ def salted_hash(key: Column, salt: int = 0) -> Column:
 
 def doc_tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, token) relation, lowercased; distinct=True gives the
-    document-frequency relation (one row per doc/token)."""
+    document-frequency relation (one row per doc/token).
+
+    Precondition for distinct=True: ``doc_id`` must be unique in
+    ``docs`` — per-doc set semantics are map-side ``array_distinct``
+    over the row's own token array, so duplicate doc_id rows would
+    double-count document frequency."""
     if distinct:
         # per-doc set semantics map-side: (doc_id, token) is already
         # globally unique after the explode, so array_distinct inside
