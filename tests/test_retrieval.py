@@ -1249,3 +1249,61 @@ def test_assign_frozen_cosine_matches_declarative(spark, sf_smoke):
     # passthrough: embedding survives the kernel bit-for-bit
     orig = {r.vec_id: list(r.embedding) for r in emb.select("vec_id", "embedding").collect()}
     assert {r.vec_id: list(r.embedding) for r in got_rows} == orig
+
+
+def test_quantized_vector_bearing_save_refine(spark, sf_smoke, tmp_path):
+    """save(path, emb) on the quantized artifacts (Sq8Index, PqIndex,
+    IvfPqIndex) stores vectors NEXT TO the codes: the loaded index
+    refine-searches with emb=None, results bit-identical to the
+    routing-only form probed with the corpus, and every parquet scan in
+    the emb=None plan reads the INDEX's own files (the corpus table is
+    never touched at probe time). add() carries the new batch's vectors
+    so the corpus-free contract survives incremental insert; a
+    routing-only load still refuses emb=None loudly."""
+    from vectorsearch_with_hnsw_spark.operators.pq import IvfPqIndex, PqIndex
+    from vectorsearch_with_hnsw_spark.operators.quantize import Sq8Index
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # local query frame: the corpus-free probe's plan must then contain
+    # ZERO scans of the corpus table
+    q = spark.createDataFrame(
+        [(r.query_id, list(r.query_vec)) for r in _queries(spark, sf_smoke, n=5).collect()],
+        "query_id long, query_vec array<float>",
+    )
+    cases = [
+        ("sq8", Sq8Index.build(emb, dim=64), {}),
+        ("pq", PqIndex.build(emb, dim=64, m=16), {}),
+        ("ivfpq", IvfPqIndex.build(emb, dim=64, m=16, n_cells=8, iters=2), {"n_probe": 2}),
+    ]
+    for name, idx, kw in cases:
+        path = str(tmp_path / f"{name}_vb")
+        idx.save(path, emb)
+        loaded = type(idx).load(spark, path)
+        assert "v" in loaded.codes.columns, name
+        res = loaded.refine_search(None, q, k=5, expand=4, **kw)
+        # every scan in the corpus-free probe reads index files only
+        plan = res._sc._jvm.PythonSQLUtils.explainString(
+            res._jdf.queryExecution(), "formatted"
+        )
+        assert "testdata" not in plan, f"{name}: corpus table scanned:\n{plan}"
+        assert path in plan, name
+        got = {(r.query_id, r.rnk): (r.neighbor_id, r.dist) for r in res.collect()}
+        # routing-only twin probed with the corpus agrees bit-for-bit
+        path_ro = str(tmp_path / f"{name}_ro")
+        idx.save(path_ro)
+        ro = type(idx).load(spark, path_ro)
+        want = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+            for r in ro.refine_search(emb, q, k=5, expand=4, **kw).collect()
+        }
+        assert got == want, name
+        with pytest.raises(ValueError, match="refine needs raw vectors"):
+            ro.refine_search(None, q, k=5, expand=4, **kw).collect()
+        # incremental insert keeps the vectors riding along
+        extra = emb.filter(F.col("vec_id") < 2).select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+        )
+        grown = loaded.add(extra)
+        assert "v" in grown.codes.columns, name
+        got2 = grown.refine_search(None, q, k=5, expand=4, **kw).collect()
+        assert got2, name

@@ -790,25 +790,36 @@ def ivf_pq_refine_knn(
 
 def _exact_rerank(
     shortlist: DataFrame,
-    emb: DataFrame,
+    emb: DataFrame | None,
     queries: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "l2",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact re-rank of a (query_id, neighbor_id) shortlist against the
     full vectors — the shared refine tail (the exact expressions of
     ``pq_refine_knn`` / ``ivf_pq_refine_knn`` / ``sq8_refine_knn``),
     used by the index artifacts' ``refine_search`` so a loaded index's
-    deployed probe matches the one-shot refine operators bit-for-bit."""
+    deployed probe matches the one-shot refine operators bit-for-bit.
+    ``base`` overrides the vector source with a pre-shaped
+    (neighbor_id, _v array<double>) relation — the vector-bearing index
+    layouts (``save(path, emb)``) pass their own code-side vectors so
+    the corpus table is never scanned at probe time."""
     from ..functions.vector import cosine_distance, l2_distance
     from .knn import topk_per_group
 
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unsupported metric {metric!r}; expected cosine or l2")
     dist_fn = cosine_distance if metric == "cosine" else l2_distance
-    base = emb.select(F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_v"))
+    if base is None:
+        if emb is None:
+            raise ValueError(
+                "refine needs raw vectors: pass emb, or save the index "
+                "with store-vectors (save(path, emb))"
+            )
+        base = emb.select(F.col(id_col).alias("neighbor_id"), to_vec(vec_col).alias("_v"))
     q = F.broadcast(
         queries.select(F.col("query_id"), to_vec("query_vec").alias("_q"))
     )
@@ -824,6 +835,18 @@ def _exact_rerank(
     return topk_per_group(rescored, ["query_id"], ["dist", "neighbor_id"], k).select(
         "query_id", "neighbor_id", "dist", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+def _code_vector_base(codes: DataFrame) -> DataFrame | None:
+    """(neighbor_id, _v) from a vector-bearing codes relation (the
+    ``save(path, emb)`` layout wrote ``v`` next to the codes), or None
+    for routing-only codes — the ``base`` argument of
+    :func:`_exact_rerank`."""
+    if "v" in codes.columns:
+        return codes.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("_v")
+        )
+    return None
 
 
 class PqIndex:
@@ -881,8 +904,15 @@ class PqIndex:
         once, add many). Existing codes are untouched; at 100 TB the
         new batch is the only data scanned. Ids must be fresh —
         re-adding a tombstoned id does NOT clear its tombstone
-        (``compact`` first to resurrect an id)."""
+        (``compact`` first to resurrect an id). A vector-bearing index
+        carries the new batch's vectors into the union so the
+        corpus-free refine contract survives incremental insert."""
         fresh = pq_encode(emb, self.codebooks, self.dim, self.m, id_col, vec_col)
+        if "v" in self.codes.columns:
+            pts = emb.select(
+                F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v")
+            )
+            fresh = fresh.join(pts, "vec_id")
         return PqIndex(
             self.codes.unionByName(fresh), self.codebooks, self.dim, self.m,
             tombstones=self.tombstones,
@@ -911,8 +941,26 @@ class PqIndex:
             self.dim, self.m,
         )
 
-    def save(self, path: str) -> None:
-        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    def save(self, path: str, emb: DataFrame | None = None) -> None:
+        """Pass ``emb`` (vec_id, embedding) to store the raw vectors
+        NEXT TO the codes (``v`` column in the codes files):
+        refine_search of the loaded index then runs with ``emb=None``
+        and never scans the corpus table (the IvfIndex.save(path, emb)
+        layout applied to the refine family). Columnar at rest, so the
+        ADC scan still reads only (vec_id, code); ``v`` is touched only
+        by the expand*k re-rank join."""
+        if emb is not None:
+            pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+            codes = (
+                self.codes.select("vec_id", "code")
+                .join(pts, "vec_id")
+                .select("vec_id", "code", "v")
+            )
+        elif "v" in self.codes.columns:
+            codes = self.codes.select("vec_id", "code", "v")
+        else:
+            codes = self.codes.select("vec_id", "code")
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
         self.codebooks.withColumn("dim", F.lit(self.dim)).withColumn(
             "m", F.lit(self.m)
         ).withColumn(
@@ -993,7 +1041,7 @@ class PqIndex:
 
     def refine_search(
         self,
-        emb: DataFrame,
+        emb: DataFrame | None,
         queries: DataFrame,
         k: int = 10,
         expand: int = 10,
@@ -1007,13 +1055,18 @@ class PqIndex:
         shortlist), matching the one-shot ``pq_refine_knn`` bit-for-bit
         at equal build input. ``emb`` supplies the raw vectors for the
         expand*k per-query full-precision reads (``id_col``/``vec_col``
-        name its columns, matching build()); the pre-filter applies to
-        the shortlist stage, so the rescore touches only permitted
-        rows."""
+        name its columns, matching build()); a vector-bearing index
+        (``save(path, emb)``) ignores it and re-ranks from its own
+        stored vectors (``emb=None`` is then valid — the corpus table
+        is never scanned). The pre-filter applies to the shortlist
+        stage, so the rescore touches only permitted rows."""
         shortlist = self.search(
             queries, k=expand * k, predicate=predicate, allowed_ids=allowed_ids
         ).select("query_id", "neighbor_id")
-        return _exact_rerank(shortlist, emb, queries, k, id_col, vec_col)
+        return _exact_rerank(
+            shortlist, emb, queries, k, id_col, vec_col,
+            base=_code_vector_base(self.codes),
+        )
 
 
 class IvfPqIndex:
@@ -1118,6 +1171,10 @@ class IvfPqIndex:
         fresh = _ivf_pq_assign_encode(
             pts, cells_np, C, self.cb_np, self.m, self.dim // self.m
         )
+        if "v" in self.codes.columns:
+            # vector-bearing layout: carry the new batch's vectors so
+            # the corpus-free refine contract survives incremental insert
+            fresh = fresh.join(pts, "vec_id")
         return IvfPqIndex(
             self.codes.unionByName(fresh), self.cents, self.codebooks,
             self.cb_np, self.dim, self.m,
@@ -1148,10 +1205,28 @@ class IvfPqIndex:
             cached=self._cached,
         )
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, emb: DataFrame | None = None) -> None:
         # cell is the partition column: the at-rest layout that makes a
-        # probe a partition-pruned read
-        self.codes.select("vec_id", "code", "cell").write.mode(
+        # probe a partition-pruned read. Pass emb (vec_id, embedding)
+        # to store the raw vectors NEXT TO the codes inside each cell
+        # partition: refine_search of the loaded index then runs with
+        # emb=None and its re-rank reads (vec_id, v) from the SAME
+        # pruned cell files the ADC shortlist scanned — the corpus
+        # table is never touched at probe time (IvfIndex.save(path,
+        # emb) layout; the ADC scan itself still reads only
+        # (vec_id, code) thanks to columnar pruning).
+        if emb is not None:
+            pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+            codes = (
+                self.codes.select("vec_id", "code", "cell")
+                .join(pts, "vec_id")
+                .select("vec_id", "code", "v", "cell")
+            )
+        elif "v" in self.codes.columns:
+            codes = self.codes.select("vec_id", "code", "v", "cell")
+        else:
+            codes = self.codes.select("vec_id", "code", "cell")
+        codes.write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/codes")
         self.cents.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1224,7 +1299,7 @@ class IvfPqIndex:
 
     def refine_search(
         self,
-        emb: DataFrame,
+        emb: DataFrame | None,
         queries: DataFrame,
         k: int = 10,
         n_probe: int = 4,
@@ -1241,8 +1316,12 @@ class IvfPqIndex:
         ``ivf_pq_refine_knn`` bit-for-bit at equal build params.
         ``emb`` supplies the raw vectors for the expand*k per-query
         full-precision reads (``id_col``/``vec_col`` name its columns,
-        matching build()); the pre-filter applies to the shortlist
-        stage, so the rescore touches only permitted rows."""
+        matching build()); a vector-bearing index (``save(path, emb)``)
+        ignores it and re-ranks from the ``v`` column of its own
+        cell-partitioned code files (``emb=None`` is then valid — the
+        corpus table is never scanned at probe time). The pre-filter
+        applies to the shortlist stage, so the rescore touches only
+        permitted rows."""
         shortlist = self.search(
             queries,
             k=expand * k,
@@ -1251,4 +1330,7 @@ class IvfPqIndex:
             predicate=predicate,
             allowed_ids=allowed_ids,
         ).select("query_id", "neighbor_id")
-        return _exact_rerank(shortlist, emb, queries, k, id_col, vec_col)
+        return _exact_rerank(
+            shortlist, emb, queries, k, id_col, vec_col,
+            base=_code_vector_base(self.codes),
+        )

@@ -387,10 +387,20 @@ class Sq8Index:
         at-rest layout. Out-of-range values clip exactly as at build
         time (the quantizer saturates); existing codes are untouched.
         Ids must be fresh — re-adding a tombstoned id does not clear
-        its tombstone (``compact`` first)."""
+        its tombstone (``compact`` first). A vector-bearing index
+        (loaded from a ``save(path, emb)`` layout) carries the new
+        batch's vectors into the union so the corpus-free refine
+        contract survives incremental insert."""
         fresh = quantize(emb, self.ranges, id_col, vec_col).select(
             F.col(id_col).alias("vec_id"), F.col("code").alias("bcode")
         )
+        if "v" in self.codes.columns:
+            from ..functions.vector import to_vec
+
+            pts = emb.select(
+                F.col(id_col).alias("vec_id"), to_vec(vec_col).alias("v")
+            )
+            fresh = fresh.join(pts, "vec_id").select("vec_id", "bcode", "v")
         return Sq8Index(
             self.codes.unionByName(fresh), self.ranges, self.dim,
             tombstones=self.tombstones,
@@ -415,8 +425,31 @@ class Sq8Index:
 
         return Sq8Index(live_rows(self.codes, self.tombstones), self.ranges, self.dim)
 
-    def save(self, path: str) -> None:
-        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    def save(self, path: str, emb: DataFrame | None = None) -> None:
+        """Pass ``emb`` (vec_id, embedding) to store the raw vectors
+        NEXT TO the codes (``v`` column in the codes files): a
+        refine_search of the loaded index then runs with ``emb=None`` —
+        the shortlist's exact re-rank reads the index's own files and
+        the corpus table is never scanned at probe time (the
+        IvfIndex.save(path, emb) layout applied to the refine family).
+        Parquet is columnar, so the coarse integer scan still reads
+        only (vec_id, bcode); ``v`` is touched only by the expand*k
+        re-rank join. The routing-only form remains for callers who
+        co-locate vectors elsewhere."""
+        if emb is not None:
+            from ..functions.vector import to_vec
+
+            pts = emb.select("vec_id", to_vec("embedding").alias("v"))
+            codes = (
+                self.codes.select("vec_id", "bcode")
+                .join(pts, "vec_id")
+                .select("vec_id", "bcode", "v")
+            )
+        elif "v" in self.codes.columns:
+            codes = self.codes.select("vec_id", "bcode", "v")
+        else:
+            codes = self.codes.select("vec_id", "bcode")
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
         self.ranges.withColumn("dim", F.lit(self.dim)).withColumn(
             "tombs", F.lit(self.tombstones is not None)
         ).write.mode("overwrite").parquet(f"{path}/ranges")
@@ -463,7 +496,7 @@ class Sq8Index:
 
     def refine_search(
         self,
-        emb: DataFrame,
+        emb: DataFrame | None,
         queries: DataFrame,
         k: int = 10,
         expand: int = 10,
@@ -478,14 +511,20 @@ class Sq8Index:
         L2-shortlist/metric-rerank caveat as ``sq8_refine_knn``, whose
         results it matches bit-for-bit at equal build input). ``emb``
         supplies the raw vectors for the expand*k full-precision reads
-        (``id_col``/``vec_col`` name its columns, matching build());
-        the pre-filter applies to the shortlist stage, so the rescore
-        touches only permitted rows. The re-rank tail is the shared
+        (``id_col``/``vec_col`` name its columns, matching build()); a
+        vector-bearing index (``save(path, emb)``) ignores it and
+        re-ranks from its own stored vectors (``emb=None`` is then
+        valid — the corpus table is never scanned). The pre-filter
+        applies to the shortlist stage, so the rescore touches only
+        permitted rows. The re-rank tail is the shared
         ``pq._exact_rerank``, so one tie-break/metric fix serves every
         artifact path."""
-        from .pq import _exact_rerank
+        from .pq import _code_vector_base, _exact_rerank
 
         shortlist = self.search(
             queries, k=expand * k, predicate=predicate, allowed_ids=allowed_ids
         ).select("query_id", "neighbor_id")
-        return _exact_rerank(shortlist, emb, queries, k, id_col, vec_col, metric)
+        return _exact_rerank(
+            shortlist, emb, queries, k, id_col, vec_col, metric,
+            base=_code_vector_base(self.codes),
+        )
